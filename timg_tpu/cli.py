@@ -1,0 +1,540 @@
+"""timg-tpu command line: flag surface and session orchestration.
+
+Behavioral spec: ref src/timg.cc. Preserves timg's public CLI semantics:
+``-p half/quarter/sixel/kitty/iterm2``, ``--grid``, ``-b/-B``,
+``--auto-crop``, ``-W/-U``, ``-g WxH``, ``--title``, filelists, loop and
+duration limits, ``--debug-no-frame-delay``, ``--verbose`` and the exit
+codes 0..5 (ref timg.cc:98-106).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import signal
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+from timg_tpu import utils
+from timg_tpu.colors import parse_color
+from timg_tpu.options import (
+    NOT_INITIALIZED,
+    ClearScreen,
+    DisplayOptions,
+    Pixelation,
+    PresentationOptions,
+    is_pixel_direct,
+    is_pixel_direct_with_alpha,
+)
+from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+# Exit codes (ref timg.cc:98-106).
+EXIT_SUCCESS = 0
+EXIT_IMAGE_READ_ERROR = 1
+EXIT_PARAMETER_ERROR = 2
+EXIT_NOT_A_TERMINAL = 3
+EXIT_CANT_OPEN_OUTPUT = 4
+EXIT_FILELIST_PROBLEM = 5
+
+_PIXELATION_BY_CHAR = {
+    "h": Pixelation.HALF_BLOCK,
+    "q": Pixelation.QUARTER_BLOCK,
+    "k": Pixelation.KITTY,
+    "i": Pixelation.ITERM2,
+    "s": Pixelation.SIXEL,
+}
+
+interrupt_received = False
+
+
+def _interrupt_handler(signo, frame):  # noqa: ARG001
+    global interrupt_received
+    interrupt_received = True
+
+
+def _parse_pixelation(text: Optional[str]) -> Optional[Pixelation]:
+    if not text:
+        return None
+    return _PIXELATION_BY_CHAR.get(text[0].lower())
+
+
+def _default_thread_count() -> int:
+    return max(1, 3 * (os.cpu_count() or 1) // 4)  # ref timg.cc:153-154
+
+
+def append_to_filelist(filelist_file: str, relative_to_filelist: bool,
+                       filelist: List[str]) -> bool:
+    """ref timg.cc:288-309."""
+    path = "/dev/stdin" if filelist_file == "-" else filelist_file
+    try:
+        with open(path, "r") as f:
+            lines = f.read().splitlines()
+    except OSError as e:
+        print(f"{filelist_file}: {e.strerror}", file=sys.stderr)
+        return False
+    prefix = filelist_file[: filelist_file.rfind("/") + 1]
+    for name in lines:
+        if not name:
+            continue
+        if relative_to_filelist and not name.startswith("/") and prefix:
+            name = prefix + name
+        filelist.append(name)
+    return True
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="timg-tpu", add_help=False,
+        description="A TPU-accelerated terminal image and video viewer.")
+    p.add_argument("-p", "--pixelation", type=str, default=None)
+    p.add_argument("--grid", type=str, default=None)
+    p.add_argument("-C", "--center", action="store_true")
+    p.add_argument("--title", nargs="?", const=True, default=None)
+    p.add_argument("-f", dest="filelist", action="append", default=[])
+    p.add_argument("-F", dest="filelist_rel", action="append", default=[])
+    p.add_argument("-b", dest="bg_color", type=str, default="auto")
+    p.add_argument("-B", dest="bg_pattern_color", type=str, default=None)
+    p.add_argument("--pattern-size", type=int, default=1)
+    p.add_argument("--auto-crop", nargs="?", const=-1, type=int, default=None)
+    p.add_argument("--rotate", type=str, default="exif")
+    p.add_argument("-W", "--fit-width", action="store_true")
+    p.add_argument("-U", "--upscale", nargs="?", const=True, default=False)
+    p.add_argument("--clear", nargs="?", const=True, default=None)
+    p.add_argument("-V", dest="video_only", action="store_true")
+    p.add_argument("-I", dest="image_only", action="store_true")
+    p.add_argument("-w", dest="wait", type=str, default=None)
+    p.add_argument("-a", dest="no_antialias", action="store_true")
+    p.add_argument("-g", dest="geometry", type=str, default=None)
+    p.add_argument("-o", dest="outfile", type=str, default=None)
+    p.add_argument("-E", dest="no_hide_cursor", action="store_true")
+    p.add_argument("--compress", nargs="?", const=1, type=int, default=None)
+    p.add_argument("--threads", type=int, default=None)
+    p.add_argument("--color8", action="store_true")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("-h", dest="short_help", action="store_true")
+    p.add_argument("--help", dest="long_help", action="store_true")
+    p.add_argument("--scroll", nargs="?", const=60, type=int, default=None)
+    p.add_argument("-d", "--delta-move", type=str, default=None)
+    p.add_argument("--loops", "-c", nargs="?", const=-1, type=int,
+                   default=NOT_INITIALIZED)
+    p.add_argument("--frames", type=int, default=NOT_INITIALIZED)
+    p.add_argument("--frame-offset", type=int, default=0)
+    p.add_argument("-t", dest="duration", type=float, default=None)
+    p.add_argument("--debug-no-frame-delay", action="store_true")
+    p.add_argument("files", nargs="*")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    global interrupt_received
+    interrupt_received = False
+    argv = argv if argv is not None else sys.argv[1:]
+
+    parser = build_arg_parser()
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit:
+        return EXIT_PARAMETER_ERROR
+
+    if args.version:
+        from timg_tpu.version import print_component_versions
+        print_component_versions()
+        return EXIT_SUCCESS
+    if args.short_help or args.long_help:
+        parser.print_help()
+        return EXIT_SUCCESS
+
+    from timg_tpu import term
+
+    term.enable_query_logging(args.verbose)
+    tsize = term.determine_term_size()
+
+    display = DisplayOptions()
+    present = PresentationOptions()
+    present.terminal_use_upper_block = utils.get_bool_env("TIMG_USE_UPPER_BLOCK")
+    display.allow_frame_skipping = utils.get_bool_env("TIMG_ALLOW_FRAME_SKIP")
+
+    geometry_width = tsize.cols - 2
+    geometry_height = tsize.rows - 2
+
+    env_pix = _parse_pixelation(os.environ.get("TIMG_PIXELATION"))
+    if env_pix:
+        present.pixelation = env_pix
+
+    # ---- flag handling (ref timg.cc:521-718) ----
+    if args.geometry:
+        gw, _, gh = args.geometry.partition("x")
+        try:
+            if gw:
+                geometry_width = int(gw)
+            if gh:
+                geometry_height = int(gh)
+        except ValueError:
+            print(f"Invalid size spec '{args.geometry}'", file=sys.stderr)
+            return EXIT_PARAMETER_ERROR
+
+    if args.wait:
+        if args.wait.startswith("r"):
+            present.duration_for_row_ms = round(float(args.wait[1:]) * 1000.0)
+        else:
+            present.duration_between_images_ms = round(float(args.wait) * 1000.0)
+
+    if args.duration is not None:
+        present.duration_per_image_ms = round(args.duration * 1000.0)
+
+    if args.loops != NOT_INITIALIZED:
+        present.loops = args.loops if args.loops is not None else -1
+
+    if args.clear is not None:
+        if args.clear is True:
+            present.clear_screen = ClearScreen.BEFORE_FIRST_IMAGE
+        elif "every".startswith(str(args.clear).lower()):
+            present.clear_screen = ClearScreen.BEFORE_EACH_IMAGE
+        else:
+            print(f"Parameter for --clear can be 'every', got {args.clear}",
+                  file=sys.stderr)
+            return EXIT_PARAMETER_ERROR
+
+    frame_offset = args.frame_offset
+    max_frames = args.frames
+    display.antialias = not args.no_antialias
+    bg_color = args.bg_color
+    display.pattern_size = args.pattern_size
+    if args.scroll is not None:
+        display.scroll_animation = True
+        display.scroll_delay_ms = float(args.scroll)
+    if args.delta_move:
+        parts = args.delta_move.split(":")
+        try:
+            display.scroll_dx = int(parts[0])
+            if len(parts) > 1:
+                display.scroll_dy = int(parts[1])
+        except ValueError:
+            print(f"--delta-move={args.delta_move}: invalid", file=sys.stderr)
+            return EXIT_PARAMETER_ERROR
+    display.center_horizontally = args.center
+    if args.upscale:
+        display.upscale = True
+        if isinstance(args.upscale, str) and args.upscale.lower().startswith("i"):
+            display.upscale_integer = True
+    if args.auto_crop is not None:
+        display.auto_crop = True
+        if args.auto_crop >= 0:
+            display.crop_border = args.auto_crop
+    display.exif_rotate = args.rotate.lower() != "off"
+    if args.rotate.lower() not in ("exif", "off"):
+        print(f"--rotate={args.rotate}: expected 'exif' or 'off'",
+              file=sys.stderr)
+        return EXIT_PARAMETER_ERROR
+
+    if args.grid:
+        gw, _, gh = args.grid.partition("x")
+        try:
+            present.grid_cols = int(gw)
+            present.grid_rows = int(gh) if gh else present.grid_cols
+        except ValueError:
+            print(f"Invalid grid spec '{args.grid}'", file=sys.stderr)
+            return EXIT_PARAMETER_ERROR
+
+    if args.title is not None:
+        display.show_title = True
+        if isinstance(args.title, str):
+            display.title_format = args.title
+
+    output_fd = sys.stdout.fileno()
+    if args.outfile:
+        try:
+            output_fd = os.open(args.outfile,
+                                os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o664)
+        except OSError as e:
+            print(f"{args.outfile}: {e.strerror}", file=sys.stderr)
+            return EXIT_CANT_OPEN_OUTPUT
+
+    if args.pixelation:
+        pix = _parse_pixelation(args.pixelation)
+        if pix:
+            present.pixelation = pix
+        else:
+            print(f"Unknown --pixelation/-p parameter '{args.pixelation}'",
+                  file=sys.stderr)
+
+    if args.compress is not None:
+        level = args.compress
+        display.compress_pixel_level = level if 0 <= level <= 9 else 1
+    present.use_256_color = args.color8
+    present.hide_cursor = not args.no_hide_cursor
+
+    filelist: List[str] = []
+    for fl in args.filelist:
+        if not append_to_filelist(fl, False, filelist):
+            return EXIT_FILELIST_PROBLEM
+    for fl in args.filelist_rel:
+        if not append_to_filelist(fl, True, filelist):
+            return EXIT_FILELIST_PROBLEM
+
+    # ---- sanity sieve & refinement (ref timg.cc:726-905) ----
+    if geometry_width < 1 or geometry_height < 1:
+        if tsize.cols < 0 or tsize.rows < 0:
+            print("Failed to read size from terminal; "
+                  "Please supply -g<width>x<height> directly.", file=sys.stderr)
+        else:
+            print(f"{geometry_width}x{geometry_height} is a rather unusual size",
+                  file=sys.stderr)
+        return EXIT_NOT_A_TERMINAL
+
+    cell_size_unknown_in_pixel_mode = (
+        (tsize.font_width_px < 0 or tsize.font_height_px < 0)
+        and is_pixel_direct(present.pixelation)
+    )
+    if cell_size_unknown_in_pixel_mode:  # ref timg.cc:742-767
+        max_frames = 1
+        display.cell_x_px = 9
+        display.cell_y_px = 18
+        display.compress_pixel_level = 1
+        present.grid_cols = 1
+
+    if present.pixelation == Pixelation.NOT_CHOSEN:
+        present.pixelation = Pixelation.QUARTER_BLOCK
+        if tsize.font_width_px > 0 and tsize.font_height_px > 0:
+            from timg_tpu.term import query_supported_graphics_protocol
+            ginfo = query_supported_graphics_protocol()
+            present.tmux_workaround = ginfo.in_tmux
+            if ginfo.preferred_graphics == "iterm2":
+                present.pixelation = Pixelation.ITERM2
+            elif ginfo.preferred_graphics == "kitty":
+                present.pixelation = Pixelation.KITTY
+            elif ginfo.preferred_graphics == "sixel":
+                present.pixelation = Pixelation.SIXEL
+                present.sixel_options = ginfo.sixel
+    elif present.pixelation == Pixelation.KITTY:
+        from timg_tpu.term import query_supported_graphics_protocol
+        present.tmux_workaround = query_supported_graphics_protocol().in_tmux
+    elif present.pixelation == Pixelation.SIXEL:
+        from timg_tpu.term import query_supported_graphics_protocol
+        present.sixel_options = query_supported_graphics_protocol().sixel
+
+    if (is_pixel_direct_with_alpha(present.pixelation)
+            and bg_color.lower() == "auto"):
+        bg_color = "none"  # ref timg.cc:810-813
+    if bg_color.lower() == "none":
+        display.local_alpha_handling = False  # ref timg.cc:818-820
+
+    stretch_correct = (
+        1.0 if is_pixel_direct(present.pixelation)
+        else 0.5 * tsize.font_height_px / tsize.font_width_px
+        if tsize.font_width_px > 0 and tsize.font_height_px > 0 else 1.0
+    )
+    display.width_stretch = utils.get_float_env(
+        "TIMG_FONT_WIDTH_CORRECT", stretch_correct)
+
+    if present.pixelation == Pixelation.HALF_BLOCK:
+        display.cell_x_px, display.cell_y_px = 1, 2
+    elif present.pixelation == Pixelation.QUARTER_BLOCK:
+        display.width_stretch *= 2
+        display.cell_x_px, display.cell_y_px = 2, 2
+    else:
+        if tsize.font_width_px > 0:
+            display.cell_x_px = tsize.font_width_px
+        if tsize.font_height_px > 0:
+            display.cell_y_px = tsize.font_height_px
+    display.width = geometry_width * display.cell_x_px
+    display.height = geometry_height * display.cell_y_px
+
+    filelist.extend(args.files)
+    if not filelist:
+        print("Expected image filename(s) on command line or via -f",
+              file=sys.stderr)
+        return EXIT_IMAGE_READ_ERROR
+
+    if display.scroll_dx == 0 and display.scroll_dy == 0 and display.scroll_animation:
+        print("Scrolling chosen, but dx:dy = 0:0. "
+              "Just showing image, no scroll.", file=sys.stderr)
+        display.scroll_animation = False
+
+    if (present.clear_screen == ClearScreen.BEFORE_EACH_IMAGE
+            and (present.grid_cols != 1 or present.grid_rows != 1)):
+        present.clear_screen = ClearScreen.BEFORE_FIRST_IMAGE
+
+    display.fill_width = display.fill_width or args.fit_width or (
+        display.scroll_animation and display.scroll_dy != 0)
+    display.fill_height = (display.scroll_animation
+                           and display.scroll_dx != 0)
+
+    if max_frames == 1:
+        present.loops = 1
+    if (len(filelist) > 1 and present.loops == NOT_INITIALIZED
+            and math.isinf(present.duration_per_image_ms)):
+        present.loops = 1  # ref timg.cc:897-900
+
+    if display.show_title:  # ref timg.cc:902-905
+        display.height -= display.cell_y_px * present.grid_rows
+
+    # Background color resolution (ref timg.cc:916-935).
+    if bg_color.lower() == "auto":
+        from timg_tpu.term import query_background_color
+        pool0 = ThreadPoolExecutor(max_workers=1)
+        bg_future = pool0.submit(
+            lambda: parse_color(query_background_color()))
+        cache: dict = {}
+
+        def getter():
+            if "v" not in cache:
+                cache["v"] = bg_future.result()
+            return cache["v"]
+
+        display.bgcolor_getter = getter
+    else:
+        bg = parse_color(bg_color)
+        display.bgcolor_getter = (lambda: bg)
+
+    display.bg_pattern_color = parse_color(args.bg_pattern_color)
+
+    # Less space per picture in a grid (ref timg.cc:937-939).
+    display.width //= present.grid_cols
+    display.height //= present.grid_rows
+
+    # ---- async decode fan-out (ref timg.cc:946-968) ----
+    from timg_tpu.sources import create_source
+
+    thread_count = args.threads or _default_thread_count()
+    pool = ThreadPoolExecutor(
+        max_workers=max(1, min(thread_count, len(filelist) + 1)))
+    errors: List[str] = []
+    exit_code = EXIT_SUCCESS
+
+    def load(filename: str):
+        if interrupt_received:
+            return None
+        src, err = create_source(
+            filename, display, frame_offset, max_frames,
+            attempt_image_loading=not args.video_only,
+            attempt_video_loading=not args.image_only,
+        )
+        if src is None and err:
+            errors.append(err)
+        return src
+
+    loaded = [pool.submit(load, f) for f in filelist]
+
+    sequencer = BufferedWriteSequencer(
+        output_fd,
+        allow_frame_skipping=(display.allow_frame_skipping
+                              and is_pixel_direct(present.pixelation)),
+        max_queue_len=4,
+        debug_no_frame_delay=args.debug_no_frame_delay,
+        interrupt_flag=lambda: interrupt_received,
+    )
+
+    start_show = time.monotonic()
+    successful = _present_images(loaded, display, present, sequencer)
+    duration = time.monotonic() - start_show
+    sequencer.shutdown()
+
+    if successful == 0 or errors:
+        exit_code = EXIT_IMAGE_READ_ERROR
+    for err in errors[:4]:
+        print(err, file=sys.stderr)
+    if len(errors) > 4:
+        print(f"... total of {len(errors)} errors", file=sys.stderr)
+
+    if args.verbose:
+        _print_verbose_stats(tsize, geometry_width, geometry_height,
+                             display, present, sequencer,
+                             len(filelist), successful, duration, bg_color)
+    return exit_code
+
+
+def _present_images(loaded, display, present, sequencer) -> int:
+    """ref timg.cc:311-396."""
+    from timg_tpu.render.renderer import Renderer
+
+    canvas = _make_canvas(sequencer, display, present)
+    renderer = Renderer.create(
+        canvas, display, present.grid_cols, present.grid_rows,
+        present.duration_between_images_ms, present.duration_for_row_ms)
+
+    is_first = True
+    valid = 0
+    for future in loaded:
+        if interrupt_received:
+            break
+        source = future.result()
+        if source is None:
+            continue
+        valid += 1
+        signal.signal(signal.SIGINT, _interrupt_handler)
+        signal.signal(signal.SIGTERM, _interrupt_handler)
+        if present.hide_cursor:
+            canvas.cursor_off()
+        if (present.clear_screen == ClearScreen.BEFORE_EACH_IMAGE
+                or (present.clear_screen == ClearScreen.BEFORE_FIRST_IMAGE
+                    and is_first)):
+            canvas.clear_screen()
+        source.send_frames(
+            present.duration_per_image_ms, present.loops,
+            lambda: interrupt_received,
+            renderer.render_cb(source.format_title(display.title_format)))
+        if present.hide_cursor:
+            canvas.cursor_on()
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        renderer.maybe_wait_between_image_sources()
+        is_first = False
+    renderer.finish()
+    canvas.close()
+    sequencer.flush()
+    return valid
+
+
+def _make_canvas(sequencer, display, present):
+    from timg_tpu.render.ansi import UnicodeBlockCanvas
+
+    if present.pixelation == Pixelation.KITTY:
+        from timg_tpu.render.kitty import KittyCanvas
+        return KittyCanvas(sequencer, present.tmux_workaround, display)
+    if present.pixelation == Pixelation.ITERM2:
+        from timg_tpu.render.iterm2 import ITerm2Canvas
+        return ITerm2Canvas(sequencer, display)
+    if present.pixelation == Pixelation.SIXEL:
+        from timg_tpu.render.sixel_render import SixelCanvas
+        return SixelCanvas(sequencer, present.sixel_options, display)
+    return UnicodeBlockCanvas(
+        sequencer,
+        use_quarter=(present.pixelation == Pixelation.QUARTER_BLOCK),
+        use_upper_half_block=present.terminal_use_upper_block,
+        use_256_color=present.use_256_color,
+    )
+
+
+def _print_verbose_stats(tsize, gw, gh, display, present, sequencer,
+                         n_files, successful, duration, bg_color):
+    """ref timg.cc:1007-1104."""
+    err = sys.stderr
+    print(f"Terminal cells: {tsize.cols}x{tsize.rows}  "
+          f"cell-pixels: {tsize.font_width_px}x{tsize.font_height_px}", file=err)
+    print(f"Active Geometry: {gw}x{gh}", file=err)
+    print(f"Effective pixelation: Using {present.pixelation.value}", file=err)
+    print(f"Background color for transparency '{bg_color}'", file=err)
+    written = sequencer.bytes_total - sequencer.bytes_skipped
+    rate = utils.human_readable_byte_value(
+        written / duration if duration > 0 else 0)
+    print(f"{n_files} file{'s' if n_files != 1 else ''} "
+          f"({successful} successful); "
+          f"{utils.human_readable_byte_value(written)} written "
+          f"({rate}/s) {sequencer.frames_total} frames", file=err)
+    if n_files == 1 and sequencer.frames_total > 50 and duration > 0:
+        print(f"; {sequencer.frames_total / duration:.1f}fps", file=err)
+    for env in ("TIMG_PIXELATION", "TIMG_DEFAULT_TITLE",
+                "TIMG_ALLOW_FRAME_SKIP", "TIMG_USE_UPPER_BLOCK",
+                "TIMG_FONT_WIDTH_CORRECT", "TIMG_SIXEL_NEWLINE_WORKAROUND"):
+        value = os.environ.get(env)
+        shown = f' = "{value}"' if value else "   (not set)"
+        print(f" {env:<29s}{shown}", file=err)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

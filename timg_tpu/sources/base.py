@@ -1,0 +1,188 @@
+"""ImageSource interface, factory and helpers.
+
+Behavioral spec: ref src/image-source.{h,cc}. A source loads & scales at
+construction time (in the decode pool), then streams frames to a renderer
+sink via ``send_frames`` honoring duration/loop limits.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from timg_tpu.options import NOT_INITIALIZED, DisplayOptions
+from timg_tpu.render.sequencer import SeqType
+
+# sink(x, dy, frame, seq_type, end_of_frame_ms)
+FrameSink = Callable[[int, int, np.ndarray, SeqType, float], None]
+
+
+@dataclass
+class PreprocessedFrame:
+    """A device-processed RGBA frame ready for emission
+    (ref stb-image-source.cc:42-68)."""
+
+    frame: np.ndarray  # [H, W, 4] uint8
+    delay_ms: float = 0.0
+
+
+class ImageSource:
+    def __init__(self, filename: str):
+        self.filename = filename
+        self.frames: List[PreprocessedFrame] = []
+        self.orig_width = 0
+        self.orig_height = 0
+        self.indentation = 0
+        self.max_frames = 0
+        self.decoder_name = "image"
+
+    # -- interface --
+    def load_and_scale(self, options: DisplayOptions, frame_offset: int,
+                       frame_count: int) -> bool:
+        raise NotImplementedError
+
+    def is_animation_before_frame_limit(self) -> bool:
+        return len(self.frames) > 1
+
+    def format_title(self, fmt: str) -> str:
+        return format_from_parameters(
+            fmt, self.filename, self.orig_width, self.orig_height,
+            self.decoder_name)
+
+    def send_frames(self, duration_ms: float, loops: int,
+                    interrupt: Callable[[], bool], sink: FrameSink) -> None:
+        """Stream frames with animation timing
+        (ref stb-image-source.cc:172-207)."""
+        last_height = -1
+        is_animation = len(self.frames) > 1
+        if not is_animation:
+            loops = 1
+        loop_forever = loops < 0 or loops == NOT_INITIALIZED
+
+        time_from_first_frame = 0.0
+        is_first = True
+        k = 0
+        while ((loop_forever or k < loops) and not interrupt()
+               and time_from_first_frame < duration_ms):
+            for f in range(self.max_frames):
+                if interrupt():
+                    break
+                frame = self.frames[f]
+                time_from_first_frame += frame.delay_ms
+                dx = self.indentation
+                dy = -last_height if (is_animation and last_height > 0) else 0
+                if is_animation:
+                    seq = (SeqType.START_OF_ANIMATION if is_first
+                           else SeqType.ANIMATION_FRAME)
+                else:
+                    seq = SeqType.FRAME_IMMEDIATE
+                sink(dx, dy, frame.frame, seq,
+                     min(time_from_first_frame, duration_ms))
+                last_height = frame.frame.shape[0]
+                if time_from_first_frame > duration_ms:
+                    break
+                is_first = False
+            k += 1
+
+
+def format_from_parameters(fmt: str, filename: str, orig_width: int,
+                           orig_height: int, decoder: str) -> str:
+    """%f %b %w %h %D expansion (ref image-source.cc:272-295)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%" or i >= len(fmt) - 1:
+            out.append(ch)
+            i += 1
+            continue
+        i += 1
+        spec = fmt[i]
+        if spec == "f":
+            out.append(filename)
+        elif spec == "b":
+            out.append(os.path.basename(filename))
+        elif spec == "w":
+            out.append(str(orig_width))
+        elif spec == "h":
+            out.append(str(orig_height))
+        elif spec == "D":
+            out.append(decoder)
+        else:
+            out.append(spec)
+        i += 1
+    return "".join(out)
+
+
+def looks_like_apng(filename: str) -> bool:
+    """Scan the first KiB of PNG chunks for acTL
+    (ref image-source.cc:297-326)."""
+    if not filename.lower().endswith((".png", ".apng")):
+        return False
+    try:
+        with open(filename, "rb") as f:
+            pos = 8
+            while pos < 1024:
+                f.seek(pos)
+                buf = f.read(8)
+                if len(buf) != 8:
+                    break
+                if buf[4:8] == b"acTL":
+                    return True
+                (length,) = struct.unpack(">I", buf[:4])
+                pos += length + 12
+    except OSError:
+        return False
+    return False
+
+
+def create_source(
+    filename: str,
+    options: DisplayOptions,
+    frame_offset: int = 0,
+    frame_count: int = NOT_INITIALIZED,
+    attempt_image_loading: bool = True,
+    attempt_video_loading: bool = True,
+) -> tuple[Optional[ImageSource], str]:
+    """Factory: try sources in priority order, first success wins
+    (ref image-source.cc:155-263). Returns (source, error_message)."""
+    from timg_tpu.sources.qoi_source import QOISource
+    from timg_tpu.sources.pil_source import PILSource
+
+    candidates: list = []
+    if attempt_image_loading:
+        candidates.append(QOISource)
+        candidates.append(PILSource)
+    if attempt_video_loading:
+        try:
+            from timg_tpu.sources.video_source import VideoSource
+            candidates.append(VideoSource)
+        except Exception:  # native helper unavailable
+            pass
+
+    count = -1 if frame_count == NOT_INITIALIZED else frame_count
+    for cls in candidates:
+        try:
+            src = cls(filename)
+            if src.load_and_scale(options, frame_offset, count):
+                return src, ""
+        except Exception:
+            continue
+
+    # Diagnose (ref image-source.cc:223-243).
+    error = ""
+    if filename != "-":
+        if not os.path.exists(filename):
+            error = f"{filename}: No such file or directory"
+        elif os.path.isdir(filename):
+            error = f"{filename}: is a directory"
+        elif not os.access(filename, os.R_OK):
+            error = f"{filename}: Permission denied"
+    if not error:
+        error = f"{filename}: couldn't load"
+    return None, error

@@ -1,0 +1,185 @@
+"""Terminal introspection: size, cell geometry, protocol & color queries.
+
+Behavioral spec: ref src/term-query.{h,cc}. Queries find a real tty among
+stdout/stderr/stdin (ref term-query.cc:84-91), use TIOCGWINSZ including
+the xpixel/ypixel plausibility check with an escape-query fallback
+(ref :369-406), and detect the supported graphics protocol from
+TERM/TERM_PROGRAM hints plus a ``CSI >q`` device-attributes round trip
+(ref :226-345). Every query has a time budget.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import select
+import sys
+import termios
+import tty
+from dataclasses import dataclass, field
+from typing import Optional
+
+from timg_tpu.options import SixelOptions
+from timg_tpu.utils import get_int_env
+
+_verbose_log = False
+
+
+def enable_query_logging(on: bool) -> None:
+    global _verbose_log
+    _verbose_log = on
+
+
+@dataclass
+class TermSizeResult:
+    """ref term-query.h / term-query.cc:369-406."""
+
+    cols: int = -1
+    rows: int = -1
+    font_width_px: int = -1
+    font_height_px: int = -1
+
+
+@dataclass
+class GraphicsInfo:
+    """ref term-query.h:40-52."""
+
+    preferred_graphics: str = "none"  # none|kitty|iterm2|sixel
+    in_tmux: bool = False
+    sixel: SixelOptions = field(default_factory=SixelOptions)
+
+
+def _find_tty_fd() -> Optional[int]:
+    """First of stdout/stderr/stdin that is a tty (ref :84-91)."""
+    for fd in (sys.stdout.fileno(), sys.stderr.fileno(), sys.stdin.fileno()):
+        try:
+            if os.isatty(fd):
+                return fd
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def query_terminal(query: bytes, timeout_s: float,
+                   terminator: bytes = b"") -> bytes:
+    """Raw-mode escape-sequence round trip with deadline
+    (ref term-query.cc:77-153)."""
+    fd = _find_tty_fd()
+    if fd is None:
+        return b""
+    try:
+        old = termios.tcgetattr(fd)
+    except termios.error:
+        return b""
+    buf = b""
+    try:
+        tty.setraw(fd, termios.TCSANOW)
+        os.write(fd, query)
+        import time
+        deadline = time.monotonic() + timeout_s
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            r, _, _ = select.select([fd], [], [], remaining)
+            if not r:
+                break
+            chunk = os.read(fd, 512)
+            if not chunk:
+                break
+            buf += chunk
+            if terminator and terminator in buf:
+                break
+    finally:
+        termios.tcsetattr(fd, termios.TCSANOW, old)
+    return buf
+
+
+def determine_term_size() -> TermSizeResult:
+    """ref term-query.cc:369-406."""
+    result = TermSizeResult()
+    fd = _find_tty_fd()
+    if fd is None:
+        return result
+    try:
+        import fcntl
+        import struct
+        data = fcntl.ioctl(fd, termios.TIOCGWINSZ, b"\0" * 8)
+        rows, cols, xpixel, ypixel = struct.unpack("HHHH", data)
+    except OSError:
+        return result
+    result.cols, result.rows = cols, rows
+    if rows > 0 and cols > 0 and xpixel >= cols and ypixel >= 2 * rows:
+        # Plausible pixel values (ref :377-390).
+        result.font_width_px = xpixel // cols
+        result.font_height_px = ypixel // rows
+    else:
+        # Fallback: cell size query CSI 16t, 50ms budget (ref :347-366).
+        resp = query_terminal(b"\033[16t", 0.05, b"t")
+        m = re.search(rb"\033\[6;(\d+);(\d+)t", resp)
+        if m:
+            result.font_height_px = int(m.group(1))
+            result.font_width_px = int(m.group(2))
+    return result
+
+
+def query_background_color() -> Optional[str]:
+    """OSC 11 background query; 1.5s budget (ref term-query.cc:165-224)."""
+    resp = query_terminal(b"\033]11;?\033\\", 1.5, b"\\")
+    m = re.search(
+        rb"\033\]11;rgb:([0-9a-fA-F]+)/([0-9a-fA-F]+)/([0-9a-fA-F]+)", resp)
+    if not m:
+        return None
+
+    def scale(component: bytes) -> int:
+        value = int(component, 16)
+        bits = 4 * len(component)
+        return value * 255 // ((1 << bits) - 1)
+
+    r, g, b = (scale(m.group(i)) for i in (1, 2, 3))
+    return f"#{r:02x}{g:02x}{b:02x}"
+
+
+def query_supported_graphics_protocol() -> GraphicsInfo:
+    """Detect kitty/iterm2/sixel support (ref term-query.cc:226-345)."""
+    info = GraphicsInfo()
+    term = os.environ.get("TERM", "")
+    term_program = os.environ.get("TERM_PROGRAM", "")
+    info.in_tmux = bool(os.environ.get("TMUX")) or term.startswith(("screen", "tmux"))
+
+    # Environment-variable hints first (ref :239-260).
+    if "kitty" in term or "ghostty" in term:
+        info.preferred_graphics = "kitty"
+    elif term_program in ("iTerm.app", "WezTerm", "vscode"):
+        info.preferred_graphics = "iterm2"
+    elif term in ("mlterm", "yaft-256color", "foot", "xterm-sixel"):
+        info.preferred_graphics = "sixel"
+
+    if info.preferred_graphics == "none":
+        # CSI >q term version query + DA1 sixel capability (ref :277-343).
+        resp = query_terminal(b"\033[>q\033[5n", 0.25, b"n")
+        txt = resp.decode("latin-1", "replace")
+        low = txt.lower()
+        if "kitty" in low or "ghostty" in low:
+            info.preferred_graphics = "kitty"
+        elif "iterm2" in low or "wezterm" in low:
+            info.preferred_graphics = "iterm2"
+            if "wezterm" in low:
+                info.sixel.known_broken_cursor_placement = True
+        elif "konsole" in low or "mlterm" in low or "foot" in low:
+            info.preferred_graphics = "sixel"
+        elif "tmux" in low:
+            info.in_tmux = True
+        if "xterm" in low and info.preferred_graphics == "none":
+            da1 = query_terminal(b"\033[c", 0.25, b"c")
+            if re.search(rb";4[;c]", da1):
+                info.preferred_graphics = "sixel"
+                info.sixel.known_broken_cursor_placement = True
+
+    # Per-terminal sixel quirks and env override
+    # (TIMG_SIXEL_NEWLINE_WORKAROUND 2-bit mask, ref term-query.cc:229-231).
+    quirk = get_int_env("TIMG_SIXEL_NEWLINE_WORKAROUND", -1)
+    if quirk >= 0:
+        info.sixel.known_broken_cursor_placement = bool(quirk & 1)
+        info.sixel.full_cell_jump = bool(quirk & 2)
+    return info
