@@ -1,0 +1,199 @@
+"""Byte-parity golden tests against the reference timg binary.
+
+The reference binary (built from /root/reference with the stb/qoi minimal
+feature set) is invoked with pinned geometry and --debug-no-frame-delay;
+its escape-byte stream is compared byte-for-byte with ours.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import pytest
+
+from tests.conftest import REFERENCE_BINARY, has_reference
+from tests.corpus import build_corpus
+
+CORPUS_DIR = os.path.join(tempfile.gettempdir(), "timg_tpu_corpus")
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference binary not built")
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return build_corpus(CORPUS_DIR)
+
+
+_CLEAN_ENV = {
+    k: v for k, v in os.environ.items() if not k.startswith("TIMG_")
+}
+
+
+def run_reference(args, files):
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as tf:
+        out = tf.name
+    try:
+        subprocess.run(
+            [REFERENCE_BINARY, *args, "-o", out, *files],
+            env=_CLEAN_ENV, capture_output=True, timeout=120, check=False)
+        with open(out, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(out)
+
+
+def run_ours(args, files):
+    from timg_tpu.cli import main
+
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as tf:
+        out = tf.name
+    saved = {k: os.environ.pop(k) for k in list(os.environ)
+             if k.startswith("TIMG_")}
+    try:
+        rc = main([*args, "-o", out, *files])
+        assert rc in (0, 1), f"unexpected exit code {rc}"
+        with open(out, "rb") as f:
+            return f.read()
+    finally:
+        os.environ.update(saved)
+        os.unlink(out)
+
+
+def assert_parity(args, files):
+    ref = run_reference(args, files)
+    ours = run_ours(args, files)
+    if ref != ours:
+        # Find first divergence for a useful failure message.
+        n = next((i for i, (a, b) in enumerate(zip(ref, ours)) if a != b),
+                 min(len(ref), len(ours)))
+        ctx_r = ref[max(0, n - 50):n + 50]
+        ctx_o = ours[max(0, n - 50):n + 50]
+        pytest.fail(
+            f"escape streams differ at byte {n} "
+            f"(ref {len(ref)}B, ours {len(ours)}B)\nref: {ctx_r!r}\n"
+            f"our: {ctx_o!r}")
+
+
+BASE = ["--debug-no-frame-delay"]
+
+
+@pytest.mark.parametrize("image", [
+    "noise_64x48.png", "noise_33x27.png", "noise_512x512.png",
+    "gradient_320x200.png", "gray_50x40.png", "tiny_8x6.png",
+])
+@pytest.mark.parametrize("pix", ["-pq", "-ph"])
+def test_block_modes_bit_identical(corpus, image, pix):
+    assert_parity([*BASE, "-g40x20", pix, "-b", "black"], [corpus[image]])
+
+
+@pytest.mark.parametrize("image", ["alpha_80x100.png", "alpha_band_60x40.png"])
+@pytest.mark.parametrize("bg", ["black", "white", "#336699", "none"])
+def test_alpha_compose_parity(corpus, image, bg):
+    assert_parity([*BASE, "-g30x15", "-pq", "-b", bg], [corpus[image]])
+
+
+def test_checkerboard_pattern(corpus):
+    assert_parity(
+        [*BASE, "-g30x15", "-pq", "-b", "gray", "-B", "lightgray"],
+        [corpus["alpha_80x100.png"]])
+
+
+def test_pattern_size(corpus):
+    assert_parity(
+        [*BASE, "-g30x15", "-pq", "-b", "gray", "-B", "navy",
+         "--pattern-size=3"], [corpus["alpha_80x100.png"]])
+
+
+@pytest.mark.parametrize("pix", ["-pq", "-ph"])
+def test_color8(corpus, pix):
+    assert_parity([*BASE, "-g40x20", pix, "--color8", "-b", "black"],
+                  [corpus["gradient_320x200.png"]])
+
+
+def test_upscale(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-U", "-b", "black"],
+                  [corpus["tiny_8x6.png"]])
+
+
+def test_upscale_integer(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "--upscale=i", "-b", "black"],
+                  [corpus["tiny_8x6.png"]])
+
+
+def test_fit_width(corpus):
+    assert_parity([*BASE, "-g30x10", "-pq", "-W", "-b", "black"],
+                  [corpus["noise_64x48.png"]])
+
+
+def test_center(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-C", "-b", "black"],
+                  [corpus["noise_64x48.png"]])
+
+
+def test_geometry_partial(corpus):
+    assert_parity([*BASE, "-g20x12", "-ph", "-b", "black"],
+                  [corpus["noise_64x48.png"]])
+
+
+def test_multiple_images(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black"],
+                  [corpus["noise_64x48.png"], corpus["gradient_320x200.png"]])
+
+
+def test_grid(corpus):
+    assert_parity(
+        [*BASE, "-g60x30", "--grid=2", "-pq", "-b", "black"],
+        [corpus["noise_64x48.png"], corpus["gradient_320x200.png"],
+         corpus["gray_50x40.png"], corpus["tiny_8x6.png"]])
+
+
+def test_grid_with_titles(corpus):
+    assert_parity(
+        [*BASE, "-g60x30", "--grid=2x2", "--title", "-pq", "-b", "black"],
+        [corpus["noise_64x48.png"], corpus["gradient_320x200.png"],
+         corpus["gray_50x40.png"], corpus["tiny_8x6.png"]])
+
+
+def test_title_format(corpus):
+    assert_parity(
+        [*BASE, "-g40x20", "--title=%b %wx%h", "-pq", "-b", "black"],
+        [corpus["noise_64x48.png"]])
+
+
+def test_animation_diffing(corpus):
+    """GIF playback exercises inter-frame diff output."""
+    assert_parity(
+        [*BASE, "-g40x20", "-pq", "-b", "black", "--loops=2"],
+        [corpus["anim_32x24.gif"]])
+
+
+def test_animation_frames_limit(corpus):
+    assert_parity(
+        [*BASE, "-g40x20", "-pq", "-b", "black", "--frames=2", "--loops=1"],
+        [corpus["anim_32x24.gif"]])
+
+
+def test_half_upper_block_env(corpus):
+    ref = subprocess.run(
+        [REFERENCE_BINARY, *BASE, "-g40x20", "-ph", "-b", "black",
+         "-o", "/dev/stdout", corpus["noise_33x27.png"]],
+        env={**_CLEAN_ENV, "TIMG_USE_UPPER_BLOCK": "1"},
+        capture_output=True, timeout=60).stdout
+
+    from timg_tpu.cli import main
+    import tempfile as tf_
+    with tf_.NamedTemporaryFile(suffix=".out", delete=False) as tf:
+        out = tf.name
+    os.environ["TIMG_USE_UPPER_BLOCK"] = "1"
+    try:
+        main([*BASE, "-g40x20", "-ph", "-b", "black", "-o", out,
+              corpus["noise_33x27.png"]])
+        with open(out, "rb") as f:
+            ours = f.read()
+    finally:
+        del os.environ["TIMG_USE_UPPER_BLOCK"]
+        os.unlink(out)
+    assert ref == ours

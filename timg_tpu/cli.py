@@ -245,7 +245,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if isinstance(args.title, str):
             display.title_format = args.title
 
-    output_fd = sys.stdout.fileno()
+    try:
+        output_fd = sys.stdout.fileno()
+    except Exception:  # redirected pseudo-file (e.g. under pytest)
+        output_fd = 1
     if args.outfile:
         try:
             output_fd = os.open(args.outfile,

@@ -1,29 +1,32 @@
-"""Batched separable image resampling for TPU.
+"""Batched separable image resampling for TPU, bit-exact with the
+reference viewer's STB scaler.
 
-TPU-first design: a separable resize is two small dense matmuls
-``out = Wh @ img @ Ww^T`` over precomputed tap-weight matrices, which XLA
-maps straight onto the MXU and fuses with surrounding elementwise work.
-This replaces the reference's host-side strategy objects
-(``SWSImageScaler``/``STBImageScaler``, ref src/image-scaler.cc:45-98)
-with one batched device function.
+TPU-first design: the resample is a banded gather along each spatial axis
+— O(taps) multiply-adds on the VPU, vectorized over batch x rows x
+channels, fused by XLA with the surrounding compose/encode work. This
+replaces the reference's per-frame host scaler strategy objects
+(ref src/image-scaler.cc:45-98) with one batched device function.
 
-Tap semantics reproduce the reference's STB scaler configuration
-(ref src/image-scaler.cc:29-33: box filter upsample override, Mitchell
-downsample default; third_party/stb/stb_image_resize2.h):
+Bit-exactness contract (verified in tests/test_golden.py against the
+reference binary): every float32 rounding decision of
+third_party/stb/stb_image_resize2.h as configured by the reference
+(image-scaler.cc:29-33: BOX upsample override, Mitchell downsample,
+EDGE_CLAMP, STBIR_RGBA u8) is reproduced:
 
-* sample grid: in_center_of_out = (out + 0.5) / scale   (gather upsample),
-  out_center_of_in = (in + 0.5) * scale                 (scatter downsample);
-* downsample coefficients are kernel(x_out_space, scale) * scale;
-* rows renormalized to sum exactly 1 (double accumulation);
-* EDGE_CLAMP: out-of-range taps folded onto the edge pixels;
-* u8 pixels scaled to [0, 1] floats, "fancy alpha" weighting: both the
-  plain and the alpha-premultiplied color streams are filtered, and the
-  unweighted stream is used wherever filtered alpha underflows, so fully
-  transparent regions keep their color (stb_image_resize2.h:4081-4294);
-* encode: round(v * 255 + 0.5), clamp.
-
-sws-compatible bilinear ("triangle") is also provided for video-path
-configs (ref video-source.cc uses swscale SWS_BILINEAR).
+* tap weights: gather/scatter loops, double renorm with reciprocal
+  multiply, post-renorm float32 edge folding, rational-scale polyphase
+  replication (_resize_weights.py);
+* pipeline: u8 * (1/255) decode, "fancy alpha" 7-channel filtering of
+  plain + premultiplied streams, reciprocal un-weighting, * 255 + 0.5
+  truncating encode;
+* pass order: vertical-first vs horizontal-first decided by stb's
+  trained cost table (stb:6770-6905);
+* accumulation: vertical passes sum taps in one ascending chain
+  (stb:10036+); horizontal passes with >= 4 taps use the SSE kernels'
+  dual even/odd accumulators combined at the end (stb 7ch macros),
+  sequential chains for 1-3 taps;
+* right-edge coefficient repack shifting rows by leading zeros
+  (stbir__pack_coefficients, stb:3794-3866).
 """
 
 from __future__ import annotations
@@ -94,97 +97,254 @@ def resample_weights(
     upsample_filter: str = STB_UPSAMPLE_FILTER,
     downsample_filter: str = STB_DOWNSAMPLE_FILTER,
 ) -> np.ndarray:
-    """Dense [out_size, in_size] float32 tap matrix, rows summing to 1.
+    """Dense [out_size, in_size] float32 tap matrix (see _resize_weights)."""
+    from timg_tpu.ops._resize_weights import build_weights
 
-    Reproduces stb_image_resize2 gather coefficients with EDGE_CLAMP
-    (stb_image_resize2.h:3242-3327 upsample, :3382-3463 downsample,
-    :3466-3635 renormalize + edge fold).
-    """
     scale = np.float32(out_size) / np.float32(in_size)
-    inv_scale = np.float32(in_size) / np.float32(out_size)
     upsample = float(scale) >= (1.0 - _SMALL_FLOAT)
     kernel, support_fn = _FILTERS[upsample_filter if upsample else downsample_filter]
+    return build_weights(in_size, out_size, kernel, support_fn)
 
-    w = np.zeros((out_size, in_size), dtype=np.float64)
-    out_centers = (np.arange(out_size, dtype=np.float32) + np.float32(0.5))
 
-    if upsample:
-        # Gather: out_pixels_radius = support(inv_scale) * scale
-        # (stb:3891); in-range bounds per stbir__calculate_in_pixel_range.
-        support = np.float32(support_fn(float(inv_scale)))
-        out_radius = support * scale
-        for o in range(out_size):
-            oc = np.float32(out_centers[o])
-            in_center_of_out = oc * inv_scale
-            lo = int(math.floor(float((oc - out_radius) * inv_scale) + 0.5))
-            hi = int(math.floor(float((oc + out_radius) * inv_scale) - 0.5))
-            hi = max(hi, lo)
-            for i in range(lo, hi + 1):
-                x = np.float32(in_center_of_out) - (np.float32(i) + np.float32(0.5))
-                c = np.float32(kernel(np.float32(x), inv_scale))
-                if abs(c) < _SMALL_FLOAT:
-                    continue
-                w[o, np.clip(i, 0, in_size - 1)] += float(c)
+def _filter_pixel_width(support_fn: Callable, in_size: int, out_size: int) -> int:
+    """stbir__get_filter_pixel_width (stb:2962-2970)."""
+    scale = float(np.float32(out_size) / np.float32(in_size))
+    if scale >= 1.0 - _SMALL_FLOAT:
+        return int(math.ceil(support_fn(1.0 / scale) * 2.0))
+    return int(math.ceil(support_fn(scale) * 2.0 / scale))
+
+
+# stbir__compute_weights trained cost tables (stb:6770-6818), indexed by
+# [channel_table][classification][4]. Only the tables the viewer can hit:
+# 4-channel (index 3) and 7-channel RGBA-premult (index 4).
+_COST_WEIGHTS = {
+    4: [
+        [0.00000, 0.50000, 0.00000, 0.71875],
+        [0.06250, 0.84375, 0.00000, 0.87500],
+        [1.00000, 0.50000, 0.50000, 0.96875],
+        [1.00000, 0.09375, 0.31250, 0.50000],
+        [1.00000, 1.00000, 1.00000, 1.00000],
+        [1.00000, 0.03125, 0.03125, 0.53125],
+        [0.18750, 0.12500, 0.00000, 1.00000],
+        [0.00000, 1.00000, 0.03125, 0.18750],
+    ],
+    7: [
+        [0.00000, 0.59375, 0.00000, 0.96875],
+        [0.06250, 0.81250, 0.06250, 0.59375],
+        [0.75000, 0.43750, 0.12500, 0.96875],
+        [0.87500, 0.06250, 0.18750, 0.43750],
+        [1.00000, 1.00000, 1.00000, 1.00000],
+        [0.15625, 0.12500, 1.00000, 1.00000],
+        [0.06250, 0.12500, 0.00000, 1.00000],
+        [0.00000, 1.00000, 0.03125, 0.34375],
+    ],
+}
+
+# when downsampling and <= 32 scanlines of buffering, vertical uses gather
+_FORCE_GATHER_SCANLINES = 32  # stb:1201
+
+
+def _should_do_vertical_first(
+    channels: int,
+    h_fpw: int, h_scale: float, h_out: int,
+    v_fpw: int, v_scale: float, v_out: int,
+    v_is_gather: bool,
+) -> bool:
+    """stbir__should_do_vertical_first (stb:6859-6905)."""
+    if v_out <= 4 or h_out <= 4:
+        classification = 6 if v_out < h_out else 7
+    elif v_scale <= 1.0:
+        classification = 1 if v_is_gather else 0
+    elif v_scale <= 2.0:
+        classification = 2
+    elif v_scale <= 3.0:
+        classification = 3
+    elif v_scale <= 4.0:
+        classification = 5
     else:
-        # Scatter: iterate input pixels exactly as
-        # stbir__calculate_coefficients_for_gather_downsample (stb:3382).
-        support = np.float32(support_fn(float(scale)))
-        in_radius = support * inv_scale
-        # stb iterates input pixels beyond the edges by the filter margin;
-        # EDGE_CLAMP then folds those taps onto the edge pixels (stb:3569).
-        margin = int(math.ceil(float(support) * 2.0 / float(scale)))
-        for i in range(-margin, in_size + margin):
-            ic = np.float32(i) + np.float32(0.5)
-            out_center_of_in = ic * scale
-            out_first = int(math.floor(float((ic - in_radius) * scale) + 0.5))
-            out_last = int(math.floor(float((ic + in_radius) * scale) - 0.5))
-            out_first = max(out_first, 0)
-            out_last = min(out_last, out_size - 1)
-            for o in range(out_first, out_last + 1):
-                x = np.float32(out_centers[o]) - out_center_of_in
-                c = np.float32(kernel(np.float32(x), scale)) * scale
-                if abs(c) < _SMALL_FLOAT:
-                    continue
-                w[o, np.clip(i, 0, in_size - 1)] += float(c)
-
-    # Renormalize rows to 1 (stb does this in double, then stores float).
-    sums = w.sum(axis=1, keepdims=True)
-    sums[np.abs(sums) < _SMALL_FLOAT] = 1.0
-    w = w / sums
-    return w.astype(np.float32)
+        classification = 6
+    w = [np.float32(x) for x in _COST_WEIGHTS[channels][classification]]
+    h_cost = np.float32(h_fpw) * w[0] + np.float32(h_scale) * np.float32(v_fpw) * w[1]
+    v_cost = np.float32(v_fpw) * w[2] + np.float32(v_scale) * np.float32(h_fpw) * w[3]
+    return bool(v_cost <= h_cost)
 
 
-# --------------------------------------------------------------------------
-# Device op
-# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=256)
+def _packed_taps(in_size: int, out_size: int, upsample_filter: str,
+                 downsample_filter: str, horizontal: bool):
+    """Banded taps: (starts[out] int32, coeffs[out, widest] f32).
 
-@functools.partial(jax.jit, static_argnames=("alpha_weighted",))
-def _resize_impl(
-    frames: jax.Array,  # [B, H, W, 4] uint8
-    w_h: jax.Array,     # [H_out, H] float32
-    w_w: jax.Array,     # [W_out, W] float32
-    alpha_weighted: bool = True,
-) -> jax.Array:
+    For horizontal use the right-edge repack of stbir__pack_coefficients
+    (stb:3794-3866) is applied: rows whose reads would pass the scanline
+    end are shifted back with leading zeros.
+    """
+    w = resample_weights(in_size, out_size, upsample_filter, downsample_filter)
+    n0s = np.zeros(out_size, dtype=np.int64)
+    n1s = np.zeros(out_size, dtype=np.int64)
+    for o in range(out_size):
+        nz = np.nonzero(w[o])[0]
+        if len(nz):
+            n0s[o], n1s[o] = nz[0], nz[-1]
+    widest = max(1, int((n1s - n0s + 1).max()))
+
+    if horizontal:
+        mod = widest & 3
+        for o in range(out_size):
+            count = int(n1s[o] - n0s[o] + 1)
+            if widest > 12:
+                stop_range = ((count - mod + 3) & ~3) + mod
+                if stop_range < 8 + mod:
+                    stop_range = 8 + mod
+            else:
+                stop_range = widest
+            if n0s[o] + stop_range > in_size:
+                n0s[o] = max(0, in_size - stop_range)
+
+    starts = np.minimum(n0s, max(0, in_size - widest)).astype(np.int32)
+    coeffs = np.zeros((out_size, widest), dtype=np.float32)
+    for o in range(out_size):
+        s = int(starts[o])
+        span = w[o, s:s + widest]
+        coeffs[o, :len(span)] = span
+    return starts, coeffs
+
+
+def _apply_axis(x: jax.Array, axis: int, starts: np.ndarray,
+                coeffs: np.ndarray, horizontal: bool) -> jax.Array:
+    """1-D filter along `axis` with stb's accumulation structure.
+
+    Vertical: single ascending madd chain (stb:10036+). Horizontal with
+    >= 4 taps: dual even/odd accumulators combined at the end (SSE 7ch
+    gather kernels); 1-3 taps: single ascending chain."""
+    widest = coeffs.shape[1]
+    idx = jnp.asarray(starts)
+    cf = jnp.asarray(coeffs)
+    x_m = jnp.moveaxis(x, axis, 0)  # [in, ...]
+    cshape = (-1,) + (1,) * (x_m.ndim - 1)
+
+    def tap(t):
+        return jnp.take(x_m, idx + t, axis=0) * cf[:, t].reshape(cshape)
+
+    if horizontal and widest >= 4:
+        even = tap(0)
+        odd = tap(1)
+        for t in range(2, widest):
+            if t % 2 == 0:
+                even = even + tap(t)
+            else:
+                odd = odd + tap(t)
+        acc = even + odd
+    else:
+        acc = tap(0)
+        for t in range(1, widest):
+            acc = acc + tap(t)
+    return jnp.moveaxis(acc, 0, axis)
+
+
+class _Taps:
+    """Hashable static-arg wrapper for jit."""
+
+    def __init__(self, starts, coeffs, key):
+        self.starts, self.coeffs, self.key = starts, coeffs, key
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Taps) and self.key == other.key
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps_h", "taps_w", "vertical_first",
+                                    "alpha_weighted"))
+def _resize_impl(frames: jax.Array, *, taps_h: _Taps, taps_w: _Taps,
+                 vertical_first: bool, alpha_weighted: bool) -> jax.Array:
     x = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     if alpha_weighted:
-        # "fancy alpha": filter plain + premultiplied streams together.
         a = x[..., 3:4]
         x = jnp.concatenate([x, x[..., :3] * a], axis=-1)  # [B,H,W,7]
 
-    # Two MXU matmuls over the spatial axes.
-    x = jnp.einsum("oh,bhwc->bowc", w_h, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("ow,bhwc->bhoc", w_w, x, preferred_element_type=jnp.float32)
+    if vertical_first:
+        x = _apply_axis(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
+        x = _apply_axis(x, 2, taps_w.starts, taps_w.coeffs, horizontal=True)
+    else:
+        x = _apply_axis(x, 2, taps_w.starts, taps_w.coeffs, horizontal=True)
+        x = _apply_axis(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
 
     if alpha_weighted:
         alpha = x[..., 3:4]
         unweighted = x[..., :3]
         premult = x[..., 4:7]
-        safe = jnp.maximum(alpha, jnp.float32(_SMALL_FLOAT))
-        rgb = jnp.where(alpha < _SMALL_FLOAT, unweighted, premult / safe)
+        # un-weight by the f32 reciprocal (stb:4275-4288)
+        ialpha = jnp.float32(1.0) / jnp.maximum(alpha, jnp.float32(_SMALL_FLOAT))
+        rgb = jnp.where(alpha < _SMALL_FLOAT, unweighted, premult * ialpha)
         x = jnp.concatenate([rgb, alpha], axis=-1)
 
+    # encode: (v * 255) + 0.5, clamped, truncated (stb encode_uint8 coders).
     out = jnp.clip(x * jnp.float32(255.0) + jnp.float32(0.5), 0.0, 255.0)
     return out.astype(jnp.uint8)
+
+
+def _strict_cpu_backend() -> bool:
+    """XLA's *CPU* backend contracts mul+add into FMA inside elementwise
+    fusions (even through optimization_barrier / bitcast round-trips),
+    breaking f32 bit-parity with stb. The TPU backend does not contract
+    (verified empirically). On CPU we therefore run a numpy mirror of the
+    identical arithmetic."""
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _apply_axis_np(x: np.ndarray, axis: int, starts: np.ndarray,
+                   coeffs: np.ndarray, horizontal: bool) -> np.ndarray:
+    widest = coeffs.shape[1]
+    x_m = np.moveaxis(x, axis, 0)
+    cshape = (-1,) + (1,) * (x_m.ndim - 1)
+
+    def tap(t):
+        return x_m[np.clip(starts + t, 0, x_m.shape[0] - 1)] * \
+            coeffs[:, t].reshape(cshape)
+
+    if horizontal and widest >= 4:
+        even = tap(0)
+        odd = tap(1)
+        for t in range(2, widest):
+            if t % 2 == 0:
+                even = even + tap(t)
+            else:
+                odd = odd + tap(t)
+        acc = even + odd
+    else:
+        acc = tap(0)
+        for t in range(1, widest):
+            acc = acc + tap(t)
+    return np.moveaxis(acc, 0, axis)
+
+
+def _resize_impl_np(frames: np.ndarray, taps_h: "_Taps", taps_w: "_Taps",
+                    vertical_first: bool, alpha_weighted: bool) -> np.ndarray:
+    x = frames.astype(np.float32) * np.float32(1.0 / 255.0)
+    if alpha_weighted:
+        a = x[..., 3:4]
+        x = np.concatenate([x, x[..., :3] * a], axis=-1)
+    if vertical_first:
+        x = _apply_axis_np(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
+        x = _apply_axis_np(x, 2, taps_w.starts, taps_w.coeffs, horizontal=True)
+    else:
+        x = _apply_axis_np(x, 2, taps_w.starts, taps_w.coeffs, horizontal=True)
+        x = _apply_axis_np(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
+    if alpha_weighted:
+        alpha = x[..., 3:4]
+        unweighted = x[..., :3]
+        premult = x[..., 4:7]
+        ialpha = np.float32(1.0) / np.maximum(alpha, np.float32(_SMALL_FLOAT))
+        rgb = np.where(alpha < _SMALL_FLOAT, unweighted,
+                       (premult * ialpha).astype(np.float32))
+        x = np.concatenate([rgb, alpha], axis=-1)
+    out = np.clip(x * np.float32(255.0) + np.float32(0.5), 0.0, 255.0)
+    return out.astype(np.uint8)
 
 
 def resize_batch(
@@ -198,6 +358,35 @@ def resize_batch(
 ) -> jax.Array:
     """Resize a uint8 RGBA batch [B, H, W, 4] to [B, out_h, out_w, 4]."""
     _, in_h, in_w, _ = frames.shape
-    w_h = jnp.asarray(resample_weights(in_h, out_h, upsample_filter, downsample_filter))
-    w_w = jnp.asarray(resample_weights(in_w, out_w, upsample_filter, downsample_filter))
-    return _resize_impl(frames, w_h, w_w, alpha_weighted=alpha_weighted)
+    if (in_h, in_w) == (out_h, out_w):
+        return jnp.asarray(frames)
+
+    th = _Taps(*_packed_taps(in_h, out_h, upsample_filter, downsample_filter,
+                             horizontal=False),
+               key=("v", in_h, out_h, upsample_filter, downsample_filter))
+    tw = _Taps(*_packed_taps(in_w, out_w, upsample_filter, downsample_filter,
+                             horizontal=True),
+               key=("h", in_w, out_w, upsample_filter, downsample_filter))
+
+    def fpw(in_size, out_size):
+        scale = float(np.float32(out_size) / np.float32(in_size))
+        name = (upsample_filter if scale >= 1.0 - _SMALL_FLOAT
+                else downsample_filter)
+        return _filter_pixel_width(_FILTERS[name][1], in_size, out_size)
+
+    h_scale = float(np.float32(out_w) / np.float32(in_w))
+    v_scale = float(np.float32(out_h) / np.float32(in_h))
+    v_fpw = fpw(in_h, out_h)
+    v_is_gather = (v_scale >= 1.0 - _SMALL_FLOAT
+                   or v_fpw <= _FORCE_GATHER_SCANLINES)
+    vertical_first = _should_do_vertical_first(
+        7 if alpha_weighted else 4,
+        fpw(in_w, out_w), h_scale, out_w,
+        v_fpw, v_scale, out_h, v_is_gather)
+
+    if _strict_cpu_backend():
+        return jnp.asarray(_resize_impl_np(
+            np.asarray(frames), th, tw, vertical_first, alpha_weighted))
+    return _resize_impl(frames, taps_h=th, taps_w=tw,
+                        vertical_first=vertical_first,
+                        alpha_weighted=alpha_weighted)

@@ -51,11 +51,12 @@ class GraphicsInfo:
 
 def _find_tty_fd() -> Optional[int]:
     """First of stdout/stderr/stdin that is a tty (ref :84-91)."""
-    for fd in (sys.stdout.fileno(), sys.stderr.fileno(), sys.stdin.fileno()):
+    for stream in (sys.stdout, sys.stderr, sys.stdin):
         try:
+            fd = stream.fileno()
             if os.isatty(fd):
                 return fd
-        except (OSError, ValueError):
+        except Exception:
             continue
     return None
 
