@@ -1,0 +1,151 @@
+"""Pixel-direct protocol tests: iterm2 byte parity, kitty parity modulo
+time-based image ids, sixel structural/roundtrip checks."""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_BINARY, has_reference
+from tests.corpus import build_corpus
+from tests.test_golden import CORPUS_DIR, run_ours, _CLEAN_ENV
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return build_corpus(CORPUS_DIR)
+
+
+needs_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference binary not built")
+
+
+def _run_ref(args, files):
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as tf:
+        out = tf.name
+    try:
+        subprocess.run([REFERENCE_BINARY, *args, "-o", out, *files],
+                       env=_CLEAN_ENV, capture_output=True, timeout=120)
+        with open(out, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(out)
+
+
+@needs_reference
+@pytest.mark.parametrize("image,extra", [
+    ("noise_64x48.png", []),
+    ("gradient_320x200.png", []),
+    ("alpha_80x100.png", []),          # RGBA32 path (-b auto -> none)
+    ("noise_512x512.png", ["--compress=6"]),
+    ("noise_64x48.png", ["-b", "white"]),  # RGB24 path
+])
+def test_iterm2_bit_identical(corpus, image, extra):
+    args = ["--debug-no-frame-delay", "-g40x20", "-pi", *extra]
+    assert _run_ref(args, [corpus[image]]) == run_ours(args, [corpus[image]])
+
+
+@needs_reference
+@pytest.mark.parametrize("image", ["noise_64x48.png", "alpha_80x100.png"])
+def test_kitty_identical_modulo_id(corpus, image):
+    args = ["--debug-no-frame-delay", "-g40x20", "-pk"]
+    ref = re.sub(rb"i=\d+", b"i=ID", _run_ref(args, [corpus[image]]))
+    ours = re.sub(rb"i=\d+", b"i=ID", run_ours(args, [corpus[image]]))
+    assert ref == ours
+
+
+def test_kitty_animation_flipflop_ids():
+    """Animations must reuse two alternating ids (ref kitty-canvas.cc:157-167).
+
+    (The CLI clamps pixel modes to one frame without tty cell size, ref
+    timg.cc:742-767, so this drives the canvas directly.)"""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render.kitty import KittyCanvas
+    from timg_tpu.render.sequencer import SeqType
+
+    sent = []
+
+    class FakeSequencer:
+        def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+            sent.append(block)
+
+    opts = DisplayOptions()
+    opts.cell_x_px, opts.cell_y_px = 8, 16
+    canvas = KittyCanvas(FakeSequencer(), False, opts)
+    frame = np.zeros((16, 16, 4), dtype=np.uint8)
+    canvas.send(0, 0, frame, SeqType.START_OF_ANIMATION)
+    for _ in range(3):
+        canvas.send(0, -16, frame, SeqType.ANIMATION_FRAME)
+    ids = [int(re.search(rb"Ga=T,i=(\d+)", b).group(1)) for b in sent]
+    # ref :157-167: start uses id A (reserving A+1), frames alternate
+    # A+1, A, A+1, ...
+    assert ids == [ids[0], ids[0] + 1, ids[0], ids[0] + 1]
+
+
+def test_sixel_roundtrip():
+    from timg_tpu.ops.sixel import fs_dither, median_cut_palette
+    from timg_tpu.render.sixel_render import (decode_sixel_stream,
+                                              encode_sixel_stream)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    pal = median_cut_palette(img)
+    idx = fs_dither(img[None], pal)[0]
+    stream = encode_sixel_stream(idx, pal)
+    _, idx2, pal2 = decode_sixel_stream(stream)
+    assert np.array_equal(idx2[:24, :40], idx)
+
+
+def test_sixel_palette_few_colors():
+    from timg_tpu.ops.sixel import median_cut_palette
+
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    img[5:] = (255, 0, 0)
+    pal = median_cut_palette(img)
+    assert len(pal) == 2
+    assert {tuple(c) for c in pal} == {(0, 0, 0), (255, 0, 0)}
+
+
+def test_sixel_median_cut_dominant_colors():
+    from timg_tpu.ops.sixel import median_cut_palette, nearest_indices
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pal = median_cut_palette(img, 256)
+    assert pal.shape == (256, 3)
+    idx = np.asarray(nearest_indices(jnp.asarray(img), jnp.asarray(pal)))
+    # quantization error should be modest for 256 colors
+    err = np.abs(pal[idx].astype(int) - img.astype(int)).mean()
+    assert err < 24, err
+
+
+def test_fs_dither_device_matches_reference():
+    """Wavefront kernel == scalar reference recurrence."""
+    from timg_tpu.ops.sixel import (_fs_dither_impl, _palette_tables,
+                                    fs_dither_reference, median_cut_palette)
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (20, 31, 3), dtype=np.uint8)
+    pal = median_cut_palette(img, 64)
+    want = fs_dither_reference(img, pal)
+    pal_j, pal_sq = _palette_tables(pal)
+    got = np.asarray(_fs_dither_impl(jnp.asarray(img[None]), pal_j, pal_sq,
+                                     20, 31))[0]
+    # identical up to float tie-breaks in the distance computation
+    agree = (got == want).mean()
+    assert agree > 0.99, agree
+
+
+def test_sixel_cli_runs(corpus):
+    out = run_ours(["--debug-no-frame-delay", "-g40x20", "-ps", "-b", "black"],
+                   [corpus["noise_64x48.png"]])
+    assert out.startswith(b"\033[?25l")
+    assert b"\033P" in out and b"\033\\" in out

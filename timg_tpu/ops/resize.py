@@ -384,7 +384,7 @@ def resize_batch(
         fpw(in_w, out_w), h_scale, out_w,
         v_fpw, v_scale, out_h, v_is_gather)
 
-    if _strict_cpu_backend():
+    if _strict_cpu_backend() and not isinstance(frames, jax.core.Tracer):
         return jnp.asarray(_resize_impl_np(
             np.asarray(frames), th, tw, vertical_first, alpha_weighted))
     return _resize_impl(frames, taps_h=th, taps_w=tw,

@@ -1,0 +1,216 @@
+"""Sixel escape-stream assembly and canvas.
+
+Behavioral spec: ref src/sixel-canvas.cc. The canvas rounds the frame
+height up to a multiple of 6 with a background-composed strip
+(ref :109-120), emits per-terminal cursor-placement quirk sequences
+(ref :66-79), and paces output through the sequencer. Palette
+quantization + dithering run on device (timg_tpu.ops.sixel); this module
+turns the palette + index planes into the DCS byte stream:
+
+  ESC P 0;0;8 q " 1;1;W;H  #i;2;r%;g%;b%...  bands of 6 rows  ESC backslash
+
+with per-band per-color runs, '!' RLE, '$' carriage returns and '-' line
+feeds, matching libsixel's emitter structure (quality/feature flags per
+sixel-canvas.cc:134-148).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from timg_tpu.options import DisplayOptions, SixelOptions
+from timg_tpu.render.canvas import TerminalCanvas
+from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+CSI = b"\033["
+
+
+def _pct(v: int) -> int:
+    """0..255 -> 0..100 percent as libsixel converts palette entries."""
+    return (int(v) * 100 + 127) // 255
+
+
+def encode_sixel_stream(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """indices: [H, W] int; palette: [N, 3] uint8 -> sixel DCS payload."""
+    h, w = indices.shape
+    n = len(palette)
+    out = bytearray()
+    out += b"\033P0;0;8q"
+    out += b'"1;1;%d;%d' % (w, h)
+    for i, (r, g, b) in enumerate(palette):
+        out += b"#%d;2;%d;%d;%d" % (i, _pct(r), _pct(g), _pct(b))
+
+    n_bands = (h + 5) // 6
+    for band in range(n_bands):
+        y0 = band * 6
+        rows = indices[y0:y0 + 6]                      # [<=6, W]
+        pad = 6 - rows.shape[0]
+        if pad:
+            rows = np.concatenate(
+                [rows, np.full((pad, w), -1, rows.dtype)], axis=0)
+        colors = np.unique(rows)
+        colors = colors[colors >= 0]
+        first = True
+        for color in colors:
+            mask = (rows == color)                     # [6, W]
+            bits = (mask * (1 << np.arange(6))[:, None]).sum(axis=0)  # [W]
+            if not bits.any():
+                continue
+            if not first:
+                out += b"$"
+            first = False
+            out += b"#%d" % color
+            out += _rle_sixels(bits.astype(np.uint8))
+        if band != n_bands - 1:
+            out += b"-"
+    out += b"\033\\"
+    return bytes(out)
+
+
+def _rle_sixels(bits: np.ndarray) -> bytes:
+    """Run-length encode one color's band row: '?'+bits chars, '!n' RLE."""
+    chars = bits + 0x3F
+    out = bytearray()
+    i = 0
+    n = len(chars)
+    # find run boundaries vectorized
+    change = np.flatnonzero(np.diff(chars)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    for s, e in zip(starts, ends):
+        run = int(e - s)
+        c = int(chars[s])
+        if c == 0x3F and e == n:
+            break  # trailing empty pixels can be omitted
+        if run > 3:
+            out += b"!%d%c" % (run, c)
+        else:
+            out += bytes([c]) * run
+    return bytes(out)
+
+
+def decode_sixel_stream(data: bytes):
+    """Minimal sixel decoder for roundtrip tests. Returns (rgb [H,W,3],
+    palette)."""
+    assert data.startswith(b"\033P") and data.endswith(b"\033\\")
+    body = data[data.index(b"q") + 1:-2].decode("latin-1")
+    palette = {}
+    i = 0
+    x = y = 0
+    max_x = max_y = 0
+    cells = {}
+    cur_color = 0
+    repeat = 1
+    if body.startswith('"'):
+        # raster attributes "p1;p2;w;h
+        j = 1
+        while j < len(body) and (body[j].isdigit() or body[j] == ";"):
+            j += 1
+        i = j
+    while i < len(body):
+        ch = body[i]
+        if ch == "#":
+            j = i + 1
+            while j < len(body) and (body[j].isdigit() or body[j] == ";"):
+                j += 1
+            parts = body[i + 1:j].split(";")
+            if len(parts) >= 5:
+                idx, _, r, g, b = (int(p) for p in parts[:5])
+                palette[idx] = (r * 255 + 50) // 100, (g * 255 + 50) // 100, \
+                    (b * 255 + 50) // 100
+            else:
+                cur_color = int(parts[0])
+            i = j
+        elif ch == "!":
+            j = i + 1
+            while body[j].isdigit():
+                j += 1
+            repeat = int(body[i + 1:j])
+            i = j
+        elif ch == "$":
+            x = 0
+            i += 1
+        elif ch == "-":
+            x = 0
+            y += 6
+            i += 1
+        elif "?" <= ch <= "~":
+            bits = ord(ch) - 0x3F
+            for _ in range(repeat):
+                for k in range(6):
+                    if bits & (1 << k):
+                        cells[(y + k, x)] = cur_color
+                        max_y = max(max_y, y + k)
+                x += 1
+                max_x = max(max_x, x)
+            repeat = 1
+            i += 1
+        else:
+            i += 1
+    h, w = max_y + 1, max_x
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    idx_plane = np.full((h, w), -1, dtype=np.int32)
+    for (yy, xx), c in cells.items():
+        idx_plane[yy, xx] = c
+        rgb[yy, xx] = palette.get(c, (0, 0, 0))
+    return rgb, idx_plane, palette
+
+
+class SixelCanvas(TerminalCanvas):
+    """ref src/sixel-canvas.{h,cc}."""
+
+    def __init__(self, sequencer: BufferedWriteSequencer,
+                 sixel_options: SixelOptions, options: DisplayOptions):
+        super().__init__(sequencer)
+        self._options = options
+        self._full_cell_jump = sixel_options.full_cell_jump
+        if not sixel_options.known_broken_cursor_placement:  # ref :66-79
+            self._before = CSI + b"80h" + CSI + b"?7730h" + CSI + b"?8452l"
+            self._after = b"\r"
+        else:
+            self._before = CSI + b"80l" + CSI + b"?7730l" + CSI + b"?8452h"
+            self._after = b"\n"
+
+    def cell_height_for_pixels(self, pixels: int) -> int:
+        """ref sixel-canvas.cc:157-172."""
+        assert pixels <= 0
+        pixels = -pixels
+        rounded = _round_to_sixel(pixels)
+        cell_y = self._options.cell_y_px
+        if self._full_cell_jump:
+            return -((rounded - 6) // cell_y + 1)
+        return -((rounded + cell_y - 1) // cell_y)
+
+    def send(self, x: int, dy: int, frame: np.ndarray, seq_type: SeqType,
+             end_of_frame_ms: float = 0.0) -> None:
+        from timg_tpu.ops import sixel as sixel_op
+
+        if dy < 0:
+            self.move_cursor_dy(self.cell_height_for_pixels(dy))
+        self.move_cursor_dx(x // self._options.cell_x_px)
+
+        h, w = frame.shape[:2]
+        padded_h = _round_to_sixel(h)
+        fb = np.zeros((padded_h, w, 4), dtype=np.uint8)
+        fb[:h] = frame
+        if padded_h > h and self._options.bgcolor_getter:
+            # pad strip alpha-composed with background (ref :109-120)
+            bg = self._options.bgcolor_getter()
+            if bg[3] != 0:
+                fb[h:, :, :3] = bg[:3]
+                fb[h:, :, 3] = 255
+
+        palette = sixel_op.median_cut_palette(fb[..., :3])
+        indices = sixel_op.fs_dither(fb[None, ..., :3], palette)[0]
+
+        out = bytearray(self.consume_prefix())
+        out += self._before
+        out += encode_sixel_stream(indices, palette)
+        out += self._after
+        self._sequencer.write_buffer(bytes(out), seq_type, end_of_frame_ms)
+
+
+def _round_to_sixel(pixels: int) -> int:
+    """Round up to a multiple of 6 (ref sixel-canvas.cc:91-94)."""
+    pixels += 5
+    return pixels - pixels % 6
