@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1080p frames/sec/chip through resize -> 256-color
+FS dither -> sixel index planes (device pipeline + D2H of the compact
+index plane handed to the host byte assembler).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the driver-set north-star target of 5000
+1080p frames/s/chip (BASELINE.json; the reference publishes no numbers).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_FPS = 5000.0  # BASELINE.json north star, TPU v5e-1
+
+# Steady-state video loop config: 1080p input, typical large sixel
+# terminal canvas output.
+IN_H, IN_W = 1080, 1920
+OUT_H, OUT_W = 720, 1280
+BATCH = 32
+ITERS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timg_tpu.ops import compose as compose_op
+    from timg_tpu.ops import resize as resize_op
+    from timg_tpu.ops import sixel as sixel_op
+
+    rng = np.random.default_rng(42)
+    frames = rng.integers(0, 256, (BATCH, IN_H, IN_W, 4), dtype=np.uint8)
+    frames[..., 3] = 255
+
+    bg = jnp.asarray(np.array([0, 0, 0, 255], dtype=np.uint8))
+    pattern = jnp.asarray(np.zeros(4, dtype=np.uint8))
+
+    def pipeline(batch):
+        x = resize_op.resize_batch(batch, OUT_H, OUT_W)
+        x = compose_op.alpha_compose_background(x, bg, pattern)
+        # steady-state video config: FS dither against the fixed 6x7x6
+        # cube palette (libsixel builtin-palette class); the adaptive
+        # median-cut palette path is the still-image default.
+        idx = sixel_op._fs_dither_cube_impl(x[..., :3], OUT_H, OUT_W)
+        return idx.astype(jnp.uint8)
+
+    fn = jax.jit(pipeline)
+    dev_frames = jax.device_put(frames)
+
+    # Warmup / compile.
+    np.asarray(fn(dev_frames))
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        out = np.asarray(fn(dev_frames))  # includes D2H of index planes
+    elapsed = time.perf_counter() - start
+
+    fps = BATCH * ITERS / elapsed
+    print(json.dumps({
+        "metric": "1080p_frames_per_sec_resize_dither_sixel",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

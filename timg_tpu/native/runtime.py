@@ -1,0 +1,57 @@
+"""ctypes loader for the native runtime (builds on first use)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libtimg_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.timg_video_open.restype = ctypes.c_void_p
+    lib.timg_video_open.argtypes = [ctypes.c_char_p]
+    lib.timg_video_info.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double)]
+    lib.timg_video_read_frame.restype = ctypes.c_int
+    lib.timg_video_read_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.timg_video_rewind.restype = ctypes.c_int
+    lib.timg_video_rewind.argtypes = [ctypes.c_void_p]
+    lib.timg_video_close.argtypes = [ctypes.c_void_p]
+    lib.timg_video_version.restype = ctypes.c_char_p
+    lib.timg_ansi_emit.restype = ctypes.c_long
+    lib.timg_ansi_emit.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p]
+    _lib = lib
+    return _lib
+
+
+def describe() -> str:
+    lib = load()
+    if lib is None:
+        return "unavailable"
+    return lib.timg_video_version().decode() + "; ansi emitter"

@@ -131,64 +131,89 @@ def fs_dither_reference(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def _fs_dither_impl(frames_rgb: jax.Array, palette: jax.Array,
-                    pal_sq: jax.Array, h: int, w: int) -> jax.Array:
-    """Wavefront FS dither. frames_rgb: [B, H, W, 3] uint8.
-    Returns [B, H, W] int32 palette indices."""
+def _skew(x: jax.Array, h: int, w: int, t_len: int) -> jax.Array:
+    """S[..., y, t] = x[..., y, t - 2y] as pure layout ops (no gather):
+    pad rows to stride t_len+2, then reinterpret with stride t_len —
+    each row lands shifted by 2 relative to the previous one."""
+    lead = x.shape[:-2]  # [..., H, W]
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, t_len + 2 - w)])
+    x = x.reshape(lead + (h * (t_len + 2),))
+    x = x[..., : h * t_len]
+    return x.reshape(lead + (h, t_len))
+
+
+def _unskew(s: jax.Array, h: int, w: int, t_len: int) -> jax.Array:
+    """Inverse of _skew: out[..., y, x] = s[..., y, x + 2y]."""
+    lead = s.shape[:-2]
+    flat = s.reshape(lead + (h * t_len,))
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, 2 * h)])
+    return flat.reshape(lead + (h, t_len + 2))[..., :w]
+
+
+def _wavefront_scan(frames_rgb: jax.Array, h: int, w: int, quantize):
+    """Shared FS wavefront driver over antidiagonals t = x + 2y.
+
+    The frame is skewed (layout-only pad/reshape) so each scan step
+    consumes one ready-made column; ``quantize(v [B,H,3] f32) ->
+    (idx [B,H] i32, color [B,H,3] f32)`` is the palette search.
+    Returns [B, H, W] int32 indices."""
     b = frames_rgb.shape[0]
     n_steps = w + 2 * (h - 1)
-    x = frames_rgb.astype(jnp.float32)
 
-    # Skew: S[b, y, t] = I[b, y, t - 2y]; build via per-row roll.
-    pad = jnp.zeros((b, h, n_steps - w, 3), jnp.float32)
-    skewed = jnp.concatenate([x, pad], axis=2)           # [B,H,T,3]
-    shifts = 2 * jnp.arange(h)
-    skewed = jax.vmap(
-        lambda row, s: jnp.roll(row, s, axis=1),
-        in_axes=(1, 0), out_axes=1)(skewed, shifts)
+    # [B,3,H,W] -> skew -> [T,B,3,H] scan input (uint8, layout ops only).
+    chan_first = jnp.moveaxis(frames_rgb, -1, 1)
+    skewed = _skew(chan_first, h, w, n_steps)             # [B,3,H,T]
+    cols = jnp.transpose(skewed, (3, 0, 1, 2))            # [T,B,3,H]
 
-    valid = (
-        (jax.lax.broadcasted_iota(jnp.int32, (h, n_steps), 1)
-         - 2 * jax.lax.broadcasted_iota(jnp.int32, (h, n_steps), 0))
-    )
-    valid = jnp.logical_and(valid >= 0, valid < w)        # [H,T]
-
-    pal = palette.astype(jnp.float32)                     # [N,3]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, n_steps), 0)
+    ts = jax.lax.broadcasted_iota(jnp.int32, (h, n_steps), 1)
+    xs = ts - 2 * ys
+    valid = jnp.logical_and(xs >= 0, xs < w)              # [H,T]
 
     def step(carry, inputs):
-        # carry: error columns e1 (t-1), e2 (t-2), e3 (t-3): [B,H,3]
+        # carry: error wavefronts for t-1, t-2, t-3: [B,H,3]
         e1, e2, e3 = carry
-        col, mask = inputs                                # [B,H,3], [H]
+        col_u8, mask = inputs                             # [B,3,H], [H]
+        col = jnp.moveaxis(col_u8, 1, -1).astype(jnp.float32)  # [B,H,3]
+
         # error flowing into wavefront t:
-        #  same row   (y, x-1)   -> e1[y]      * 7/16
-        #  row above  (y-1, x+1) -> e1[y-1]    * 3/16
-        #  row above  (y-1, x)   -> e2[y-1]    * 5/16
-        #  row above  (y-1, x-1) -> e3[y-1]    * 1/16
+        #  same row   (y, x-1)   -> e1[y]   * 7/16
+        #  row above  (y-1, x+1) -> e1[y-1] * 3/16
+        #  row above  (y-1, x)   -> e2[y-1] * 5/16
+        #  row above  (y-1, x-1) -> e3[y-1] * 1/16
         up = lambda e: jnp.concatenate(
             [jnp.zeros_like(e[:, :1]), e[:, :-1]], axis=1)
         incoming = (e1 * (7.0 / 16.0) + up(e1) * (3.0 / 16.0)
                     + up(e2) * (5.0 / 16.0) + up(e3) * (1.0 / 16.0))
         v = jnp.clip(col + incoming, 0.0, 255.0)
-        dots = jnp.einsum("bhc,nc->bhn", v, pal,
-                          preferred_element_type=jnp.float32)
-        d = pal_sq - 2.0 * dots
-        idx = jnp.argmin(d, axis=-1)                      # [B,H]
-        err = v - pal[idx]
+        idx, chosen = quantize(v)                         # [B,H], [B,H,3]
+        err = v - chosen
         err = jnp.where(mask[None, :, None], err, 0.0)
-        return (err, e1, e2), (idx, v)
+        return (err, e1, e2), idx.astype(jnp.uint8)
 
     zeros = jnp.zeros((b, h, 3), jnp.float32)
-    cols = jnp.moveaxis(skewed, 2, 0)                     # [T,B,H,3]
-    (_, _, _), (idx_sk, _) = jax.lax.scan(
-        step, (zeros, zeros, zeros), (cols, valid.T))
+    _, idx_sk = jax.lax.scan(step, (zeros, zeros, zeros),
+                             (cols, jnp.transpose(valid)))
 
-    # Unskew: I_idx[b, y, x] = idx_sk[x + 2y, b, y]
-    idx_sk = jnp.moveaxis(idx_sk, 0, 2)                   # [B,H,T]
-    idx_un = jax.vmap(
-        lambda row, s: jnp.roll(row, -s, axis=1),
-        in_axes=(1, 0), out_axes=1)(idx_sk, shifts)
-    return idx_un[:, :, :w].astype(jnp.int32)
+    # idx_sk: [T,B,H] -> [B,H,T] -> unskew -> [B,H,W]
+    idx_sk = jnp.transpose(idx_sk, (1, 2, 0))
+    return _unskew(idx_sk, h, w, n_steps).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _fs_dither_impl(frames_rgb: jax.Array, palette: jax.Array,
+                    pal_sq: jax.Array, h: int, w: int) -> jax.Array:
+    """Exact-nearest wavefront FS dither. frames_rgb: [B, H, W, 3] uint8.
+    Returns [B, H, W] int32 palette indices."""
+    pal = palette.astype(jnp.float32)
+
+    def quantize(v):
+        dots = jnp.einsum("bhc,nc->bhn", v, pal,
+                          preferred_element_type=jnp.float32)
+        idx = jnp.argmin(pal_sq - 2.0 * dots, axis=-1).astype(jnp.int32)
+        return idx, pal[idx]
+
+    return _wavefront_scan(frames_rgb[..., :3], h, w, quantize)
 
 
 def fs_dither(frames_rgb, palette: np.ndarray) -> np.ndarray:
@@ -210,3 +235,99 @@ def _fs_dither_np(frames_rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     for i, frame in enumerate(frames_rgb):
         out[i] = fs_dither_reference(frame[..., :3], palette)
     return out
+
+
+# --------------------------------------------------------------------------
+# Fast path: 5-bit lookup-table nearest search inside the FS recurrence.
+# libsixel's own dither runs with a 15-bit lookup cache
+# (sixel_dither_t::cachetable, quant.c lookup_fast), so quantizing the
+# error-adjusted color to 5 bits per channel before the palette search is
+# the same fidelity class as the reference. The LUT turns the per-step
+# [rows, 256] distance matmul into a single gather.
+# --------------------------------------------------------------------------
+
+def palette_lut(palette: np.ndarray, bits: int = 5) -> np.ndarray:
+    """[2^(3*bits)] int16 nearest-palette LUT over the RGB grid."""
+    n = 1 << bits
+    centers = (np.arange(n) << (8 - bits)) | (1 << (7 - bits))
+    grid = np.stack(np.meshgrid(centers, centers, centers, indexing="ij"),
+                    axis=-1).reshape(-1, 3).astype(np.float32)
+    pal = palette.astype(np.float32)
+    # exhaustive nearest over the 32k grid (host, once per palette)
+    d = ((grid[:, None, :] - pal[None, :, :]) ** 2).sum(axis=-1)
+    return d.argmin(axis=1).astype(np.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bits"))
+def _fs_dither_lut_impl(frames_rgb: jax.Array, palette: jax.Array,
+                        lut: jax.Array, h: int, w: int,
+                        bits: int = 5) -> jax.Array:
+    """Wavefront FS dither with LUT nearest search.
+    frames_rgb: [B, H, W, 3] uint8 -> [B, H, W] int32 indices."""
+    pal = palette.astype(jnp.float32)
+    shift = 8 - bits
+
+    def quantize(v):
+        q = (v.astype(jnp.int32) >> shift)
+        key = (q[..., 0] << (2 * bits)) | (q[..., 1] << bits) | q[..., 2]
+        idx = jnp.take(lut, key, axis=0).astype(jnp.int32)
+        return idx, pal[idx]
+
+    return _wavefront_scan(frames_rgb[..., :3], h, w, quantize)
+
+
+# --------------------------------------------------------------------------
+# Cube-palette fast path: a fixed 6x7x6 RGB cube (252 colors), the same
+# class as libsixel's builtin XTERM256 palette mode. Nearest-color search
+# is pure per-channel arithmetic -- no table lookups inside the
+# recurrence, so every FS step is a handful of VPU ops. This is the
+# steady-state video configuration.
+# --------------------------------------------------------------------------
+
+_CUBE_LEVELS = (6, 7, 6)
+
+
+def cube_palette() -> np.ndarray:
+    """[252, 3] uint8 palette of the 6x7x6 cube."""
+    lr, lg, lb = _CUBE_LEVELS
+    r = np.round(np.arange(lr) * 255.0 / (lr - 1))
+    g = np.round(np.arange(lg) * 255.0 / (lg - 1))
+    b = np.round(np.arange(lb) * 255.0 / (lb - 1))
+    grid = np.stack(np.meshgrid(r, g, b, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 3).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _fs_dither_cube_impl(frames_rgb: jax.Array, h: int, w: int) -> jax.Array:
+    lr, lg, lb = _CUBE_LEVELS
+    steps = jnp.asarray([(lr - 1) / 255.0, (lg - 1) / 255.0,
+                         (lb - 1) / 255.0], jnp.float32)
+    inv_steps = jnp.asarray([255.0 / (lr - 1), 255.0 / (lg - 1),
+                             255.0 / (lb - 1)], jnp.float32)
+
+    def quantize(v):
+        q = jnp.round(v * steps)                         # [B,H,3] levels
+        chosen = jnp.round(q * inv_steps)                # palette colors
+        qi = q.astype(jnp.int32)
+        idx = (qi[..., 0] * lg + qi[..., 1]) * lb + qi[..., 2]
+        return idx, chosen
+
+    return _wavefront_scan(frames_rgb[..., :3], h, w, quantize)
+
+
+def fs_dither_cube(frames_rgb) -> jax.Array:
+    """FS dither against the fixed cube palette. Device array of indices."""
+    frames_rgb = jnp.asarray(frames_rgb)
+    _, h, w = frames_rgb.shape[:3]
+    return _fs_dither_cube_impl(frames_rgb[..., :3], h, w)
+
+
+def fs_dither_fast(frames_rgb, palette: np.ndarray,
+                   lut: np.ndarray | None = None):
+    """LUT-accelerated FS dither (device). Returns a device array."""
+    frames_rgb = jnp.asarray(frames_rgb)
+    b, h, w = frames_rgb.shape[:3]
+    if lut is None:
+        lut = palette_lut(palette)
+    return _fs_dither_lut_impl(frames_rgb[..., :3], jnp.asarray(palette),
+                               jnp.asarray(lut), h, w)

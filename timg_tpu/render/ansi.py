@@ -31,6 +31,30 @@ _END_OF_LINE = b"\033[0m\n"
 _DEC = [b"%d;" % v for v in range(256)]
 
 
+def _native_lib():
+    from timg_tpu.native import runtime
+    return runtime.load()
+
+
+def _emit_frame_native(lib, glyph, fg, bg, eq, indent: int,
+                       use_256: bool) -> bytes:
+    import ctypes
+
+    hcells, wcells = glyph.shape
+    g = np.ascontiguousarray(glyph, dtype=np.int32)
+    f = np.ascontiguousarray(fg, dtype=np.uint8)
+    b = np.ascontiguousarray(bg, dtype=np.uint8)
+    e = (np.ascontiguousarray(eq, dtype=np.uint8)
+         if eq is not None else None)
+    cap = hcells * (wcells * 48 + 24) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.timg_ansi_emit(
+        g.ctypes.data, f.ctypes.data, b.ctypes.data,
+        e.ctypes.data if e is not None else None,
+        hcells, wcells, indent, int(use_256), buf)
+    return buf.raw[:n]
+
+
 def _c_div2_trunc(a: int) -> int:
     """C integer division by 2 (truncation toward zero)."""
     q, r = divmod(abs(a), 2)
@@ -140,7 +164,18 @@ class UnicodeBlockCanvas(TerminalCanvas):
 
     # ------------------------------------------------------------------
     def _emit_frame(self, glyph, fg, bg, eq, indent: int) -> bytes:
-        """AppendDoubleRow over all rows (ref :229-321, 361-399)."""
+        """AppendDoubleRow over all rows (ref :229-321, 361-399).
+
+        Uses the native C emitter when available (same byte semantics,
+        ~100x faster for video); falls back to the Python loop below,
+        which is the reference-parity-tested implementation."""
+        native = _native_lib()
+        if native is not None:
+            return _emit_frame_native(native, glyph, fg, bg, eq, indent,
+                                      self.use_256_color)
+        return self._emit_frame_py(glyph, fg, bg, eq, indent)
+
+    def _emit_frame_py(self, glyph, fg, bg, eq, indent: int) -> bytes:
         out = bytearray()
         use_256 = self.use_256_color
         hcells, wcells = glyph.shape
