@@ -117,7 +117,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("-h", dest="short_help", action="store_true")
     p.add_argument("--help", dest="long_help", action="store_true")
-    p.add_argument("--scroll", nargs="?", const=60, type=int, default=None)
+    p.add_argument("--scroll", nargs="?", const=-1, type=int, default=None)
     p.add_argument("-d", "--delta-move", type=str, default=None)
     p.add_argument("--loops", "-c", nargs="?", const=-1, type=int,
                    default=NOT_INITIALIZED)
@@ -206,7 +206,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     display.pattern_size = args.pattern_size
     if args.scroll is not None:
         display.scroll_animation = True
-        display.scroll_delay_ms = float(args.scroll)
+        if args.scroll >= 0:  # ref timg.cc:583-588: delay only if given
+            display.scroll_delay_ms = float(args.scroll)
     if args.delta_move:
         parts = args.delta_move.split(":")
         try:

@@ -109,7 +109,18 @@ class PILSource(ImageSource):
             len(self.frames) if frame_count < 0
             else min(frame_count, len(self.frames))
         )
+        self._options = options
         return bool(self.frames)
+
+    def send_frames(self, duration_ms, loops, interrupt, sink) -> None:
+        if getattr(self, "_options", None) is not None \
+                and self._options.scroll_animation and self.frames:
+            # Scroll mode pans the first frame (ref gm-source.cc:333-341).
+            from timg_tpu.sources.scroll import send_scroll_frames
+            send_scroll_frames(self.frames[0].frame, self._options,
+                               duration_ms, loops, interrupt, sink)
+            return
+        super().send_frames(duration_ms, loops, interrupt, sink)
 
 
 def _process_frames(
