@@ -1,0 +1,207 @@
+"""Unit tests: geometry math, color parsing, utils, PNG writer, sequencer."""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import time
+import zlib
+
+import numpy as np
+import pytest
+
+from timg_tpu.colors import as_256_term_color, parse_color
+from timg_tpu.geometry import calc_scale_to_fit
+from timg_tpu.options import DisplayOptions
+from timg_tpu.utils import (get_bool_env, get_float_env, get_int_env,
+                            human_readable_byte_value)
+
+
+def _opts(**kw):
+    o = DisplayOptions()
+    o.width, o.height = kw.pop("width", 100), kw.pop("height", 60)
+    for k, v in kw.items():
+        setattr(o, k, v)
+    return o
+
+
+class TestGeometry:
+    def test_no_upscale_small_image(self):
+        # image smaller than screen, no upscale: keep size (ref :74-86)
+        assert calc_scale_to_fit(50, 30, _opts()) == (50, 30, False)
+
+    def test_quarter_width_doubling(self):
+        o = _opts(cell_x_px=2, cell_y_px=2)
+        assert calc_scale_to_fit(50, 30, o) == (100, 30, True)
+
+    def test_downscale_smaller_fraction(self):
+        # 200x120 into 100x60: fraction 0.5 both -> 100x60
+        assert calc_scale_to_fit(200, 120, _opts()) == (100, 60, True)
+
+    def test_fill_width_overflows_height(self):
+        o = _opts(fill_width=True)
+        w, h, _ = calc_scale_to_fit(200, 400, o)
+        assert w == 100 and h == 200
+
+    def test_fill_height_overflows_width(self):
+        o = _opts(fill_height=True)
+        w, h, _ = calc_scale_to_fit(400, 120, o)
+        assert h == 60 and w == 200
+
+    def test_stretch_clamped(self):
+        o = _opts(width_stretch=100.0, upscale=True)
+        w, h, _ = calc_scale_to_fit(100, 60, o)
+        # clamp to 5.0: width /= 5 -> 20 wide space; scale 0.2
+        assert (w, h) == (100, 12)
+
+    def test_block_mode_cell_floor(self):
+        o = _opts(cell_x_px=2, cell_y_px=2, upscale=True, width=99,
+                  height=59)
+        w, h, _ = calc_scale_to_fit(33, 17, o)
+        assert w % 2 == 0 and h % 2 == 0
+
+    def test_never_zero(self):
+        o = _opts(width=1, height=1)
+        assert calc_scale_to_fit(10000, 3, o)[0] >= 1
+
+    def test_upscale_integer(self):
+        o = _opts(upscale=True, upscale_integer=True, width=100, height=64)
+        w, h, _ = calc_scale_to_fit(10, 6, o)
+        # integer factor: floor(min(100/10, 64/6)) = 10 -> but height
+        # limits: floor(10.66)=10 in w, floor(10.66) in h -> 10
+        assert w % 10 == 0 and h % 6 == 0
+
+    def test_rotated_fit(self):
+        o = _opts(width_stretch=2.0)
+        normal = calc_scale_to_fit(200, 120, o)
+        rotated = calc_scale_to_fit(200, 120, o, fit_in_rotated=True)
+        assert normal != rotated
+
+
+class TestColors:
+    def test_hex(self):
+        assert parse_color("#336699") == (0x33, 0x66, 0x99, 0xFF)
+
+    def test_rgb(self):
+        assert parse_color("rgb(1, 2, 3)") == (1, 2, 3, 0xFF)
+
+    def test_rgb_hex(self):
+        assert parse_color("rgb(0xff, 0x80, 0x00)") == (255, 128, 0, 0xFF)
+
+    def test_named(self):
+        assert parse_color("red") == (255, 0, 0, 0xFF)
+        assert parse_color("MediumAquaMarine") == (0x66, 0xCD, 0xAA, 0xFF)
+
+    def test_none_and_garbage(self):
+        assert parse_color("none") == (0, 0, 0, 0)
+        assert parse_color(None) == (0, 0, 0, 0)
+        assert parse_color("notacolor!") == (0, 0, 0, 0)
+
+    def test_clamping(self):
+        assert parse_color("rgb(300, 2, 3)") == (255, 2, 3, 0xFF)
+
+    def test_256_gray_ramp(self):
+        assert as_256_term_color(0, 0, 0) == 232
+        assert as_256_term_color(255, 255, 255) == 255
+
+    def test_256_cube(self):
+        assert as_256_term_color(255, 0, 0) == 16 + 36 * 5
+        assert as_256_term_color(0, 0, 255) == 16 + 5
+
+
+class TestUtils:
+    def test_bool_env(self, monkeypatch):
+        monkeypatch.setenv("T_X", "on")
+        assert get_bool_env("T_X")
+        monkeypatch.setenv("T_X", "0")
+        assert not get_bool_env("T_X")
+        monkeypatch.setenv("T_X", "yes")
+        assert get_bool_env("T_X")
+        monkeypatch.delenv("T_X")
+        assert get_bool_env("T_X", True)
+
+    def test_float_env(self, monkeypatch):
+        monkeypatch.setenv("T_F", "1.5")
+        assert get_float_env("T_F", 0.0) == 1.5
+        monkeypatch.setenv("T_F", "xxx")
+        assert get_float_env("T_F", 2.0) == 2.0
+
+    def test_int_env(self, monkeypatch):
+        monkeypatch.setenv("T_I", "42")
+        assert get_int_env("T_I", 0) == 42
+
+    def test_human_readable(self):
+        assert human_readable_byte_value(500) == "500.0 Bytes"
+        assert "KiB" in human_readable_byte_value(100 * 1024)
+        assert "MiB" in human_readable_byte_value(100 << 20)
+        assert "GiB" in human_readable_byte_value(100 << 30)
+
+
+class TestPNG:
+    def test_roundtrip_rgb(self):
+        from PIL import Image
+
+        from timg_tpu.render.png import encode_png
+
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+        png = encode_png(frame, 1, with_alpha=False)
+        img = np.asarray(Image.open(io.BytesIO(png)))
+        assert img.shape == (20, 30, 3)
+        assert np.array_equal(img, frame[..., :3])
+
+    def test_roundtrip_rgba(self):
+        from PIL import Image
+
+        from timg_tpu.render.png import encode_png
+
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 256, (15, 25, 4), dtype=np.uint8)
+        png = encode_png(frame, 6, with_alpha=True)
+        img = np.asarray(Image.open(io.BytesIO(png)))
+        assert np.array_equal(img, frame)
+
+
+class TestSequencer:
+    def test_order_and_stats(self, tmp_path):
+        from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+        out = tmp_path / "seq.out"
+        fd = os.open(out, os.O_WRONLY | os.O_CREAT, 0o644)
+        seq = BufferedWriteSequencer(fd, debug_no_frame_delay=True)
+        for i in range(10):
+            seq.write_buffer(b"%d;" % i, SeqType.FRAME_IMMEDIATE)
+        seq.shutdown()
+        os.close(fd)
+        assert out.read_bytes() == b"".join(b"%d;" % i for i in range(10))
+        assert seq.frames_total == 10
+        assert seq.bytes_total == 20
+
+    def test_animation_pacing(self, tmp_path):
+        from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+        fd = os.open(tmp_path / "x", os.O_WRONLY | os.O_CREAT, 0o644)
+        seq = BufferedWriteSequencer(fd)
+        start = time.monotonic()
+        seq.write_buffer(b"a", SeqType.START_OF_ANIMATION, 0.0)
+        for i in range(3):
+            seq.write_buffer(b"b", SeqType.ANIMATION_FRAME, (i + 1) * 30.0)
+        seq.shutdown()
+        os.close(fd)
+        elapsed = time.monotonic() - start
+        assert elapsed >= 0.055  # at least ~2 frame delays honored
+
+    def test_control_write_after_interrupt(self, tmp_path):
+        from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+        out = tmp_path / "y"
+        fd = os.open(out, os.O_WRONLY | os.O_CREAT, 0o644)
+        seq = BufferedWriteSequencer(fd, debug_no_frame_delay=True,
+                                     interrupt_flag=lambda: True)
+        seq.write_buffer(b"frame", SeqType.FRAME_IMMEDIATE)
+        seq.write_buffer(b"ctrl", SeqType.CONTROL_WRITE)
+        seq.shutdown()
+        os.close(fd)
+        # frames discarded after interrupt; control writes still go out
+        assert out.read_bytes() == b"ctrl"
