@@ -1,0 +1,82 @@
+"""Pixel-direct protocol models (sixel / kitty / iterm2)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from timg_tpu.options import RGBA
+
+
+class _PixelModel:
+    def __init__(self, out_h: int, out_w: int,
+                 bg_color: Optional[RGBA] = (0, 0, 0, 255),
+                 compress_level: int = 1):
+        self.out_h, self.out_w = out_h, out_w
+        self.bg_color = bg_color
+        self.compress_level = compress_level
+
+    def _resized(self, frames: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from timg_tpu.ops.pipeline import resize_compose
+
+        bg = np.array(self.bg_color or (0, 0, 0, 0), dtype=np.uint8)
+        return np.asarray(resize_compose(
+            jnp.asarray(frames), self.out_h, self.out_w,
+            jnp.asarray(bg), jnp.asarray(np.zeros(4, np.uint8))))
+
+
+class SixelModel(_PixelModel):
+    def __init__(self, *args, dither: str = "adaptive", **kw):
+        super().__init__(*args, **kw)
+        self.dither = dither  # "adaptive" | "cube"
+
+    def render_batch(self, frames: np.ndarray) -> List[bytes]:
+        from timg_tpu.ops import sixel as sixel_op
+        from timg_tpu.render.sixel_render import encode_sixel_stream
+
+        x = self._resized(frames)
+        if self.dither == "cube":
+            palette = sixel_op.cube_palette()
+            indices = np.asarray(sixel_op.fs_dither_cube(x[..., :3]))
+            return [encode_sixel_stream(idx, palette) for idx in indices]
+        out = []
+        for frame in x:
+            palette = sixel_op.median_cut_palette(frame[..., :3])
+            idx = sixel_op.fs_dither(frame[None, ..., :3], palette)[0]
+            out.append(encode_sixel_stream(idx, palette))
+        return out
+
+
+class KittyModel(_PixelModel):
+    def render_batch(self, frames: np.ndarray) -> List[bytes]:
+        import base64
+
+        from timg_tpu.render.png import encode_png
+
+        out = []
+        for i, frame in enumerate(self._resized(frames)):
+            png = encode_png(frame, self.compress_level, with_alpha=True)
+            payload = bytearray(b"\033_Ga=T,i=%d,q=2,f=100,m=0;" % (i + 1))
+            payload += base64.b64encode(png)
+            payload += b"\033\\"
+            out.append(bytes(payload))
+        return out
+
+
+class ITerm2Model(_PixelModel):
+    def render_batch(self, frames: np.ndarray) -> List[bytes]:
+        import base64
+
+        from timg_tpu.render.png import encode_png
+
+        out = []
+        for frame in self._resized(frames):
+            png = encode_png(frame, self.compress_level, with_alpha=True)
+            h, w = frame.shape[:2]
+            head = b"\033]1337;File=size=%d;width=%dpx;height=%dpx;inline=1:" \
+                % (len(png), w, h)
+            out.append(head + base64.b64encode(png) + b"\007")
+        return out
