@@ -1,0 +1,181 @@
+"""Device-op tests: resize vs the stb oracle, compose math, glyph argmin
+vs a scalar model, autocrop, skew/unskew."""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+STB_ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".refbuild", "stb_oracle")
+
+
+def _stb_resize(img: np.ndarray, ow: int, oh: int) -> np.ndarray:
+    res = subprocess.run(
+        [STB_ORACLE, str(img.shape[1]), str(img.shape[0]), str(ow), str(oh)],
+        input=img.tobytes(), capture_output=True, timeout=60)
+    return np.frombuffer(res.stdout, np.uint8).reshape(oh, ow, 4)
+
+
+@pytest.mark.skipif(not os.path.exists(STB_ORACLE),
+                    reason="stb oracle not built")
+@pytest.mark.parametrize("in_wh,out_wh", [
+    ((512, 512), (80, 40)),    # rational polyphase downscale
+    ((320, 200), (80, 24)),    # vertical-first
+    ((320, 200), (80, 25)),
+    ((64, 48), (128, 48)),     # box 2x upsample
+    ((64, 48), (100, 70)),     # box non-integer upsample
+    ((33, 27), (20, 10)),      # odd sizes
+    ((1920, 1080), (160, 48)), # big downscale
+])
+def test_resize_bit_exact_vs_stb(in_wh, out_wh):
+    from timg_tpu.ops.resize import resize_batch
+
+    (iw, ih), (ow, oh) = in_wh, out_wh
+    rng = np.random.default_rng(iw * 7919 + ih)
+    img = rng.integers(0, 256, (ih, iw, 4), dtype=np.uint8)
+    want = _stb_resize(img, ow, oh)
+    got = np.asarray(resize_batch(img[None], oh, ow))[0]
+    assert np.array_equal(got, want), \
+        f"{(np.abs(got.astype(int)-want.astype(int))).max()} max diff"
+
+
+@pytest.mark.skipif(not os.path.exists(STB_ORACLE),
+                    reason="stb oracle not built")
+def test_resize_alpha_weighting_vs_stb():
+    from timg_tpu.ops.resize import resize_batch
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (60, 90, 4), dtype=np.uint8)
+    img[:20, :, 3] = 0  # fully transparent band
+    want = _stb_resize(img, 45, 30)
+    got = np.asarray(resize_batch(img[None], 30, 45))[0]
+    assert np.array_equal(got, want)
+
+
+def test_compose_scalar_model():
+    """ref framebuffer.cc:108-150 / framebuffer.h:138-174."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.compose import alpha_compose_background
+
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    bg = np.array([80, 120, 200, 255], np.uint8)
+    pat = np.array([40, 40, 40, 255], np.uint8)
+    got = np.asarray(alpha_compose_background(
+        jnp.asarray(frame[None]), jnp.asarray(bg), jnp.asarray(pat),
+        pattern_w=2, pattern_h=3))[0]
+
+    def lin(c):
+        return np.float32(c) * np.float32(c)
+
+    for y in range(10):
+        for x in range(12):
+            r, g, b, a = (int(v) for v in frame[y, x])
+            if a == 255:
+                assert tuple(got[y, x]) == (r, g, b, a)
+                continue
+            chosen = pat if ((x // 2) + (y // 3)) % 2 == 1 else bg
+            exp = []
+            for ch in range(3):
+                v = (lin(frame[y, x, ch]) * np.float32(a)
+                     + lin(chosen[ch]) * np.float32(255 - a)) / np.float32(255)
+                exp.append(min(int(np.sqrt(v)), 255))
+            assert tuple(got[y, x, :3]) == tuple(exp), (y, x)
+            assert got[y, x, 3] == 255
+
+
+def test_quarter_blocks_scalar_model():
+    """Glyph argmin == direct transcription of FindBestGlyph (ref
+    unicode-block-canvas.cc:162-227)."""
+    from timg_tpu.ops.blocks import quarter_blocks
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+    frame[..., 3] = 255
+    glyph, fg, bg = (np.asarray(p)[0] for p in quarter_blocks(frame[None]))
+
+    def lin(c):
+        return np.array([np.float32(c[0]) * c[0], np.float32(c[1]) * c[1],
+                         np.float32(c[2]) * c[2], np.float32(c[3])])
+
+    def avd(vals):
+        acc = vals[0].copy()
+        for v in vals[1:]:
+            acc = acc + v
+        avg = acc / np.float32(len(vals))
+        d = np.float32(0)
+        for v in vals:
+            dd = v[:3] - avg[:3]
+            d = d + ((dd[0] * dd[0] + dd[1] * dd[1]) + dd[2] * dd[2])
+        return avg, d
+
+    for cy in range(4):
+        for cx in range(5):
+            tl = lin(frame[cy * 2, cx * 2])
+            tr = lin(frame[cy * 2, cx * 2 + 1])
+            bl = lin(frame[cy * 2 + 1, cx * 2])
+            br = lin(frame[cy * 2 + 1, cx * 2 + 1])
+            best, best_d, chosen = None, np.float32(1e12), 0
+            cands = []
+            a4, d4 = avd([tl, tr, bl, br]); cands.append((d4, a4, a4))
+            for fgv, rest in ((tl, [tr, bl, br]), (tr, [tl, bl, br]),
+                              (bl, [tl, tr, br]), (br, [tl, tr, bl])):
+                a3, d3 = avd(rest); cands.append((d3, fgv, a3))
+            b5, d5b = avd([tr, br]); f5, d5f = avd([tl, bl])
+            cands.append((d5b + d5f, f5, b5))
+            b6, d6b = avd([tr, bl]); f6, d6f = avd([tl, br])
+            cands.append((d6b + d6f, f6, b6))
+            b7, d7b = avd([tl, tr]); f7, d7f = avd([bl, br])
+            cands.append((d7b + d7f, f7, b7))
+            for i, (d, f, b) in enumerate(cands):
+                if d < best_d:
+                    best, chosen = (f, b), (7 if i == 7 else i)
+                    if d < 1:
+                        break
+                    best_d = d
+            assert glyph[cy, cx] == chosen, (cy, cx, glyph[cy, cx], chosen)
+            exp_fg = [min(int(np.sqrt(v)), 255) for v in best[0][:3]]
+            exp_bg = [min(int(np.sqrt(v)), 255) for v in best[1][:3]]
+            assert list(fg[cy, cx][:3]) == exp_fg
+            assert list(bg[cy, cx][:3]) == exp_bg
+
+
+def test_autocrop():
+    from timg_tpu.ops.autocrop import auto_crop, trim_rect
+
+    img = np.full((30, 40, 4), 77, np.uint8)
+    img[10:20, 15:25] = (1, 2, 3, 255)
+    assert trim_rect(img) == (10, 20, 15, 25)
+    cropped = auto_crop(img)
+    assert cropped.shape == (10, 10, 4)
+    # fully uniform: keep everything
+    flat = np.full((5, 6, 4), 9, np.uint8)
+    assert auto_crop(flat).shape == (5, 6, 4)
+    # pre-crop border
+    assert auto_crop(img, crop_border=5).shape == (10, 10, 4)
+
+
+def test_skew_roundtrip():
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import _skew, _unskew
+
+    rng = np.random.default_rng(4)
+    h, w = 7, 11
+    t_len = w + 2 * (h - 1)
+    x = jnp.asarray(rng.integers(0, 256, (2, h, w), np.uint8))
+    s = _skew(x, h, w, t_len)
+    # verify S[y, x+2y] == x[y, x]
+    s_np = np.asarray(s)
+    x_np = np.asarray(x)
+    for y in range(h):
+        for xx in range(w):
+            assert s_np[0, y, xx + 2 * y] == x_np[0, y, xx]
+    back = np.asarray(_unskew(s, h, w, t_len))
+    assert np.array_equal(back, x_np)

@@ -19,27 +19,6 @@ from timg_tpu.options import DisplayOptions
 from timg_tpu.sources.base import ImageSource, PreprocessedFrame
 
 
-def _trim_rect(rgba: np.ndarray) -> tuple[int, int, int, int]:
-    """Auto-crop: rectangle without the uniform-color border.
-
-    Reference behavior: Magick::Image::trim() removes edge rows/columns
-    equal to the corner color (ref graphics-magick-source.cc:231-241).
-    Returns (y0, y1, x0, x1) slice bounds.
-    """
-    h, w = rgba.shape[:2]
-    corner = rgba[0, 0]
-    same = np.all(rgba == corner, axis=-1)  # [H, W]
-    keep_rows = ~same.all(axis=1)
-    keep_cols = ~same.all(axis=0)
-    if not keep_rows.any() or not keep_cols.any():
-        return 0, h, 0, w  # fully uniform: keep everything
-    y0 = int(np.argmax(keep_rows))
-    y1 = h - int(np.argmax(keep_rows[::-1]))
-    x0 = int(np.argmax(keep_cols))
-    x1 = w - int(np.argmax(keep_cols[::-1]))
-    return y0, y1, x0, x1
-
-
 class PILSource(ImageSource):
     def __init__(self, filename: str):
         super().__init__(filename)
@@ -77,17 +56,9 @@ class PILSource(ImageSource):
 
         # Crop: explicit border crop then auto-crop; animations keep
         # geometry stable so cropping is skipped (ref gm-source.cc:229-241).
-        if not is_animation:
-            f0 = raw_frames[0]
-            if options.crop_border > 0:
-                cb = options.crop_border
-                h, w = f0.shape[:2]
-                if h > 2 * cb and w > 2 * cb:
-                    f0 = f0[cb:h - cb, cb:w - cb]
-            if options.auto_crop:
-                y0, y1, x0, x1 = _trim_rect(f0)
-                f0 = f0[y0:y1, x0:x1]
-            raw_frames[0] = f0
+        if not is_animation and options.auto_crop:
+            from timg_tpu.ops.autocrop import auto_crop
+            raw_frames[0] = auto_crop(raw_frames[0], options.crop_border)
 
         self.orig_width = raw_frames[0].shape[1]
         self.orig_height = raw_frames[0].shape[0]
