@@ -144,7 +144,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         from timg_tpu.version import print_component_versions
         print_component_versions()
         return EXIT_SUCCESS
-    if args.short_help or args.long_help:
+    if args.long_help:
+        from timg_tpu.help import invoke_help_pager
+        return invoke_help_pager()
+    if args.short_help:
         parser.print_help()
         return EXIT_SUCCESS
 
