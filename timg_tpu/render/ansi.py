@@ -105,16 +105,24 @@ class UnicodeBlockCanvas(TerminalCanvas):
         if self.use_quarter:
             x //= 2  # character cell units (ref :334)
 
-        padded = self.pad_frame(np.ascontiguousarray(frame))
-        if self.use_quarter:
-            glyph, fg, bg = blocks_op.quarter_blocks(
-                padded[None], use_upper_half_block=self.use_upper_half_block)
+        # Sources batch whole animation windows through the device and
+        # park the planes here; fall back to a single-frame dispatch.
+        from timg_tpu.render.plane_cache import BLOCK_PLANES
+        cached = BLOCK_PLANES.pop(frame)
+        if cached is not None:
+            padded, glyph, fg, bg = cached
         else:
-            glyph, fg, bg = blocks_op.half_blocks(
-                padded[None], use_upper_half_block=self.use_upper_half_block)
-        glyph = np.asarray(glyph[0])
-        fg = np.asarray(fg[0])
-        bg = np.asarray(bg[0])
+            padded = self.pad_frame(np.ascontiguousarray(frame))
+            if self.use_quarter:
+                glyph, fg, bg = blocks_op.quarter_blocks(
+                    padded[None],
+                    use_upper_half_block=self.use_upper_half_block)
+            else:
+                glyph, fg, bg = blocks_op.half_blocks(
+                    padded[None],
+                    use_upper_half_block=self.use_upper_half_block)
+            glyph, fg, bg = (np.asarray(glyph[0]), np.asarray(fg[0]),
+                             np.asarray(bg[0]))
 
         self.send_planes(x, dy, height, padded, glyph, fg, bg,
                          seq_type, end_of_frame_ms)

@@ -1,0 +1,73 @@
+"""Bounded cache carrying device-computed planes from sources to canvases.
+
+Sources process whole animation/video windows in one device dispatch
+(resize+compose+glyph planes batched); the canvas consumes per-frame. To
+avoid threading new types through the sink contract, the planes ride in
+a small id-keyed cache: the source primes it per frame array, the canvas
+pops. Strong references to the key arrays keep ids stable; FIFO bounded.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Optional
+
+import numpy as np
+
+from timg_tpu.utils import get_bool_env
+
+_MAX = 64
+
+
+class PlaneCache:
+    def __init__(self) -> None:
+        self._entries: OrderedDict[int, tuple] = OrderedDict()
+
+    def put(self, frame: np.ndarray, value: Any) -> None:
+        self._entries[id(frame)] = (frame, value)
+        while len(self._entries) > _MAX:
+            self._entries.popitem(last=False)
+
+    def pop(self, frame: np.ndarray) -> Optional[Any]:
+        # get-semantics: animations loop over the same frame objects
+        entry = self._entries.get(id(frame))
+        return entry[1] if entry is not None else None
+
+
+BLOCK_PLANES = PlaneCache()
+
+
+def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool
+                   ) -> np.ndarray:
+    """Batched odd-height empty-line shift (ref unicode-block-canvas.cc
+    :356-365): blank row goes on top for lower-block use, bottom for
+    upper-block use."""
+    if frames.shape[1] % 2 == 0:
+        return frames
+    empty = np.zeros((frames.shape[0], 1) + frames.shape[2:], frames.dtype)
+    if not use_upper_half_block:
+        return np.concatenate([empty, frames], axis=1)
+    return np.concatenate([frames, empty], axis=1)
+
+
+def prime_block_planes(frames: list, options) -> None:
+    """If the session renders block modes (cell geometry 1x2 / 2x2),
+    precompute glyph planes for a frame window in one device dispatch and
+    park them for the canvas."""
+    if not frames or options.cell_x_px > 2 or options.cell_y_px != 2:
+        return
+    from timg_tpu.ops import blocks as blocks_op
+
+    use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK")
+    batch = pad_odd_height(np.stack(frames), use_upper)
+    if options.cell_x_px == 2:
+        if batch.shape[2] % 2:
+            return  # odd width: let the canvas handle frame-by-frame
+        glyph, fg, bg = blocks_op.quarter_blocks(
+            batch, use_upper_half_block=use_upper)
+    else:
+        glyph, fg, bg = blocks_op.half_blocks(
+            batch, use_upper_half_block=use_upper)
+    glyph, fg, bg = np.asarray(glyph), np.asarray(fg), np.asarray(bg)
+    for i, frame in enumerate(frames):
+        BLOCK_PLANES.put(frame, (batch[i], glyph[i], fg[i], bg[i]))

@@ -138,4 +138,7 @@ def _process_frames(
                 )
                 result = np.asarray(composed)
         out.extend(result)
+
+    from timg_tpu.render.plane_cache import prime_block_planes
+    prime_block_planes(out, options)
     return out

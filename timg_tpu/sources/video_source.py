@@ -112,7 +112,10 @@ class VideoSource(ImageSource):
                     pattern_w=opts.pattern_size * opts.cell_x_px,
                     pattern_h=opts.pattern_size * opts.cell_y_px // 2,
                 ))
-        return list(result)
+        frames = list(result)
+        from timg_tpu.render.plane_cache import prime_block_planes
+        prime_block_planes(frames, opts)
+        return frames
 
     def send_frames(self, duration_ms: float, loops: int,
                     interrupt: Callable[[], bool], sink: FrameSink) -> None:
