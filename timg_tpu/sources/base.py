@@ -153,10 +153,12 @@ def create_source(
     (ref image-source.cc:155-263). Returns (source, error_message)."""
     from timg_tpu.sources.qoi_source import QOISource
     from timg_tpu.sources.pil_source import PILSource
+    from timg_tpu.sources.svg_source import SVGSource
 
     candidates: list = []
     if attempt_image_loading:
         candidates.append(QOISource)
+        candidates.append(SVGSource)
         candidates.append(PILSource)
     if attempt_video_loading:
         try:
