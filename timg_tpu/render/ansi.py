@@ -109,8 +109,9 @@ class UnicodeBlockCanvas(TerminalCanvas):
         # park the planes here; fall back to a single-frame dispatch.
         from timg_tpu.render.plane_cache import BLOCK_PLANES
         cached = BLOCK_PLANES.pop(frame)
+        cached_prev = cached_eq = None
         if cached is not None:
-            padded, glyph, fg, bg = cached
+            padded, glyph, fg, bg, cached_prev, cached_eq = cached
         else:
             padded = self.pad_frame(np.ascontiguousarray(frame))
             if self.use_quarter:
@@ -125,7 +126,8 @@ class UnicodeBlockCanvas(TerminalCanvas):
                              np.asarray(bg[0]))
 
         self.send_planes(x, dy, height, padded, glyph, fg, bg,
-                         seq_type, end_of_frame_ms)
+                         seq_type, end_of_frame_ms,
+                         cached_prev=cached_prev, cached_eq=cached_eq)
 
     def send_planes(
         self,
@@ -138,6 +140,8 @@ class UnicodeBlockCanvas(TerminalCanvas):
         bg: np.ndarray,
         seq_type: SeqType,
         end_of_frame_ms: float = 0.0,
+        cached_prev: np.ndarray | None = None,
+        cached_eq: np.ndarray | None = None,
     ) -> None:
         """Assemble and enqueue the escape stream for precomputed planes."""
         emit_diff = (
@@ -147,14 +151,16 @@ class UnicodeBlockCanvas(TerminalCanvas):
             and self._prev_padded is not None
             and self._prev_padded.shape == padded.shape
         )
-        if emit_diff:
+        if not emit_diff:
+            eq = None
+        elif cached_eq is not None and cached_prev is self._prev_padded:
+            eq = cached_eq  # device-computed window diff (ops/diff.py)
+        else:
             n = 2 if self.use_quarter else 1
             hcells, wcells = glyph.shape
             cur = padded.reshape(hcells, 2, wcells, n, 4)
             prev = self._prev_padded.reshape(hcells, 2, wcells, n, 4)
             eq = np.all(cur == prev, axis=(1, 3, 4))  # [hcells, wcells]
-        else:
-            eq = None
 
         prefix = self.consume_prefix()
         body = self._emit_frame(glyph, fg, bg, eq, indent=x)

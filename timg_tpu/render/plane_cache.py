@@ -69,5 +69,16 @@ def prime_block_planes(frames: list, options) -> None:
         glyph, fg, bg = blocks_op.half_blocks(
             batch, use_upper_half_block=use_upper)
     glyph, fg, bg = np.asarray(glyph), np.asarray(fg), np.asarray(bg)
+
+    # Device diff masks between consecutive window frames (ops/diff.py);
+    # the canvas uses them when its previous frame is the window neighbor.
+    eqs = [None]
+    if len(frames) > 1:
+        from timg_tpu.ops.diff import window_cell_diff
+        eq_batch = np.asarray(window_cell_diff(batch, options.cell_x_px))
+        eqs += list(eq_batch)
+
+    prev = [None] + [batch[i] for i in range(len(frames) - 1)]
     for i, frame in enumerate(frames):
-        BLOCK_PLANES.put(frame, (batch[i], glyph[i], fg[i], bg[i]))
+        BLOCK_PLANES.put(
+            frame, (batch[i], glyph[i], fg[i], bg[i], prev[i], eqs[i]))
