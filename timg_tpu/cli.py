@@ -125,6 +125,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame-offset", type=int, default=0)
     p.add_argument("-t", dest="duration", type=float, default=None)
     p.add_argument("--debug-no-frame-delay", action="store_true")
+    # timg-tpu extension: sixel quantization strategy. "adaptive" = per
+    # frame median-cut palette (reference behavior class); "cube" =
+    # fixed 6x7x6 palette, arithmetic quantizer (fast video path).
+    p.add_argument("--dither", choices=["adaptive", "cube"],
+                   default="adaptive")
     p.add_argument("files", nargs="*")
     return p
 
@@ -274,6 +279,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         display.compress_pixel_level = level if 0 <= level <= 9 else 1
     present.use_256_color = args.color8
     present.hide_cursor = not args.no_hide_cursor
+    present.sixel_dither = args.dither
 
     filelist: List[str] = []
     for fl in args.filelist:
@@ -508,7 +514,8 @@ def _make_canvas(sequencer, display, present):
         return ITerm2Canvas(sequencer, display)
     if present.pixelation == Pixelation.SIXEL:
         from timg_tpu.render.sixel_render import SixelCanvas
-        return SixelCanvas(sequencer, present.sixel_options, display)
+        return SixelCanvas(sequencer, present.sixel_options, display,
+                           dither=present.sixel_dither)
     return UnicodeBlockCanvas(
         sequencer,
         use_quarter=(present.pixelation == Pixelation.QUARTER_BLOCK),

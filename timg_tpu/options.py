@@ -119,6 +119,7 @@ class PresentationOptions:
 
     pixelation: Pixelation = Pixelation.NOT_CHOSEN
     sixel_options: SixelOptions = field(default_factory=SixelOptions)
+    sixel_dither: str = "adaptive"  # timg-tpu extension: adaptive | cube
     tmux_workaround: bool = False
     terminal_use_upper_block: bool = False
     use_256_color: bool = False

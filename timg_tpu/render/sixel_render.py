@@ -160,9 +160,11 @@ class SixelCanvas(TerminalCanvas):
     """ref src/sixel-canvas.{h,cc}."""
 
     def __init__(self, sequencer: BufferedWriteSequencer,
-                 sixel_options: SixelOptions, options: DisplayOptions):
+                 sixel_options: SixelOptions, options: DisplayOptions,
+                 dither: str = "adaptive"):
         super().__init__(sequencer)
         self._options = options
+        self._dither = dither  # "adaptive" (median cut) | "cube" (fast)
         self._full_cell_jump = sixel_options.full_cell_jump
         if not sixel_options.known_broken_cursor_placement:  # ref :66-79
             self._before = CSI + b"80h" + CSI + b"?7730h" + CSI + b"?8452l"
@@ -200,8 +202,12 @@ class SixelCanvas(TerminalCanvas):
                 fb[h:, :, :3] = bg[:3]
                 fb[h:, :, 3] = 255
 
-        palette = sixel_op.median_cut_palette(fb[..., :3])
-        indices = sixel_op.fs_dither(fb[None, ..., :3], palette)[0]
+        if self._dither == "cube":
+            palette = sixel_op.cube_palette()
+            indices = np.asarray(sixel_op.fs_dither_cube(fb[None, ..., :3]))[0]
+        else:
+            palette = sixel_op.median_cut_palette(fb[..., :3])
+            indices = sixel_op.fs_dither(fb[None, ..., :3], palette)[0]
 
         out = bytearray(self.consume_prefix())
         out += self._before
