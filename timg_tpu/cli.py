@@ -442,10 +442,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         interrupt_flag=lambda: interrupt_received,
     )
 
+    # Kernel-level tracing hook (SURVEY §5: add JAX profiler hooks for
+    # kernel timing on top of the reference's byte/frame counters).
+    profile_dir = os.environ.get("TIMG_TPU_PROFILE")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     start_show = time.monotonic()
     successful = _present_images(loaded, display, present, sequencer)
     duration = time.monotonic() - start_show
     sequencer.shutdown()
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"JAX profile written to {profile_dir}", file=sys.stderr)
 
     if successful == 0 or errors:
         exit_code = EXIT_IMAGE_READ_ERROR

@@ -185,6 +185,16 @@ def create_source(
             error = f"{filename}: is a directory"
         elif not os.access(filename, os.R_OK):
             error = f"{filename}: Permission denied"
+    if not error and (filename == "-" or filename == "/dev/stdin"):
+        # ref image-source.cc:239-243
+        error = "If this is a video on stdin, use '-V' to skip image probing"
+    if not error:
+        from timg_tpu.native import runtime
+        if runtime.load() is None and filename.lower().endswith(
+                (".mov", ".mp4", ".mkv", ".avi", ".wmv", ".webm")):
+            # ref image-source.cc:245-260
+            error = (f"{filename}: looks like a video file, but the native "
+                     "video helper is not built (make -C timg_tpu/native)")
     if not error:
         error = f"{filename}: couldn't load"
     return None, error
