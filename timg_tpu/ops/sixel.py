@@ -39,33 +39,41 @@ _LUM = np.array([0.2989, 0.5866, 0.1145], dtype=np.float64)
 # Palette construction (host)
 # --------------------------------------------------------------------------
 
+_SAMPLE_LIMIT = 1 << 18  # like libsixel's quality-based sampling
+
+
 def median_cut_palette(pixels: np.ndarray, n_colors: int = 256) -> np.ndarray:
     """Build an [n, 3] uint8 palette from [..., 3] uint8 pixels."""
     flat = pixels.reshape(-1, 3)
-    colors, counts = np.unique(
-        flat.view([("", "u1"), ("", "u1"), ("", "u1")]).reshape(-1),
-        return_counts=True)
-    colors = colors.view(np.uint8).reshape(-1, 3).astype(np.int64)
+    if len(flat) > _SAMPLE_LIMIT:
+        # deterministic stride sampling (libsixel samples large inputs
+        # under SIXEL_QUALITY_AUTO as well)
+        stride = int(np.ceil(len(flat) / _SAMPLE_LIMIT))
+        flat = flat[::stride]
+
+    packed = (flat[:, 0].astype(np.int64) << 16 |
+              flat[:, 1].astype(np.int64) << 8 | flat[:, 2])
+    keys, counts = np.unique(packed, return_counts=True)
+    colors = np.stack([(keys >> 16) & 0xFF, (keys >> 8) & 0xFF,
+                       keys & 0xFF], axis=1)
 
     if len(colors) <= n_colors:
         pal = np.zeros((max(len(colors), 1), 3), dtype=np.uint8)
         pal[: len(colors)] = colors
         return pal
 
-    # box: (indices into colors,)
-    boxes = [np.arange(len(colors))]
+    # boxes: list of (index array, pixel total); totals kept incrementally
+    boxes = [(np.arange(len(colors)), int(counts.sum()))]
     while len(boxes) < n_colors:
-        # split the box with the most pixels (sum of counts)
-        sums = [counts[b].sum() for b in boxes]
-        order = int(np.argmax(sums))
-        box = boxes[order]
-        if len(box) == 1:
-            # largest box unsplittable: pick largest splittable
-            splittable = [i for i, b in enumerate(boxes) if len(b) > 1]
-            if not splittable:
-                break
-            order = max(splittable, key=lambda i: counts[boxes[i]].sum())
-            box = boxes[order]
+        # split the splittable box with the most pixels
+        order = -1
+        best_total = -1
+        for i, (b, total) in enumerate(boxes):
+            if len(b) > 1 and total > best_total:
+                order, best_total = i, total
+        if order < 0:
+            break
+        box, _ = boxes[order]
 
         # LARGE_LUM: dimension with largest luminosity-weighted spread
         spreads = (colors[box].max(axis=0) - colors[box].min(axis=0)) * _LUM
@@ -77,11 +85,12 @@ def median_cut_palette(pixels: np.ndarray, n_colors: int = 256) -> np.ndarray:
         half = csum[-1] / 2.0
         cut = int(np.searchsorted(csum, half)) + 1
         cut = min(max(cut, 1), len(srt) - 1)
-        boxes[order] = srt[:cut]
-        boxes.append(srt[cut:])
+        left_total = int(csum[cut - 1])
+        boxes[order] = (srt[:cut], left_total)
+        boxes.append((srt[cut:], int(csum[-1]) - left_total))
 
     pal = np.zeros((n_colors, 3), dtype=np.uint8)
-    for i, box in enumerate(boxes):
+    for i, (box, _) in enumerate(boxes):
         # REP_AVERAGE_COLORS: unweighted mean of distinct colors
         pal[i] = (colors[box].sum(axis=0) / len(box) + 0.5).astype(np.uint8)
     return pal[: len(boxes)]

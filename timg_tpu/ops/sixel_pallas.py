@@ -53,7 +53,7 @@ def _kernel(cols_ref, valid_ref, out_ref, err_ref):
         return jnp.where(lane == 0, jnp.float32(0.0), rolled)
 
     for k in range(_K):
-        mask = valid_ref[k] != 0                       # [Hp]
+        mask = valid_ref[k] != 0                       # [1, Hp]
         idx = None
         new_err = []
         olds = []
@@ -72,8 +72,7 @@ def _kernel(cols_ref, valid_ref, out_ref, err_ref):
             v = jnp.clip(col + incoming, 0.0, 255.0)
             q = jnp.round(v * scale)
             chosen = jnp.round(q * inv_scale)
-            new_err.append(jnp.where(mask[None, :], v - chosen,
-                                     jnp.float32(0.0)))
+            new_err.append(jnp.where(mask, v - chosen, jnp.float32(0.0)))
             qi = q.astype(jnp.int32)
             idx = qi if idx is None else idx * n + qi
         out_ref[k] = idx.astype(jnp.uint8)
@@ -105,6 +104,7 @@ def fs_dither_cube_pallas(frames_rgb: jax.Array, h: int, w: int) -> jax.Array:
     xs = ts - 2 * ys
     valid = jnp.logical_and(
         jnp.logical_and(xs >= 0, xs < w), ys < h).astype(jnp.uint8)
+    valid = valid[:, None, :]  # [T, 1, Hp]: keep refs 2-D inside Mosaic
 
     grid = (t_len // _K,)
     idx_sk = pl.pallas_call(
@@ -113,7 +113,7 @@ def fs_dither_cube_pallas(frames_rgb: jax.Array, h: int, w: int) -> jax.Array:
         in_specs=[
             pl.BlockSpec((_K, 3, b, hp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, hp), lambda i: (i, 0),
+            pl.BlockSpec((_K, 1, hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_K, b, hp), lambda i: (i, 0, 0),
