@@ -517,12 +517,17 @@ def _present_images(loaded, display, present, sequencer) -> int:
 def _make_canvas(sequencer, display, present):
     from timg_tpu.render.ansi import UnicodeBlockCanvas
 
+    def compression_pool():
+        # pool sized queue_len + 1, like the reference (timg.cc:321-336)
+        return ThreadPoolExecutor(max_workers=sequencer.max_queue_len + 1)
+
     if present.pixelation == Pixelation.KITTY:
         from timg_tpu.render.kitty import KittyCanvas
-        return KittyCanvas(sequencer, present.tmux_workaround, display)
+        return KittyCanvas(sequencer, present.tmux_workaround, display,
+                           executor=compression_pool())
     if present.pixelation == Pixelation.ITERM2:
         from timg_tpu.render.iterm2 import ITerm2Canvas
-        return ITerm2Canvas(sequencer, display)
+        return ITerm2Canvas(sequencer, display, executor=compression_pool())
     if present.pixelation == Pixelation.SIXEL:
         from timg_tpu.render.sixel_render import SixelCanvas
         return SixelCanvas(sequencer, present.sixel_options, display,

@@ -17,9 +17,11 @@ from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
 
 class ITerm2Canvas(TerminalCanvas):
     def __init__(self, sequencer: BufferedWriteSequencer,
-                 options: DisplayOptions):
+                 options: DisplayOptions, executor=None):
         super().__init__(sequencer)
         self._options = options
+        # async encode pattern (ref iterm2-canvas.cc:55-77)
+        self._executor = executor
 
     def cell_height_for_pixels(self, pixels: int) -> int:
         """ref iterm2-canvas.cc:92-96."""
@@ -35,11 +37,20 @@ class ITerm2Canvas(TerminalCanvas):
         self.move_cursor_dx(x // opts.cell_x_px)
 
         h, w = frame.shape[:2]
-        png = encode_png(frame, opts.compress_pixel_level,
-                         with_alpha=not opts.local_alpha_handling)
-        out = bytearray(self.consume_prefix())
-        out += b"\033]1337;File=size=%d;width=%dpx;height=%dpx;inline=1:" % (
-            len(png), w, h)
-        out += base64.b64encode(png)
-        out += b"\007\n"
-        self._sequencer.write_buffer(bytes(out), seq_type, end_of_frame_ms)
+        prefix = self.consume_prefix()
+
+        def encode() -> bytes:
+            png = encode_png(frame, opts.compress_pixel_level,
+                             with_alpha=not opts.local_alpha_handling)
+            out = bytearray(prefix)
+            out += b"\033]1337;File=size=%d;width=%dpx;height=%dpx;" \
+                b"inline=1:" % (len(png), w, h)
+            out += base64.b64encode(png)
+            out += b"\007\n"
+            return bytes(out)
+
+        if self._executor is not None:
+            self._sequencer.write_buffer(self._executor.submit(encode),
+                                         seq_type, end_of_frame_ms)
+        else:
+            self._sequencer.write_buffer(encode(), seq_type, end_of_frame_ms)

@@ -124,12 +124,16 @@ class KittyCanvas(TerminalCanvas):
     """ref src/kitty-canvas.{h,cc}."""
 
     def __init__(self, sequencer: BufferedWriteSequencer,
-                 tmux_passthrough_needed: bool, options: DisplayOptions):
+                 tmux_passthrough_needed: bool, options: DisplayOptions,
+                 executor=None):
         super().__init__(sequencer)
         self._options = options
         self._tmux = tmux_passthrough_needed
         self._animation_id = 0
         self._flip_buffer = 0
+        # Compression pool: encode runs async, future handed to the
+        # sequencer (ref kitty-canvas.cc:178-235, timg.cc:321-336).
+        self._executor = executor
         if tmux_passthrough_needed:
             _enable_tmux_passthrough()
 
@@ -164,11 +168,24 @@ class KittyCanvas(TerminalCanvas):
         rows = -self.cell_height_for_pixels(-h)
         indent = x // opts.cell_x_px
         wrap = self._tmux
+        prefix = self.consume_prefix()
 
-        png = encode_png(frame, opts.compress_pixel_level,
-                         with_alpha=not opts.local_alpha_handling)
+        def encode() -> bytes:
+            png = encode_png(frame, opts.compress_pixel_level,
+                             with_alpha=not opts.local_alpha_handling)
+            return self._frame_payload(prefix, png, image_id, wrap,
+                                       indent, rows, cols)
 
-        out = bytearray(self.consume_prefix())
+        if self._executor is not None:
+            self._sequencer.write_buffer(self._executor.submit(encode),
+                                         seq_type, end_of_frame_ms)
+        else:
+            self._sequencer.write_buffer(encode(), seq_type, end_of_frame_ms)
+
+    def _frame_payload(self, prefix: bytes, png: bytes, image_id: int,
+                       wrap: bool, indent: int, rows: int,
+                       cols: int) -> bytes:
+        out = bytearray(prefix)
 
         def esc(c: bytes) -> bytes:
             return (b"\033\033" if wrap else b"\033") + c
@@ -200,4 +217,4 @@ class KittyCanvas(TerminalCanvas):
             out += _placeholder_tiles(image_id, indent, rows, cols)
         else:
             out += b"\n"
-        self._sequencer.write_buffer(bytes(out), seq_type, end_of_frame_ms)
+        return bytes(out)
