@@ -547,8 +547,29 @@ def _print_verbose_stats(tsize, gw, gh, display, present, sequencer,
     print(f"Terminal cells: {tsize.cols}x{tsize.rows}  "
           f"cell-pixels: {tsize.font_width_px}x{tsize.font_height_px}", file=err)
     print(f"Active Geometry: {gw}x{gh}", file=err)
-    print(f"Effective pixelation: Using {present.pixelation.value}", file=err)
+    pix_extra = ""
+    if present.pixelation == Pixelation.SIXEL:
+        so = present.sixel_options
+        pix_extra = (" (%s and %s)" % (
+            "with cursor placement workaround"
+            if so.known_broken_cursor_placement
+            else "with default cursor placement",
+            "full cursor cell jump" if so.full_cell_jump
+            else "default cursor cell jump"))
+    elif present.pixelation == Pixelation.KITTY and present.tmux_workaround:
+        pix_extra = " (with tmux workaround)"
+    print(f"Effective pixelation: Using {present.pixelation.value}"
+          f"{pix_extra}.", file=err)
     print(f"Background color for transparency '{bg_color}'", file=err)
+    if display.bg_pattern_color[3] == 0xFF:
+        c = display.bg_pattern_color
+        print(f"\t-> Checker pattern color RGB "
+              f"#{c[0]:02x}{c[1]:02x}{c[2]:02x}", file=err)
+    if display.local_alpha_handling:
+        print("Alpha-channel merging with background color done by timg.",
+              file=err)
+    else:
+        print("Alpha-channel handled by terminal.", file=err)
     written = sequencer.bytes_total - sequencer.bytes_skipped
     rate = utils.human_readable_byte_value(
         written / duration if duration > 0 else 0)

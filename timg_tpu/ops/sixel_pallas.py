@@ -64,12 +64,15 @@ def _make_kernel(b: int, hp: int):
             rolled = pltpu.roll(e, shift=1, axis=1)
             return jnp.where(lane == 0, jnp.float32(0.0), rolled)
 
+        # Carries stay SSA values across the unrolled column loop;
+        # scratch is only touched at block entry/exit (per-column scratch
+        # rotation would copy 3x the wavefront per column).
+        e1 = err_ref[0]
+        e2 = err_ref[1]
+        e3 = err_ref[2]
         for k in range(_K):
             mask = valid_ref[k] != 0                        # [1, Hp]
             col = cols_ref[k].astype(jnp.int32).astype(jnp.float32)
-            e1 = err_ref[0]
-            e2 = err_ref[1]
-            e3 = err_ref[2]
             incoming = (e1 * (7.0 / 16.0) + up(e1) * (3.0 / 16.0)
                         + up(e2) * (5.0 / 16.0) + up(e3) * (1.0 / 16.0))
             v = jnp.clip(col + incoming, 0.0, 255.0)
@@ -79,9 +82,10 @@ def _make_kernel(b: int, hp: int):
             qi = q.astype(jnp.int32)
             idx = (qi[0:b] * lg + qi[b:2 * b]) * lb + qi[2 * b:3 * b]
             out_ref[k] = idx.astype(jnp.uint8)              # [B, Hp]
-            err_ref[2] = e2
-            err_ref[1] = e1
-            err_ref[0] = err
+            e1, e2, e3 = err, e1, e2
+        err_ref[0] = e1
+        err_ref[1] = e2
+        err_ref[2] = e3
 
     return kernel
 
