@@ -179,3 +179,19 @@ def test_skew_roundtrip():
             assert s_np[0, y, xx + 2 * y] == x_np[0, y, xx]
     back = np.asarray(_unskew(s, h, w, t_len))
     assert np.array_equal(back, x_np)
+
+
+def test_pallas_fs_kernel_interpret_matches_scan():
+    """The Pallas FS kernel (interpret mode on CPU) must match the
+    lax.scan cube-dither formulation bit-for-bit."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import fs_dither_cube
+    from timg_tpu.ops.sixel_pallas import fs_dither_cube_pallas
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (2, 18, 25, 3), dtype=np.uint8)
+    want = np.asarray(fs_dither_cube(img))
+    got = np.asarray(fs_dither_cube_pallas(jnp.asarray(img), 18, 25,
+                                           interpret=True))
+    assert np.array_equal(got, want)

@@ -90,8 +90,9 @@ def _make_kernel(b: int, hp: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def fs_dither_cube_pallas(frames_rgb: jax.Array, h: int, w: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def fs_dither_cube_pallas(frames_rgb: jax.Array, h: int, w: int,
+                          interpret: bool = False) -> jax.Array:
     """[B, H, W, >=3] uint8 -> [B, H, W] int32 cube-palette FS indices.
 
     Bit-identical with the lax.scan formulation (ops/sixel.py
@@ -132,6 +133,7 @@ def fs_dither_cube_pallas(frames_rgb: jax.Array, h: int, w: int) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_len, b, hp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((3, 3 * b, hp), jnp.float32)],
+        interpret=interpret,
     )(cols, valid)
 
     idx_bht = jnp.transpose(idx_sk, (1, 2, 0))              # [B,Hp,T]
