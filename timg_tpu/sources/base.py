@@ -155,10 +155,13 @@ def create_source(
     from timg_tpu.sources.pil_source import PILSource
     from timg_tpu.sources.svg_source import SVGSource
 
+    from timg_tpu.sources.pdf_source import PDFSource
+
     candidates: list = []
     if attempt_image_loading:
         candidates.append(QOISource)
         candidates.append(SVGSource)
+        candidates.append(PDFSource)
         candidates.append(PILSource)
     if attempt_video_loading:
         try:
@@ -168,11 +171,14 @@ def create_source(
             pass
 
     count = -1 if frame_count == NOT_INITIALIZED else frame_count
+    hint = ""
     for cls in candidates:
         try:
             src = cls(filename)
             if src.load_and_scale(options, frame_offset, count):
                 return src, ""
+        except RuntimeError as e:  # gated-feature diagnosis
+            hint = str(e)
         except Exception:
             continue
 
@@ -196,5 +202,5 @@ def create_source(
             error = (f"{filename}: looks like a video file, but the native "
                      "video helper is not built (make -C timg_tpu/native)")
     if not error:
-        error = f"{filename}: couldn't load"
+        error = hint or f"{filename}: couldn't load"
     return None, error
