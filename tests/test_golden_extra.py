@@ -1,0 +1,146 @@
+"""Additional golden byte-parity coverage: clear-screen, frame offsets,
+filelists, QOI decode, stdin, exit codes."""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_BINARY, has_reference
+from tests.corpus import build_corpus
+from tests.test_golden import (CORPUS_DIR, _CLEAN_ENV, assert_parity,
+                               run_ours, run_reference)
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference binary not built")
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return build_corpus(CORPUS_DIR)
+
+
+BASE = ["--debug-no-frame-delay"]
+
+
+def test_clear_before_first(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black", "--clear"],
+                  [corpus["noise_64x48.png"], corpus["gray_50x40.png"]])
+
+
+def test_clear_every(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black", "--clear=every"],
+                  [corpus["noise_64x48.png"], corpus["gray_50x40.png"]])
+
+
+def test_frame_offset_gif(corpus, tmp_path):
+    """--frame-offset on animations follows the full-featured reference
+    (GraphicsMagick source honors it, gm-source.cc:220-223; the minimal
+    stb build ignores it, so this is a self-consistency check): output
+    with offset=2 equals output of a GIF missing its first 2 frames."""
+    from PIL import Image, ImageSequence
+
+    img = Image.open(corpus["anim_32x24.gif"])
+    frames = [f.convert("RGBA") for f in ImageSequence.Iterator(img)]
+    trimmed = str(tmp_path / "trimmed.gif")
+    frames[2].convert("RGB").save(
+        trimmed, save_all=True,
+        append_images=[f.convert("RGB") for f in frames[3:]],
+        duration=100, loop=0)
+
+    args = [*BASE, "-g40x20", "-pq", "-b", "black", "--loops=1"]
+    with_offset = run_ours([*args, "--frame-offset=2"],
+                           [corpus["anim_32x24.gif"]])
+    trimmed_out = run_ours(args, [trimmed])
+    assert with_offset == trimmed_out
+
+
+def test_no_hide_cursor(corpus):
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black", "-E"],
+                  [corpus["noise_64x48.png"]])
+
+
+def test_filelist(corpus, tmp_path):
+    listfile = tmp_path / "list.txt"
+    listfile.write_text(f"{corpus['noise_64x48.png']}\n"
+                        f"{corpus['gray_50x40.png']}\n")
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black",
+                   "-f", str(listfile)], [])
+
+
+def _write_qoi(path: str, rgba: np.ndarray) -> None:
+    """Minimal valid QOI: header + QOI_OP_RGBA per pixel + end marker."""
+    h, w = rgba.shape[:2]
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, 4, 0)
+    for px in rgba.reshape(-1, 4):
+        out += bytes([0xFF, px[0], px[1], px[2], px[3]])
+    out += b"\x00" * 7 + b"\x01"
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_qoi_decode_parity(tmp_path):
+    rng = np.random.default_rng(8)
+    rgba = rng.integers(0, 256, (30, 44, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    path = str(tmp_path / "img.qoi")
+    _write_qoi(path, rgba)
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black"], [path])
+
+
+def test_qoi_decoder_roundtrip(tmp_path):
+    from timg_tpu.sources.qoi_source import decode_qoi
+
+    rng = np.random.default_rng(9)
+    rgba = rng.integers(0, 4, (10, 12, 4), dtype=np.uint8) * 60
+    rgba[..., 3] = 255
+    path = str(tmp_path / "x.qoi")
+    _write_qoi(path, rgba)
+    with open(path, "rb") as f:
+        got = decode_qoi(f.read())
+    assert np.array_equal(got, rgba)
+
+
+def test_stdin_image(corpus):
+    with open(corpus["noise_64x48.png"], "rb") as f:
+        data = f.read()
+    ref = subprocess.run(
+        [REFERENCE_BINARY, *BASE, "-g40x20", "-pq", "-b", "black",
+         "-o", "/dev/stdout", "-"],
+        input=data, env=_CLEAN_ENV, capture_output=True).stdout
+    ours = subprocess.run(
+        ["python", os.path.join(os.path.dirname(REFERENCE_BINARY),
+                                "..", "..", "timg-tpu"),
+         *BASE, "-g40x20", "-pq", "-b", "black", "-o", "/dev/stdout", "-"],
+        input=data, env={**_CLEAN_ENV,
+                         "JAX_PLATFORMS": "cpu"},
+        capture_output=True).stdout
+    assert ref == ours
+
+
+def test_exit_code_missing_file():
+    from timg_tpu.cli import main
+
+    assert main(["--debug-no-frame-delay", "-g20x10",
+                 "/nonexistent/file.png"]) == 1
+
+
+def test_exit_code_bad_geometry():
+    from timg_tpu.cli import main
+
+    assert main(["-gabc", "/tmp/x.png"]) == 2
+
+
+def test_exit_code_success(corpus):
+    from timg_tpu.cli import main
+
+    with tempfile.NamedTemporaryFile() as tf:
+        assert main(["--debug-no-frame-delay", "-g20x10", "-pq",
+                     "-b", "black", "-o", tf.name,
+                     corpus["noise_64x48.png"]]) == 0
