@@ -205,3 +205,29 @@ class TestSequencer:
         os.close(fd)
         # frames discarded after interrupt; control writes still go out
         assert out.read_bytes() == b"ctrl"
+
+
+class TestNativeEmitter:
+    def test_native_matches_python(self):
+        """The C ANSI emitter must produce identical bytes to the
+        parity-tested Python emitter across random planes."""
+        from timg_tpu.render.ansi import (UnicodeBlockCanvas,
+                                          _emit_frame_native, _native_lib)
+
+        lib = _native_lib()
+        if lib is None:
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(12)
+        for use_256 in (False, True):
+            for trial in range(4):
+                h, w = 12, 25
+                glyph = rng.integers(0, 9, (h, w)).astype(np.int32)
+                fg = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+                bg = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+                eq = (rng.integers(0, 2, (h, w), dtype=np.uint8)
+                      if trial % 2 else None)
+                canvas = UnicodeBlockCanvas.__new__(UnicodeBlockCanvas)
+                canvas.use_256_color = use_256
+                want = canvas._emit_frame_py(glyph, fg, bg, eq, indent=3)
+                got = _emit_frame_native(lib, glyph, fg, bg, eq, 3, use_256)
+                assert got == want, (use_256, trial)
