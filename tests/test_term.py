@@ -1,0 +1,115 @@
+"""Terminal introspection tests over a scripted pty (the fake-tty
+harness SURVEY §4 calls for: scripted query -> response)."""
+
+from __future__ import annotations
+
+import os
+import pty
+import re
+import threading
+
+import pytest
+
+
+def _run_with_pty(responder, fn):
+    """Run fn() with stdout attached to a pty whose master side answers
+    escape queries via `responder(received_bytes) -> reply_bytes`."""
+    master, slave = pty.openpty()
+    done = threading.Event()
+
+    def pump():
+        buf = b""
+        while not done.is_set():
+            try:
+                data = os.read(master, 256)
+            except OSError:
+                break
+            if not data:
+                break
+            buf += data
+            reply = responder(buf)
+            if reply:
+                os.write(master, reply)
+                buf = b""
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    import sys
+    saved = os.dup(1)
+    try:
+        os.dup2(slave, 1)
+        result = fn()
+    finally:
+        os.dup2(saved, 1)
+        os.close(saved)
+        done.set()
+        os.close(master)
+        os.close(slave)
+    return result
+
+
+def test_query_background_color():
+    from timg_tpu import term
+
+    def responder(buf):
+        if b"\033]11;?" in buf:
+            return b"\033]11;rgb:1212/3434/5656\033\\"
+        return b""
+
+    result = _run_with_pty(responder, term.query_background_color)
+    assert result == "#123456"
+
+
+def test_query_graphics_protocol_kitty_via_query():
+    from timg_tpu import term
+
+    def responder(buf):
+        if b"\033[>q" in buf:
+            return b"\033P>|kitty 0.32.1\033\\\033[0n"
+        return b""
+
+    env_backup = {k: os.environ.pop(k, None)
+                  for k in ("TERM", "TERM_PROGRAM", "TMUX")}
+    try:
+        os.environ["TERM"] = "xterm-256color"
+        info = _run_with_pty(responder,
+                             term.query_supported_graphics_protocol)
+    finally:
+        for k, v in env_backup.items():
+            if v is not None:
+                os.environ[k] = v
+    assert info.preferred_graphics == "kitty"
+
+
+def test_term_env_hint_kitty(monkeypatch):
+    from timg_tpu import term
+
+    monkeypatch.setenv("TERM", "xterm-kitty")
+    monkeypatch.delenv("TMUX", raising=False)
+    info = term.query_supported_graphics_protocol()
+    assert info.preferred_graphics == "kitty"
+
+
+def test_cell_size_query():
+    from timg_tpu import term
+
+    def responder(buf):
+        if b"\033[16t" in buf:
+            return b"\033[6;18;9t"
+        return b""
+
+    result = _run_with_pty(responder, term.determine_term_size)
+    # pty reports 0x0 winsize -> pixel fallback path used
+    assert result.font_height_px == 18
+    assert result.font_width_px == 9
+
+
+def test_sixel_quirk_env(monkeypatch):
+    from timg_tpu import term
+
+    monkeypatch.setenv("TIMG_SIXEL_NEWLINE_WORKAROUND", "3")
+    monkeypatch.setenv("TERM", "mlterm")
+    info = term.query_supported_graphics_protocol()
+    assert info.preferred_graphics == "sixel"
+    assert info.sixel.known_broken_cursor_placement
+    assert info.sixel.full_cell_jump

@@ -50,10 +50,12 @@ class GraphicsInfo:
 
 
 def _find_tty_fd() -> Optional[int]:
-    """First of stdout/stderr/stdin that is a tty (ref :84-91)."""
-    for stream in (sys.stdout, sys.stderr, sys.stdin):
+    """First of stdout/stderr/stdin that is a tty (ref :84-91).
+
+    Checks the raw descriptors 1/2/0 like the reference (the python
+    stream objects may be captured pseudofiles, e.g. under pytest)."""
+    for fd in (1, 2, 0):
         try:
-            fd = stream.fileno()
             if os.isatty(fd):
                 return fd
         except Exception:
