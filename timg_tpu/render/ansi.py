@@ -97,7 +97,15 @@ class UnicodeBlockCanvas(TerminalCanvas):
     def send(self, x: int, dy: int, frame: np.ndarray, seq_type: SeqType,
              end_of_frame_ms: float = 0.0) -> None:
         """frame: [H, W, 4] uint8 numpy array (post resize/compose)."""
-        from timg_tpu.ops import blocks as blocks_op  # lazy: jax import cost
+        from timg_tpu.ops.backend import use_numpy
+        if use_numpy():
+            from timg_tpu.ops import cpu_mirror as blocks_op
+            quarter_fn = blocks_op.quarter_blocks_np
+            half_fn = blocks_op.half_blocks_np
+        else:
+            from timg_tpu.ops import blocks as blocks_op
+            quarter_fn = blocks_op.quarter_blocks
+            half_fn = blocks_op.half_blocks
 
         height = frame.shape[0]
         if dy < 0:
@@ -114,14 +122,9 @@ class UnicodeBlockCanvas(TerminalCanvas):
             padded, glyph, fg, bg, cached_prev, cached_eq = cached
         else:
             padded = self.pad_frame(np.ascontiguousarray(frame))
-            if self.use_quarter:
-                glyph, fg, bg = blocks_op.quarter_blocks(
-                    padded[None],
-                    use_upper_half_block=self.use_upper_half_block)
-            else:
-                glyph, fg, bg = blocks_op.half_blocks(
-                    padded[None],
-                    use_upper_half_block=self.use_upper_half_block)
+            fn = quarter_fn if self.use_quarter else half_fn
+            glyph, fg, bg = fn(
+                padded[None], use_upper_half_block=self.use_upper_half_block)
             glyph, fg, bg = (np.asarray(glyph[0]), np.asarray(fg[0]),
                              np.asarray(bg[0]))
 

@@ -56,26 +56,37 @@ def prime_block_planes(frames: list, options) -> None:
     park them for the canvas."""
     if not frames or options.cell_x_px > 2 or options.cell_y_px != 2:
         return
-    from timg_tpu.ops import blocks as blocks_op
+    from timg_tpu.ops.backend import use_numpy
 
+    numpy_mode = use_numpy()
     use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK")
     batch = pad_odd_height(np.stack(frames), use_upper)
-    if options.cell_x_px == 2:
-        if batch.shape[2] % 2:
-            return  # odd width: let the canvas handle frame-by-frame
-        glyph, fg, bg = blocks_op.quarter_blocks(
-            batch, use_upper_half_block=use_upper)
+    if options.cell_x_px == 2 and batch.shape[2] % 2:
+        return  # odd width: let the canvas handle frame-by-frame
+    if numpy_mode:
+        from timg_tpu.ops import cpu_mirror
+        fn = (cpu_mirror.quarter_blocks_np if options.cell_x_px == 2
+              else cpu_mirror.half_blocks_np)
     else:
-        glyph, fg, bg = blocks_op.half_blocks(
-            batch, use_upper_half_block=use_upper)
+        from timg_tpu.ops import blocks as blocks_op
+        fn = (blocks_op.quarter_blocks if options.cell_x_px == 2
+              else blocks_op.half_blocks)
+    glyph, fg, bg = fn(batch, use_upper_half_block=use_upper)
     glyph, fg, bg = np.asarray(glyph), np.asarray(fg), np.asarray(bg)
 
-    # Device diff masks between consecutive window frames (ops/diff.py);
-    # the canvas uses them when its previous frame is the window neighbor.
+    # Diff masks between consecutive window frames (ops/diff.py on
+    # device; plain numpy on the CPU path); the canvas uses them when
+    # its previous frame is the window neighbor.
     eqs = [None]
     if len(frames) > 1:
-        from timg_tpu.ops.diff import window_cell_diff
-        eq_batch = np.asarray(window_cell_diff(batch, options.cell_x_px))
+        if numpy_mode:
+            n = options.cell_x_px
+            b, h2, w = batch.shape[:3]
+            cells = batch.reshape(b, h2 // 2, 2, w // n, n, 4)
+            eq_batch = np.all(cells[1:] == cells[:-1], axis=(2, 4, 5))
+        else:
+            from timg_tpu.ops.diff import window_cell_diff
+            eq_batch = np.asarray(window_cell_diff(batch, options.cell_x_px))
         eqs += list(eq_batch)
 
     prev = [None] + [batch[i] for i in range(len(frames) - 1)]

@@ -104,11 +104,20 @@ def _process_frames(
 
     One jit-compiled device invocation per animation (all frames batched),
     vs. the reference's per-frame serial CPU loop (stb-image-source.cc:42-68).
+    On the CPU backend the strict numpy mirrors run instead (bit-exact,
+    and the one-shot CLI path never imports jax; see ops/cpu_mirror.py).
     """
-    import jax.numpy as jnp
+    from timg_tpu.ops.backend import use_numpy
 
-    from timg_tpu.ops.compose import alpha_compose_background
-    from timg_tpu.ops.resize import resize_batch
+    numpy_mode = use_numpy()
+    if numpy_mode:
+        from timg_tpu.ops.cpu_mirror import alpha_compose_background_np
+        from timg_tpu.ops.resize_np import resize_batch_np
+    else:
+        import jax.numpy as jnp
+
+        from timg_tpu.ops.compose import alpha_compose_background
+        from timg_tpu.ops.resize import resize_batch
 
     same_size = all(f.shape == raw_frames[0].shape for f in raw_frames)
     if same_size:
@@ -118,25 +127,31 @@ def _process_frames(
 
     out: List[np.ndarray] = []
     for batch in batches:
-        x = jnp.asarray(batch)
-        if (batch.shape[1], batch.shape[2]) != (target_h, target_w):
-            x = resize_batch(x, target_h, target_w)
+        needs_resize = (batch.shape[1], batch.shape[2]) != (target_h, target_w)
+        if numpy_mode:
+            result = (resize_batch_np(batch, target_h, target_w)
+                      if needs_resize else batch)
+        else:
+            x = jnp.asarray(batch)
+            if needs_resize:
+                x = resize_batch(x, target_h, target_w)
+            result = np.asarray(x)
 
-        result = np.asarray(x)
         # Lazy background query (ref framebuffer.cc:113-121).
         if options.bgcolor_getter is not None and (result[..., 3] != 255).any():
             bg = options.bgcolor_getter()
             if bg[3] != 0:
                 pw = options.pattern_size * options.cell_x_px
                 ph = options.pattern_size * options.cell_y_px // 2
-                composed = alpha_compose_background(
-                    jnp.asarray(result),
-                    jnp.asarray(np.array(bg, dtype=np.uint8)),
-                    jnp.asarray(np.array(options.bg_pattern_color, dtype=np.uint8)),
-                    pattern_w=pw,
-                    pattern_h=ph,
-                )
-                result = np.asarray(composed)
+                bg_a = np.array(bg, dtype=np.uint8)
+                pat_a = np.array(options.bg_pattern_color, dtype=np.uint8)
+                if numpy_mode:
+                    result = alpha_compose_background_np(
+                        result, bg_a, pat_a, pattern_w=pw, pattern_h=ph)
+                else:
+                    result = np.asarray(alpha_compose_background(
+                        jnp.asarray(result), jnp.asarray(bg_a),
+                        jnp.asarray(pat_a), pattern_w=pw, pattern_h=ph))
         out.extend(result)
 
     from timg_tpu.render.plane_cache import prime_block_planes
