@@ -40,7 +40,13 @@ class PILSource(ImageSource):
         is_animation = n_frames > 1
         if is_animation:
             for frame in ImageSequence.Iterator(img):
-                delays.append(float(frame.info.get("duration", 0)))
+                delay = float(frame.info.get("duration", 0))
+                if delay < 10.0:
+                    # browsers & the reference's generalist treat a
+                    # sub-centisecond delay as 100 ms
+                    # (ref graphics-magick-source.cc:79-82)
+                    delay = 100.0
+                delays.append(delay)
                 raw_frames.append(np.asarray(frame.convert("RGBA")))
         else:
             if options.exif_rotate:
