@@ -195,3 +195,32 @@ def test_pallas_fs_kernel_interpret_matches_scan():
     got = np.asarray(fs_dither_cube_pallas(jnp.asarray(img), 18, 25,
                                            interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_polyphase_matches_gather_path():
+    """The strided-slice polyphase formulation must equal the gather
+    formulation exactly (same values, same accumulation order)."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize as rop
+
+    for in_size, out_size in [(1080, 720), (1920, 1280), (512, 80),
+                              (200, 24), (48, 96), (64, 100)]:
+        starts, coeffs = rop.packed_taps(
+            in_size, out_size, "box", "mitchell", True)
+        rng = np.random.default_rng(in_size)
+        x = jnp.asarray(rng.random((4, in_size, 3), dtype=np.float32))
+
+        plan = rop._phase_plan(starts, coeffs, in_size)
+        got = np.asarray(rop._apply_axis(x, 1, starts, coeffs, True))
+
+        # force the gather path
+        idx = jnp.asarray(starts)
+        cf = jnp.asarray(coeffs)
+        x_m = jnp.moveaxis(x, 1, 0)
+        cshape = (-1,) + (1,) * (x_m.ndim - 1)
+        want = rop._accumulate(
+            lambda t: jnp.take(x_m, idx + t, axis=0) * cf[:, t].reshape(cshape),
+            coeffs.shape[1], True)
+        want = np.asarray(jnp.moveaxis(want, 0, 1))
+        assert np.array_equal(got, want), (in_size, out_size, plan)

@@ -53,35 +53,125 @@ from timg_tpu.ops.resize_np import (  # noqa: F401  (re-exported API)
 _SMALL_FLOAT = float(np.float32(1.0) / (1 << 20) ** 6)  # stbir__small_float
 
 
+def _accumulate(taps, widest: int, horizontal: bool):
+    """stb accumulation structure over `taps(t)` values: vertical =
+    single ascending madd chain (stb:10036+); horizontal with >= 4 taps
+    = dual even/odd accumulators combined at the end (SSE 7ch gather
+    kernels); 1-3 taps = single ascending chain."""
+    if horizontal and widest >= 4:
+        even = taps(0)
+        odd = taps(1)
+        for t in range(2, widest):
+            if t % 2 == 0:
+                even = even + taps(t)
+            else:
+                odd = odd + taps(t)
+        return even + odd
+    acc = taps(0)
+    for t in range(1, widest):
+        acc = acc + taps(t)
+    return acc
+
+
+def _phase_plan(starts: np.ndarray, coeffs: np.ndarray, in_size: int):
+    """Detect the polyphase structure of the taps: output rows group into
+    p phases with starts advancing by q per period and identical
+    coefficient rows. Returns (p, q, k0, k1, edge_rows) with the main
+    region covering out rows [k0*p, k1*p), or None when the structure
+    doesn't hold. Integer in/out sizes are always rational, so only edge
+    rows (EDGE_CLAMP folds / right-edge repack) fall outside."""
+    import math as _math
+
+    out_size = len(starts)
+    g = _math.gcd(out_size, in_size)
+    p = out_size // g
+    q = in_size // g
+    if p >= out_size:  # no repetition to exploit
+        return None
+    n_k = out_size // p
+
+    ref_k = n_k // 2
+    ok = np.ones(n_k, dtype=bool)
+    for j in range(p):
+        rows = np.arange(n_k) * p + j
+        s_ref = starts[ref_k * p + j] - ref_k * q
+        ok &= starts[rows] == s_ref + np.arange(n_k) * q
+        ok &= (coeffs[rows] == coeffs[ref_k * p + j]).all(axis=1)
+        # the strided window must stay in bounds
+        ok &= (s_ref + np.arange(n_k) * q + coeffs.shape[1]) <= in_size
+        ok &= (s_ref + np.arange(n_k) * q) >= 0
+    if not ok[ref_k]:
+        return None
+    k0 = ref_k
+    while k0 > 0 and ok[k0 - 1]:
+        k0 -= 1
+    k1 = ref_k + 1
+    while k1 < n_k and ok[k1]:
+        k1 += 1
+    edge_rows = list(range(0, k0 * p)) + list(range(k1 * p, out_size))
+    return p, q, k0, k1, edge_rows
+
+
 def _apply_axis(x: jax.Array, axis: int, starts: np.ndarray,
                 coeffs: np.ndarray, horizontal: bool) -> jax.Array:
     """1-D filter along `axis` with stb's accumulation structure.
 
-    Vertical: single ascending madd chain (stb:10036+). Horizontal with
-    >= 4 taps: dual even/odd accumulators combined at the end (SSE 7ch
-    gather kernels); 1-3 taps: single ascending chain."""
+    TPU-first: the polyphase structure of the taps turns the per-output
+    gather into static strided slices (pure data movement the VPU
+    streams at bandwidth; TPU gathers run on the scalar core and are
+    ~40x slower). Values and accumulation order are identical; edge rows
+    with folded/repacked taps are computed individually."""
     widest = coeffs.shape[1]
-    idx = jnp.asarray(starts)
-    cf = jnp.asarray(coeffs)
     x_m = jnp.moveaxis(x, axis, 0)  # [in, ...]
-    cshape = (-1,) + (1,) * (x_m.ndim - 1)
+    in_size = x_m.shape[0]
+    out_size = len(starts)
+    plan = _phase_plan(starts, coeffs, in_size)
 
-    def tap(t):
-        return jnp.take(x_m, idx + t, axis=0) * cf[:, t].reshape(cshape)
+    if plan is None:
+        idx = jnp.asarray(starts)
+        cf = jnp.asarray(coeffs)
+        cshape = (-1,) + (1,) * (x_m.ndim - 1)
+        acc = _accumulate(
+            lambda t: jnp.take(x_m, idx + t, axis=0) * cf[:, t].reshape(cshape),
+            widest, horizontal)
+        return jnp.moveaxis(acc, 0, axis)
 
-    if horizontal and widest >= 4:
-        even = tap(0)
-        odd = tap(1)
-        for t in range(2, widest):
-            if t % 2 == 0:
-                even = even + tap(t)
-            else:
-                odd = odd + tap(t)
-        acc = even + odd
-    else:
-        acc = tap(0)
-        for t in range(1, widest):
-            acc = acc + tap(t)
+    p, q, k0, k1, edge_rows = plan
+    n_main = k1 - k0
+    pieces = []
+
+    # main region: per phase j, rows j + k*p for k in [k0, k1) via one
+    # strided slice per tap
+    phase_blocks = []
+    for j in range(p):
+        base = int(starts[k0 * p + j])
+
+        def taps(t, base=base, j=j):
+            lo = base + t
+            hi = lo + (n_main - 1) * q + 1
+            sl = jax.lax.slice_in_dim(x_m, lo, hi, stride=q, axis=0)
+            return sl * jnp.float32(coeffs[k0 * p + j, t])
+
+        phase_blocks.append(_accumulate(taps, widest, horizontal))
+    # interleave phases: [n_main, p, ...] -> rows k*p + j
+    main = jnp.stack(phase_blocks, axis=1).reshape(
+        (n_main * p,) + x_m.shape[1:])
+
+    def one_row(o):
+        base = int(starts[o])
+
+        def taps(t, base=base, o=o):
+            return (jax.lax.slice_in_dim(
+                x_m, min(base + t, in_size - 1),
+                min(base + t, in_size - 1) + 1, axis=0)
+                * jnp.float32(coeffs[o, t]))
+
+        return _accumulate(taps, widest, horizontal)
+
+    top = [one_row(o) for o in range(0, k0 * p)]
+    bottom = [one_row(o) for o in range(k1 * p, out_size)]
+    pieces = top + [main] + bottom
+    acc = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
     return jnp.moveaxis(acc, 0, axis)
 
 
