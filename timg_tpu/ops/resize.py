@@ -117,31 +117,32 @@ def _apply_axis(x: jax.Array, axis: int, starts: np.ndarray,
     """1-D filter along `axis` with stb's accumulation structure.
 
     TPU-first: the polyphase structure of the taps turns the per-output
-    gather into static strided slices (pure data movement the VPU
-    streams at bandwidth; TPU gathers run on the scalar core and are
-    ~40x slower). Values and accumulation order are identical; edge rows
-    with folded/repacked taps are computed individually."""
+    gather into static strided slices on the *native* axis (pure data
+    movement the VPU streams at bandwidth; TPU gathers run on the scalar
+    core and a moveaxis would materialize a transposed multi-GB f32
+    intermediate). Values and accumulation order are identical; edge
+    rows with folded/repacked taps are computed individually."""
     widest = coeffs.shape[1]
-    x_m = jnp.moveaxis(x, axis, 0)  # [in, ...]
-    in_size = x_m.shape[0]
+    in_size = x.shape[axis]
     out_size = len(starts)
     plan = _phase_plan(starts, coeffs, in_size)
 
     if plan is None:
         idx = jnp.asarray(starts)
         cf = jnp.asarray(coeffs)
-        cshape = (-1,) + (1,) * (x_m.ndim - 1)
+        cshape = [1] * x.ndim
+        cshape[axis] = -1
         acc = _accumulate(
-            lambda t: jnp.take(x_m, idx + t, axis=0) * cf[:, t].reshape(cshape),
+            lambda t: jnp.take(x, idx + t, axis=axis)
+            * cf[:, t].reshape(cshape),
             widest, horizontal)
-        return jnp.moveaxis(acc, 0, axis)
+        return acc
 
-    p, q, k0, k1, edge_rows = plan
+    p, q, k0, k1, _ = plan
     n_main = k1 - k0
-    pieces = []
 
     # main region: per phase j, rows j + k*p for k in [k0, k1) via one
-    # strided slice per tap
+    # strided slice per tap; tap coefficients are scalars per phase.
     phase_blocks = []
     for j in range(p):
         base = int(starts[k0 * p + j])
@@ -149,30 +150,31 @@ def _apply_axis(x: jax.Array, axis: int, starts: np.ndarray,
         def taps(t, base=base, j=j):
             lo = base + t
             hi = lo + (n_main - 1) * q + 1
-            sl = jax.lax.slice_in_dim(x_m, lo, hi, stride=q, axis=0)
+            sl = jax.lax.slice_in_dim(x, lo, hi, stride=q, axis=axis)
             return sl * jnp.float32(coeffs[k0 * p + j, t])
 
         phase_blocks.append(_accumulate(taps, widest, horizontal))
-    # interleave phases: [n_main, p, ...] -> rows k*p + j
-    main = jnp.stack(phase_blocks, axis=1).reshape(
-        (n_main * p,) + x_m.shape[1:])
+    # interleave phases along `axis`: [..., n_main, p, ...] -> k*p + j
+    main = jnp.stack(phase_blocks, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = n_main * p
+    main = main.reshape(new_shape)
 
     def one_row(o):
         base = int(starts[o])
 
         def taps(t, base=base, o=o):
-            return (jax.lax.slice_in_dim(
-                x_m, min(base + t, in_size - 1),
-                min(base + t, in_size - 1) + 1, axis=0)
-                * jnp.float32(coeffs[o, t]))
+            lo = min(base + t, in_size - 1)
+            return (jax.lax.slice_in_dim(x, lo, lo + 1, axis=axis)
+                    * jnp.float32(coeffs[o, t]))
 
         return _accumulate(taps, widest, horizontal)
 
     top = [one_row(o) for o in range(0, k0 * p)]
     bottom = [one_row(o) for o in range(k1 * p, out_size)]
     pieces = top + [main] + bottom
-    acc = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
-    return jnp.moveaxis(acc, 0, axis)
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces,
+                                                              axis=axis)
 
 
 class _Taps:
