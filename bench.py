@@ -42,11 +42,11 @@ def main() -> None:
     pattern = jnp.asarray(np.zeros(4, dtype=np.uint8))
 
     def pipeline(batch):
-        x = resize_op.resize_batch(batch, OUT_H, OUT_W)
-        x = compose_op.alpha_compose_background(x, bg, pattern)
-        # steady-state video config: FS dither against the fixed 6x7x6
-        # cube palette (libsixel builtin-palette class); the adaptive
-        # median-cut palette path is the still-image default.
+        # steady-state video config: opaque lean resize (the reference's
+        # video path is swscale bilinear) + FS dither against the fixed
+        # 6x7x6 cube palette (libsixel builtin-palette class); the
+        # adaptive median-cut palette path is the still-image default.
+        x = resize_op.resize_batch_video(batch, OUT_H, OUT_W)
         idx = sixel_op._fs_dither_cube_impl(x[..., :3], OUT_H, OUT_W)
         return idx.astype(jnp.uint8)
 

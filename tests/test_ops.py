@@ -224,3 +224,22 @@ def test_polyphase_matches_gather_path():
             coeffs.shape[1], True)
         want = np.asarray(jnp.moveaxis(want, 0, 1))
         assert np.array_equal(got, want), (in_size, out_size, plan)
+
+
+def test_resize_video_close_to_exact():
+    """The lean video resize must stay within dither-level error of the
+    exact stb path."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.resize import resize_batch_video
+    from timg_tpu.ops.resize_np import resize_batch_np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (2, 108, 192, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    exact = resize_batch_np(img, 72, 128)
+    lean = np.asarray(resize_batch_video(jnp.asarray(img), 72, 128))
+    assert lean.shape == exact.shape
+    diff = np.abs(lean[..., :3].astype(int) - exact[..., :3].astype(int))
+    assert diff.mean() < 1.5, diff.mean()
+    assert (lean[..., 3] == 255).all()

@@ -68,6 +68,10 @@ class VideoSource(ImageSource):
 
         lower = self.filename.lower()
         self._is_apng_like = lower.endswith((".png", ".apng", ".gif"))
+        # transparency only considered for certain suffixes
+        # (ref video-source.cc:140-150)
+        self._transparent_suffix = lower.endswith(
+            (".png", ".gif", ".qoi", ".apng", ".svg")) or lower == "-"
 
         tw, th, _ = calc_scale_to_fit(self.orig_width, self.orig_height,
                                       options)
@@ -80,6 +84,9 @@ class VideoSource(ImageSource):
 
     def is_animation_before_frame_limit(self) -> bool:
         return True
+
+    def _maybe_transparent(self) -> bool:
+        return getattr(self, "_transparent_suffix", False)
 
     def default_loops(self) -> int:
         """Videos loop once, APNG forever (ref video-source.cc:277-285)."""
@@ -95,12 +102,18 @@ class VideoSource(ImageSource):
         import jax.numpy as jnp
 
         from timg_tpu.ops.compose import alpha_compose_background
-        from timg_tpu.ops.resize import resize_batch
+        from timg_tpu.ops.resize import resize_batch, resize_batch_video
 
         opts = self._options
         tw, th = self._target
         x = jnp.asarray(np.stack(raw))
-        x = resize_batch(x, th, tw)
+        if self._maybe_transparent():
+            x = resize_batch(x, th, tw)
+        else:
+            # opaque codecs: lean resize (the reference's video path uses
+            # swscale bilinear here, ref video-source.cc:352, so the
+            # stb-exact pipeline isn't the parity target)
+            x = resize_batch_video(x, th, tw)
         result = np.asarray(x)
         if opts.bgcolor_getter is not None and (result[..., 3] != 255).any():
             bg = opts.bgcolor_getter()
