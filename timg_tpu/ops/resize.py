@@ -141,21 +141,36 @@ def _apply_axis(x: jax.Array, axis: int, starts: np.ndarray,
     p, q, k0, k1, _ = plan
     n_main = k1 - k0
 
-    # main region: per phase j, rows j + k*p for k in [k0, k1) via one
-    # strided slice per tap; tap coefficients are scalars per phase.
+    # main region: per phase j, rows j + k*p for k in [k0, k1). Strided
+    # access with stride q is turned into unit-stride slices by splitting
+    # the axis [in] -> [in/q, q] (a free reshape): tap (j, t) with source
+    # index s_j + k*q + t becomes X[a + k, r] with a = (s_j+t)//q,
+    # r = (s_j+t)%q — pure contiguous data movement, no TPU relayouts.
+    in_pad = -(-in_size // q) * q
+    if in_pad != in_size:
+        pad_widths = [(0, 0)] * x.ndim
+        pad_widths[axis] = (0, in_pad - in_size)
+        x_pad = jnp.pad(x, pad_widths)
+    else:
+        x_pad = x
+    split_shape = list(x.shape)
+    split_shape[axis:axis + 1] = [in_pad // q, q]
+    x_split = x_pad.reshape(split_shape)
+
     phase_blocks = []
     for j in range(p):
         base = int(starts[k0 * p + j])
 
         def taps(t, base=base, j=j):
-            lo = base + t
-            hi = lo + (n_main - 1) * q + 1
-            sl = jax.lax.slice_in_dim(x, lo, hi, stride=q, axis=axis)
+            a, r = divmod(base + t, q)
+            sl = jax.lax.slice_in_dim(x_split, a, a + n_main, axis=axis)
+            sl = jax.lax.slice_in_dim(sl, r, r + 1, axis=axis + 1)
             return sl * jnp.asarray(coeffs[k0 * p + j, t], x.dtype)
 
         phase_blocks.append(_accumulate(taps, widest, horizontal))
-    # interleave phases along `axis`: [..., n_main, p, ...] -> k*p + j
-    main = jnp.stack(phase_blocks, axis=axis + 1)
+    # phase blocks are [..., n_main, 1, ...]; concat the q-axis into the
+    # phase axis then reshape-interleave -> rows k*p + j
+    main = jnp.concatenate(phase_blocks, axis=axis + 1)  # [..., n_main, p, ...]
     new_shape = list(x.shape)
     new_shape[axis] = n_main * p
     main = main.reshape(new_shape)
