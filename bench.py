@@ -41,13 +41,16 @@ def main() -> None:
     bg = jnp.asarray(np.array([0, 0, 0, 255], dtype=np.uint8))
     pattern = jnp.asarray(np.zeros(4, dtype=np.uint8))
 
+    from timg_tpu.ops.sixel_pallas2 import fs_dither_cube_packed
+
     def pipeline(batch):
         # steady-state video config: opaque lean resize (the reference's
         # video path is swscale bilinear) + FS dither against the fixed
-        # 6x7x6 cube palette (libsixel builtin-palette class); the
-        # adaptive median-cut palette path is the still-image default.
+        # 6x7x6 cube palette (libsixel builtin-palette class) in the
+        # packed-word Pallas kernel; the adaptive median-cut palette
+        # path is the still-image default.
         x = resize_op.resize_batch_video(batch, OUT_H, OUT_W)
-        idx = sixel_op._fs_dither_cube_impl(x[..., :3], OUT_H, OUT_W)
+        idx = fs_dither_cube_packed(x, OUT_H, OUT_W)
         return idx.astype(jnp.uint8)
 
     fn = jax.jit(pipeline)

@@ -204,9 +204,18 @@ class SixelCanvas(TerminalCanvas):
 
         if self._dither == "cube":
             palette = sixel_op.cube_palette()
-            indices = np.asarray(sixel_op.fs_dither_cube(fb[None, ..., :3]))[0]
+            indices = np.asarray(sixel_op.fs_dither_cube(fb[None]))[0]
         else:
-            palette = sixel_op.median_cut_palette(fb[..., :3])
+            # Adaptive palettes are rebuilt per still image but reused
+            # across animation frames (the reference rebuilds per frame
+            # through libsixel; per-segment reuse is the batched design,
+            # refreshed at every animation start).
+            if (seq_type == SeqType.ANIMATION_FRAME
+                    and getattr(self, "_palette", None) is not None):
+                palette = self._palette
+            else:
+                palette = sixel_op.median_cut_palette(fb[..., :3])
+                self._palette = palette
             indices = sixel_op.fs_dither(fb[None, ..., :3], palette)[0]
 
         out = bytearray(self.consume_prefix())

@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import re
 import select
-import sys
 import termios
 import tty
 from dataclasses import dataclass, field
