@@ -21,8 +21,8 @@ TARGET_FPS = 5000.0  # BASELINE.json north star, TPU v5e-1
 # terminal canvas output.
 IN_H, IN_W = 1080, 1920
 OUT_H, OUT_W = 720, 1280
-BATCH = 32
-ITERS = 8
+BATCH = 128
+ITERS = 4
 
 
 def main() -> None:
