@@ -1,0 +1,102 @@
+"""Video source end-to-end tests (y4m input: libav-decodable without an
+encoder)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from timg_tpu.native import runtime
+
+pytestmark = pytest.mark.skipif(runtime.load() is None,
+                                reason="native video helper not built")
+
+
+@pytest.fixture(scope="module")
+def y4m_file():
+    w, h, n = 64, 48, 10
+    path = os.path.join(tempfile.gettempdir(), "timg_tpu_test.y4m")
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F25:1 Ip A1:1 C420jpeg\n")
+        for i in range(n):
+            f.write(b"FRAME\n")
+            y = np.full((h, w), 16 + i * 20, np.uint8)
+            y[:, : i * 6] = 200
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            v = np.full((h // 2, w // 2), 128 + i * 10, np.uint8)
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+    yield path
+    os.unlink(path)
+
+
+def _load(y4m_file, **opt_overrides):
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.video_source import VideoSource
+
+    opts = DisplayOptions()
+    opts.width, opts.height = 80, 40
+    opts.cell_x_px = opts.cell_y_px = 2
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+    for k, v in opt_overrides.items():
+        setattr(opts, k, v)
+    src = VideoSource(y4m_file)
+    assert src.load_and_scale(opts, opt_overrides.get("_offset", 0),
+                              opt_overrides.get("_count", -1))
+    return src
+
+
+def test_video_metadata(y4m_file):
+    src = _load(y4m_file)
+    assert (src.orig_width, src.orig_height) == (64, 48)
+    assert src._fps == 25.0
+    assert src.decoder_name == "video"
+
+
+def test_video_frames_and_pacing(y4m_file):
+    from timg_tpu.render.sequencer import SeqType
+
+    src = _load(y4m_file)
+    frames = []
+    src.send_frames(float("inf"), 1, lambda: False,
+                    lambda dx, dy, fb, seq, t: frames.append((dy, seq, t)))
+    assert len(frames) == 10
+    assert frames[0][1] == SeqType.START_OF_ANIMATION
+    assert all(f[1] == SeqType.ANIMATION_FRAME for f in frames[1:])
+    # 25 fps -> 40ms steps
+    assert abs(frames[0][2] - 40.0) < 1e-6
+    assert abs(frames[-1][2] - 400.0) < 1e-6
+    # reposition by previous height after the first frame
+    assert frames[0][0] == 0 and frames[1][0] < 0
+
+
+def test_video_loops(y4m_file):
+    src = _load(y4m_file)
+    frames = []
+    src.send_frames(float("inf"), 3, lambda: False,
+                    lambda *a: frames.append(a))
+    assert len(frames) == 30
+
+
+def test_video_frame_offset_and_count(y4m_file):
+    src = _load(y4m_file)
+    src._frame_offset = 4
+    src._frame_count = 3
+    frames = []
+    src.send_frames(float("inf"), 1, lambda: False,
+                    lambda *a: frames.append(a))
+    assert len(frames) == 3
+
+
+def test_video_through_cli(y4m_file):
+    from tests.test_golden import run_ours
+
+    out = run_ours(["--debug-no-frame-delay", "-g40x20", "-pq",
+                    "-b", "black", "--loops=1"], [y4m_file])
+    # 10 frames of block output with animation repositioning
+    assert out.count(b"\033[0m\n") >= 10
+    assert b"\033[20A" in out  # cursor-up between frames

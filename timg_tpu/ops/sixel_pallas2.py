@@ -25,14 +25,22 @@ import numpy as np
 
 from timg_tpu.ops.sixel import _CUBE_LEVELS, _skew, _unskew
 
-_K = 16  # wavefront columns per grid step; must be a multiple of 4
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _make_kernel(b: int, hp: int):
+def _pick_k(b: int, hp: int) -> int:
+    """Wavefront columns per grid step (multiple of 4), sized so the
+    double-buffered i32 blocks + f32 scratch stay inside ~14MB VMEM."""
+    budget = 14 * 1024 * 1024 - 9 * b * hp * 4  # minus scratch
+    per_col = b * hp * 4 * 2 + b * hp * 4 * 2 // 4  # in x2 + out x2 /4
+    for k in (16, 8, 4):
+        if k * per_col <= budget:
+            return k
+    return 4
+
+
+def _make_kernel(b: int, hp: int, _K: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -99,6 +107,7 @@ def fs_dither_cube_packed(frames_rgba: jax.Array, h: int, w: int,
 
     b = frames_rgba.shape[0]
     hp = _round_up(h, 128)
+    _K = _pick_k(b, hp)
     t_len = _round_up(w + 2 * (h - 1), _K * 4)
 
     x = frames_rgba
@@ -119,7 +128,7 @@ def fs_dither_cube_packed(frames_rgba: jax.Array, h: int, w: int,
 
     grid = (t_len // _K,)
     packed = pl.pallas_call(
-        _make_kernel(b, hp),
+        _make_kernel(b, hp, _K),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_K, b, hp), lambda i: (i, 0, 0),
