@@ -31,13 +31,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_k(b: int, hp: int) -> int:
     """Wavefront columns per grid step (multiple of 4), sized so the
-    double-buffered i32 blocks + f32 scratch stay inside ~14MB VMEM."""
-    budget = 14 * 1024 * 1024 - 9 * b * hp * 4  # minus scratch
+    double-buffered i32 blocks + f32 scratch stay inside VMEM (with
+    headroom for Mosaic's own buffering)."""
+    budget = 9 * 1024 * 1024 - 9 * b * hp * 4  # minus scratch
     per_col = b * hp * 4 * 2 + b * hp * 4 * 2 // 4  # in x2 + out x2 /4
     for k in (16, 8, 4):
         if k * per_col <= budget:
             return k
-    return 4
+    return 0  # caller must split the batch
 
 
 def _make_kernel(b: int, hp: int, _K: int):
@@ -108,6 +109,15 @@ def fs_dither_cube_packed(frames_rgba: jax.Array, h: int, w: int,
     b = frames_rgba.shape[0]
     hp = _round_up(h, 128)
     _K = _pick_k(b, hp)
+    if _K == 0:
+        # batch too large for VMEM-resident wavefronts: split it
+        half = b // 2
+        return jnp.concatenate([
+            fs_dither_cube_packed(frames_rgba[:half], h, w,
+                                  interpret=interpret),
+            fs_dither_cube_packed(frames_rgba[half:], h, w,
+                                  interpret=interpret),
+        ], axis=0)
     t_len = _round_up(w + 2 * (h - 1), _K * 4)
 
     x = frames_rgba
