@@ -465,6 +465,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if len(errors) > 4:
         print(f"... total of {len(errors)} errors", file=sys.stderr)
 
+    if interrupt_received:
+        # Terminals sometimes get messed up by an interrupted escape
+        # sequence: reset attributes and move below, on stderr so a
+        # redirected stdout stream stays clean (ref timg.cc:998-1005).
+        print(f"\033[0m\033[{max(tsize.rows, 1)}B", file=sys.stderr)
+        sys.stderr.flush()
+
     if args.verbose:
         _print_verbose_stats(tsize, geometry_width, geometry_height,
                              display, present, sequencer,
