@@ -102,3 +102,41 @@ def test_video_through_cli(y4m_file):
     # 10 frames of block output with animation repositioning
     assert out.count(b"\033[0m\n") >= 10
     assert re.search(rb"\033\[\d+A", out)  # cursor-up between frames
+
+
+def test_video_sixel_cli(y4m_file):
+    """Without tty cell size the CLI clamps pixel modes to one frame
+    (ref timg.cc:742-767) — one sixel stream."""
+    from tests.test_golden import run_ours
+
+    out = run_ours(["--debug-no-frame-delay", "-g40x20", "-ps",
+                    "-b", "black", "--loops=1"], [y4m_file])
+    assert out.count(b"\033P0;0;8q") == 1
+    assert b"\033\\" in out
+
+
+@pytest.mark.parametrize("dither", ["adaptive", "cube"])
+def test_video_sixel_canvas_animation(y4m_file, dither):
+    """Multi-frame sixel with palette reuse, driving the canvas directly."""
+    from timg_tpu.options import DisplayOptions, SixelOptions
+    from timg_tpu.render.sequencer import SeqType
+    from timg_tpu.render.sixel_render import SixelCanvas
+
+    sent = []
+
+    class FakeSequencer:
+        def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+            sent.append(block)
+
+    opts = DisplayOptions()
+    opts.cell_x_px, opts.cell_y_px = 8, 16
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+    canvas = SixelCanvas(FakeSequencer(), SixelOptions(), opts,
+                         dither=dither)
+
+    src = _load(y4m_file)
+    src.send_frames(float("inf"), 1, lambda: False,
+                    lambda dx, dy, fb, seq, t: canvas.send(dx, dy, fb,
+                                                           seq, t))
+    assert len(sent) == 10
+    assert all(b"\033P0;0;8q" in s for s in sent)
