@@ -83,8 +83,10 @@ def send_scroll_frames(
             if interrupt() or time_ms > duration_ms:
                 break
             count = min(_WINDOW, cycle + 1 - pos)
-            window = scroll_frames(img, display_w, display_h, dx, dy,
-                                   pos, count)
+            window = list(scroll_frames(img, display_w, display_h, dx, dy,
+                                        pos, count))
+            from timg_tpu.render.plane_cache import prime_block_planes
+            prime_block_planes(window, options)
             for frame in window:
                 if interrupt() or time_ms > duration_ms:
                     break
