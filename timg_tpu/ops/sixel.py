@@ -190,10 +190,13 @@ def _wavefront_scan(frames_rgb: jax.Array, h: int, w: int, quantize):
         #  row above  (y-1, x+1) -> e1[y-1] * 3/16
         #  row above  (y-1, x)   -> e2[y-1] * 5/16
         #  row above  (y-1, x-1) -> e3[y-1] * 1/16
+        # The three row-above terms are mixed first so only one shift is
+        # needed (the scalar reference scatters with yet another addition
+        # order, so this association is equally faithful).
         up = lambda e: jnp.concatenate(
             [jnp.zeros_like(e[:, :1]), e[:, :-1]], axis=1)
-        incoming = (e1 * (7.0 / 16.0) + up(e1) * (3.0 / 16.0)
-                    + up(e2) * (5.0 / 16.0) + up(e3) * (1.0 / 16.0))
+        mix = (e1 * (3.0 / 16.0) + e2 * (5.0 / 16.0) + e3 * (1.0 / 16.0))
+        incoming = e1 * (7.0 / 16.0) + up(mix)
         v = jnp.clip(col + incoming, 0.0, 255.0)
         idx, chosen = quantize(v)                         # [B,H], [B,H,3]
         err = v - chosen

@@ -73,8 +73,9 @@ def _make_kernel(b: int, hp: int):
         for k in range(_K):
             mask = valid_ref[k] != 0                        # [1, Hp]
             col = cols_ref[k].astype(jnp.int32).astype(jnp.float32)
-            incoming = (e1 * (7.0 / 16.0) + up(e1) * (3.0 / 16.0)
-                        + up(e2) * (5.0 / 16.0) + up(e3) * (1.0 / 16.0))
+            mix = (e1 * (3.0 / 16.0) + e2 * (5.0 / 16.0)
+                   + e3 * (1.0 / 16.0))
+            incoming = e1 * (7.0 / 16.0) + up(mix)
             v = jnp.clip(col + incoming, 0.0, 255.0)
             q = jnp.round(v * scale)
             chosen = jnp.round(q * inv_scale)

@@ -77,9 +77,9 @@ def _make_kernel(b: int, hp: int, _K: int):
                 n = levels[c]
                 chan = (word >> (8 * c)) & 0xFF
                 col = chan.astype(jnp.float32)
-                incoming = (e1[c] * (7.0 / 16.0) + up(e1[c]) * (3.0 / 16.0)
-                            + up(e2[c]) * (5.0 / 16.0)
-                            + up(e3[c]) * (1.0 / 16.0))
+                mix = (e1[c] * (3.0 / 16.0) + e2[c] * (5.0 / 16.0)
+                       + e3[c] * (1.0 / 16.0))
+                incoming = e1[c] * (7.0 / 16.0) + up(mix)
                 v = jnp.clip(col + incoming, 0.0, 255.0)
                 q = jnp.round(v * jnp.float32((n - 1) / 255.0))
                 chosen = jnp.round(q * jnp.float32(255.0 / (n - 1)))
