@@ -43,6 +43,8 @@ def _run_ref(args, files):
     ("gradient_320x200.png", []),
     ("alpha_80x100.png", []),          # RGBA32 path (-b auto -> none)
     ("noise_512x512.png", ["--compress=6"]),
+    ("noise_64x48.png", ["--compress=0"]),
+    ("noise_64x48.png", ["--compress=9"]),
     ("noise_64x48.png", ["-b", "white"]),  # RGB24 path
 ])
 def test_iterm2_bit_identical(corpus, image, extra):
