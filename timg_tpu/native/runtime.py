@@ -46,6 +46,10 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p]
+    lib.timg_sixel_encode.restype = ctypes.c_long
+    lib.timg_sixel_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <algorithm>
 #include <thread>
+#include <cstdlib>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -261,6 +262,82 @@ inline char *append_color(char *pos, const uint8_t *c, bool use_256) {
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// Sixel stream assembly (index plane + palette -> DCS payload)
+// (role of the byte-assembly half of ref src/sixel-canvas.cc /
+//  libsixel's encoder; quantization+dithering run on the TPU)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
+    // RLE one color's band row: '?'+bitmask chars, '!<n>' for runs > 3.
+    int i = 0;
+    while (i < w) {
+        const uint8_t c = bits[i];
+        int run = 1;
+        while (i + run < w && bits[i + run] == c) ++run;
+        if (c == 0 && i + run == w) break;  // trailing blanks omitted
+        const char ch = (char)(0x3F + c);
+        if (run > 3) {
+            pos += sprintf(pos, "!%d%c", run, ch);
+        } else {
+            for (int r = 0; r < run; ++r) *pos++ = ch;
+        }
+        i += run;
+    }
+    return pos;
+}
+
+}  // namespace
+
+// indices: uint8[h*w]; palette: uint8[n*3]. out must hold a generous
+// upper bound (~h*w*4 + n*16 + 64). Returns bytes written.
+long timg_sixel_encode(const uint8_t *indices, int h, int w,
+                       const uint8_t *palette, int n_colors, char *out,
+                       uint8_t *scratch /* w bytes */) {
+    char *pos = out;
+    pos += sprintf(pos, "\033P0;0;8q\"1;1;%d;%d", w, h);
+    for (int i = 0; i < n_colors; ++i) {
+        const int r = (palette[i * 3] * 100 + 127) / 255;
+        const int g = (palette[i * 3 + 1] * 100 + 127) / 255;
+        const int b = (palette[i * 3 + 2] * 100 + 127) / 255;
+        pos += sprintf(pos, "#%d;2;%d;%d;%d", i, r, g, b);
+    }
+    const int n_bands = (h + 5) / 6;
+    // Per-band scatter: one pass over the band fills the per-color
+    // column bitmasks, then runs are emitted per present color.
+    uint8_t *masks = (uint8_t *)calloc(256, (size_t)w);
+    bool color_present[256];
+    for (int band = 0; band < n_bands; ++band) {
+        const int y0 = band * 6;
+        const int rows = (h - y0) < 6 ? (h - y0) : 6;
+        memset(color_present, 0, sizeof(color_present));
+        for (int r = 0; r < rows; ++r) {
+            const uint8_t *line = indices + (long)(y0 + r) * w;
+            const uint8_t bit = (uint8_t)(1 << r);
+            for (int x = 0; x < w; ++x) {
+                masks[(long)line[x] * w + x] |= bit;
+                color_present[line[x]] = true;
+            }
+        }
+        bool first = true;
+        for (int color = 0; color < n_colors; ++color) {
+            if (!color_present[color]) continue;
+            if (!first) *pos++ = '$';
+            first = false;
+            pos += sprintf(pos, "#%d", color);
+            pos = append_sixel_runs(pos, masks + (long)color * w, w);
+            memset(masks + (long)color * w, 0, w);
+        }
+        if (band != n_bands - 1) *pos++ = '-';
+    }
+    free(masks);
+    *pos++ = '\033';
+    *pos++ = '\\';
+    return pos - out;
+}
 
 // Emits the full frame body. glyph: int32[h*w]; fg/bg: uint8[h*w*4];
 // eq: uint8[h*w] diff-skip mask or NULL. Returns bytes written.
