@@ -1,0 +1,95 @@
+"""CLI flag-surface tests (parsing refinements, ref timg.cc sieve)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from timg_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def img():
+    path = os.path.join(tempfile.gettempdir(), "timg_cli_test.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)).save(path)
+    yield path
+    os.unlink(path)
+
+
+def _run(args, img_path):
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as tf:
+        out = tf.name
+    try:
+        rc = main([*args, "--debug-no-frame-delay", "-o", out, img_path])
+        with open(out, "rb") as f:
+            return rc, f.read()
+    finally:
+        os.unlink(out)
+
+
+def test_partial_geometry_width_only(img):
+    rc, out = _run(["-g20x10", "-pq", "-b", "black"], img)
+    assert rc == 0 and out
+
+
+def test_partial_geometry_x_height(img):
+    # 'x10' leaves width from terminal (absent -> invalid -> exit 3)
+    rc = main(["-gx10", "-pq", img])
+    assert rc == 3
+
+
+def test_bad_rotate(img):
+    assert main(["--rotate=sideways", img]) == 2
+
+
+def test_bad_grid(img):
+    assert main(["--grid=abc", img]) == 2
+
+
+def test_unknown_pixelation_warns_but_continues(img, capsys):
+    rc, out = _run(["-g20x10", "-pz", "-b", "black"], img)
+    assert rc == 0  # falls back to default pixelation
+
+
+def test_grid_single_number(img):
+    rc, out = _run(["-g40x20", "--grid=2", "-pq", "-b", "black"], img)
+    assert rc == 0 and out
+
+
+def test_loops_legacy_c_flag(img):
+    rc, out = _run(["-g20x10", "-c", "1", "-pq", "-b", "black"], img)
+    assert rc == 0
+
+
+def test_threads_flag(img):
+    rc, out = _run(["-g20x10", "--threads=2", "-pq", "-b", "black"], img)
+    assert rc == 0
+
+
+def test_title_format_escapes(img):
+    rc, out = _run(["-g40x20", "--title=%b %w %h %D %%", "-pq",
+                    "-b", "black"], img)
+    assert rc == 0
+    assert b"timg_cli_test.png 40 30" in out
+
+
+def test_duration_zero_note(img, capsys):
+    rc, out = _run(["-g20x10", "-t", "0", "-pq", "-b", "black"], img)
+    assert rc == 0
+
+
+def test_env_pixelation(img, monkeypatch):
+    monkeypatch.setenv("TIMG_PIXELATION", "h")
+    rc, out = _run(["-g20x10", "-b", "black"], img)
+    assert rc == 0
+    # half-block glyphs, not quarter
+    assert "▄".encode() in out or b"\033[" in out
+
+
+def test_no_files():
+    assert main(["-g20x10"]) == 1
