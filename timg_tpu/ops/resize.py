@@ -247,10 +247,7 @@ def _resize_video_impl(frames: jax.Array, *, taps_h: "_Taps",
     so this trades the 7-channel f32 fancy-alpha pipeline for ~4x less
     HBM traffic. Pixel values 0..255 are exact in bf16; coefficients
     round to 8 mantissa bits (imperceptible for video)."""
-    # All 4 channels ride through (slicing to 3 and re-concatenating an
-    # alpha plane costs a byte-granular channel relayout that dwarfs the
-    # filter math). Alpha is rewritten to exactly 255 in the encode.
-    x = frames.astype(jnp.bfloat16)
+    x = frames[..., :3].astype(jnp.bfloat16)
     if vertical_first:
         x = _apply_axis(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
         x = _apply_axis(x, 2, taps_w.starts, taps_w.coeffs, horizontal=True)
@@ -259,8 +256,8 @@ def _resize_video_impl(frames: jax.Array, *, taps_h: "_Taps",
         x = _apply_axis(x, 1, taps_h.starts, taps_h.coeffs, horizontal=False)
     out = jnp.clip(x.astype(jnp.float32) + jnp.float32(0.5), 0.0, 255.0)
     out = out.astype(jnp.uint8)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, out.shape, out.ndim - 1)
-    return jnp.where(lanes == 3, jnp.uint8(255), out)
+    alpha = jnp.full(out.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([out, alpha], axis=-1)
 
 
 def resize_batch_video(frames, out_h: int, out_w: int):
