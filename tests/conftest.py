@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+if "jax" in sys.modules:
+    # Site customization may have imported jax at interpreter startup,
+    # capturing JAX_PLATFORMS before we could scrub it; fix the live config.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_BINARY = os.path.join(

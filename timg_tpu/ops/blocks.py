@@ -26,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from timg_tpu.ops.exact import floor_sqrt_255, rn_div
+
 GLYPHS = [" ", "▘", "▝", "▖", "▗",
           "▌", "▚", "▄", "▀"]
 BACKGROUND, TOP_LEFT, TOP_RIGHT, BOT_LEFT, BOT_RIGHT = 0, 1, 2, 3, 4
@@ -52,8 +54,14 @@ def _avd(*values: jax.Array):
     acc = values[0]
     for v in values[1:]:
         acc = acc + v
-    n = jnp.float32(len(values))
-    avg = acc / n
+    # acc is integer-valued (< 2^18); reference divides in f32, correctly
+    # rounded.  TPU div is approximate, so /2 and /4 become exact dyadic
+    # multiplies and /3 goes through the exact division (ops/exact.py).
+    n = len(values)
+    if n in (2, 4):
+        avg = acc * jnp.float32(1.0 / n)
+    else:
+        avg = rn_div(acc, jnp.float32(n))
     total = _dist(avg, values[0])
     for v in values[1:]:
         total = total + _dist(avg, v)
@@ -61,8 +69,11 @@ def _avd(*values: jax.Array):
 
 
 def _repack(lin: jax.Array) -> jax.Array:
-    """LinearColor::repack (ref h:150-152, 169-172): sqrtf + truncation."""
-    rgb = jnp.minimum(jnp.sqrt(lin[..., :3]), jnp.float32(255.0))
+    """LinearColor::repack (ref h:150-152, 169-172): sqrtf + truncation.
+
+    trunc(min(sqrtf(v), 255)) == floor(sqrt(v)) for our averages (see
+    ops/exact.py), computed exactly on TPU via integer correction."""
+    rgb = floor_sqrt_255(lin[..., :3])
     a = lin[..., 3:4]
     return jnp.concatenate([rgb, a], axis=-1).astype(jnp.uint8)
 

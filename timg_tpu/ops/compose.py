@@ -16,6 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from timg_tpu.ops.exact import floor_sqrt_255, rn_div
+
 
 def _linearize(c: jax.Array) -> jax.Array:
     f = c.astype(jnp.float32)
@@ -24,10 +26,9 @@ def _linearize(c: jax.Array) -> jax.Array:
 
 def _repack(linear_rgb: jax.Array) -> jax.Array:
     """gamma(): sqrtf, clamp top at 255, C float->uint8 cast truncation
-    (ref framebuffer.h:169-172)."""
-    v = jnp.sqrt(linear_rgb)
-    v = jnp.minimum(v, jnp.float32(255.0))
-    return v.astype(jnp.uint8)  # truncates toward zero like the C cast
+    (ref framebuffer.h:169-172).  trunc(min(sqrtf, 255)) == floor(sqrt)
+    on the blend value lattice; exact on TPU via ops/exact.py."""
+    return floor_sqrt_255(linear_rgb).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("pattern_w", "pattern_h", "start_row"))
@@ -70,7 +71,8 @@ def alpha_compose_background(
 
     src_lin = _linearize(frames[..., :3])        # [B, H, W, 3]
     inv = jnp.float32(255.0) - a
-    blended = (src_lin * a + chosen_bg[None] * inv) / jnp.float32(255.0)
+    # correctly-rounded /255 on TPU (div is approximate there)
+    blended = rn_div(src_lin * a + chosen_bg[None] * inv, jnp.float32(255.0))
     blended_u8 = _repack(blended)
 
     opaque = frames[..., 3:4] == 255

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from timg_tpu.ops.exact import rn_div
 from timg_tpu.ops.resize_np import (  # noqa: F401  (re-exported API)
     FILTERS,
     STB_DOWNSAMPLE_FILTER,
@@ -226,8 +227,10 @@ def _resize_impl(frames: jax.Array, *, taps_h: _Taps, taps_w: _Taps,
         alpha = x[..., 3:4]
         unweighted = x[..., :3]
         premult = x[..., 4:7]
-        # un-weight by the f32 reciprocal (stb:4275-4288)
-        ialpha = jnp.float32(1.0) / jnp.maximum(alpha, jnp.float32(_SMALL_FLOAT))
+        # un-weight by the f32 reciprocal (stb:4275-4288); correctly
+        # rounded on TPU via ops/exact.py (TPU div is approximate)
+        ialpha = rn_div(jnp.float32(1.0),
+                        jnp.maximum(alpha, jnp.float32(_SMALL_FLOAT)))
         rgb = jnp.where(alpha < _SMALL_FLOAT, unweighted, premult * ialpha)
         x = jnp.concatenate([rgb, alpha], axis=-1)
 
