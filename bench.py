@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Headline benchmark: 1080p frames/sec/chip through resize -> 256-color
-FS dither -> sixel index planes (device pipeline + D2H of the compact
-index plane handed to the host byte assembler).
+FS dither -> sixel index planes (device pipeline; the compact index
+plane is what the host byte assembler consumes).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the driver-set north-star target of 5000
 1080p frames/s/chip (BASELINE.json; the reference publishes no numbers).
+
+Measurement method: the whole run is ONE jitted program -- a
+lax.fori_loop whose body processes a batch selected by the loop index
+from a pre-staged pool (distinct data defeats CSE; the loop carry
+serializes iterations) -- followed by a single scalar fetch. This
+forces real device execution even where async dispatch / tunnel
+plumbing makes `block_until_ready` unreliable as a completion signal.
 """
 
 import json
@@ -22,7 +29,8 @@ TARGET_FPS = 5000.0  # BASELINE.json north star, TPU v5e-1
 IN_H, IN_W = 1080, 1920
 OUT_H, OUT_W = 720, 1280
 BATCH = 128
-ITERS = 4
+POOL = 2          # distinct staged input batches
+ITERS = 8         # loop iterations (alternating over the pool)
 
 
 def main() -> None:
@@ -30,44 +38,47 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from timg_tpu.ops import compose as compose_op
     from timg_tpu.ops import resize as resize_op
-    from timg_tpu.ops import sixel as sixel_op
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
 
     rng = np.random.default_rng(42)
-    frames = rng.integers(0, 256, (BATCH, IN_H, IN_W, 4), dtype=np.uint8)
-    frames[..., 3] = 255
-
-    bg = jnp.asarray(np.array([0, 0, 0, 255], dtype=np.uint8))
-    pattern = jnp.asarray(np.zeros(4, dtype=np.uint8))
-
-    from timg_tpu.ops.sixel_pallas2 import fs_dither_cube_packed
+    pool = rng.integers(0, 256, (POOL, BATCH, IN_H, IN_W, 4),
+                        dtype=np.uint8)
+    pool[..., 3] = 255
 
     def pipeline(batch):
         # steady-state video config: opaque lean resize (the reference's
         # video path is swscale bilinear) + FS dither against the fixed
         # 6x7x6 cube palette (libsixel builtin-palette class) in the
-        # packed-word Pallas kernel; the adaptive median-cut palette
+        # fused all-Pallas pipeline; the adaptive median-cut palette
         # path is the still-image default.
         x = resize_op.resize_batch_video(batch, OUT_H, OUT_W)
-        idx = fs_dither_cube_packed(x, OUT_H, OUT_W)
-        return idx.astype(jnp.uint8)
+        return fs_dither_cube_fused(x, OUT_H, OUT_W, out_u8=True)
 
-    fn = jax.jit(pipeline)
-    dev_frames = jax.device_put(frames)
+    @jax.jit
+    def run(pool_dev, iters):
+        def body(k, s):
+            batch = jax.lax.dynamic_index_in_dim(
+                pool_dev, k % POOL, axis=0, keepdims=False)
+            idx = pipeline(batch)
+            return s + idx[0, 0, 0].astype(jnp.int32) + k
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    # Warmup / compile, and one host fetch to validate output shape.
-    warm = fn(dev_frames)
-    assert np.asarray(warm).shape == (BATCH, OUT_H, OUT_W)
+    pool_dev = jax.device_put(pool)
 
-    # Measure the device pipeline (resize -> compose -> FS dither ->
-    # index planes). Host readback is deployment IO (PCIe ~2ms/batch on
-    # a real host; the dev-environment tunnel here is ~1000x slower and
-    # would only measure the tunnel).
-    start = time.perf_counter()
-    outs = [fn(dev_frames) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - start
+    # Warmup / compile (1 iteration), forced by the scalar fetch.
+    np.asarray(run(pool_dev, 1))
+
+    t0 = time.perf_counter()
+    np.asarray(run(pool_dev, ITERS))
+    elapsed = time.perf_counter() - t0
+
+    # Subtract the dispatch+fetch round trip measured on a trivial
+    # program (dev-environment tunnels add ~25 ms; ~0 on a real host).
+    t1 = time.perf_counter()
+    np.asarray(run(pool_dev, 0))
+    rtt = time.perf_counter() - t1
+    elapsed = max(elapsed - rtt, 1e-9)
 
     fps = BATCH * ITERS / elapsed
     print(json.dumps({

@@ -197,6 +197,31 @@ def test_pallas_fs_kernel_interpret_matches_scan():
     assert np.array_equal(got, want)
 
 
+def test_fused_pallas_fs_pipeline_interpret_matches_scan():
+    """The all-Pallas fused pipeline (barrel-shift skew + coarse-shifted
+    input specs + word transposes) must match the lax.scan cube-dither
+    formulation bit-for-bit, including non-multiple-of-128 shapes and
+    odd batch sizes."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import fs_dither_cube
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+
+    for b, h, w in [(2, 18, 25), (3, 130, 200), (1, 128, 128)]:
+        rng = np.random.default_rng(b)
+        img = rng.integers(0, 256, (b, h, w, 4), dtype=np.uint8)
+        img[..., 3] = 255
+        want = np.asarray(fs_dither_cube(img))
+        got = np.asarray(fs_dither_cube_fused(jnp.asarray(img), h, w,
+                                              interpret=True))
+        assert np.array_equal(got, want), (b, h, w)
+        got8 = np.asarray(fs_dither_cube_fused(jnp.asarray(img), h, w,
+                                               interpret=True,
+                                               out_u8=True))
+        assert got8.dtype == np.uint8
+        assert np.array_equal(got8, want.astype(np.uint8))
+
+
 def test_polyphase_matches_gather_path():
     """The strided-slice polyphase formulation must equal the gather
     formulation exactly (same values, same accumulation order)."""

@@ -332,11 +332,11 @@ def fs_dither_cube(frames_rgb) -> jax.Array:
     frames_rgb = jnp.asarray(frames_rgb)
     _, h, w = frames_rgb.shape[:3]
     if jax.default_backend() == "tpu":
-        # packed-word Mosaic kernel (bit-identical with the scan;
+        # fused all-Pallas pipeline (bit-identical with the scan;
         # tests assert it)
-        from timg_tpu.ops.sixel_pallas2 import fs_dither_cube_packed
+        from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
         if frames_rgb.shape[-1] == 4:
-            return fs_dither_cube_packed(frames_rgb, h, w)
+            return fs_dither_cube_fused(frames_rgb, h, w)
         from timg_tpu.ops.sixel_pallas import fs_dither_cube_pallas
         return fs_dither_cube_pallas(frames_rgb, h, w)
     return _fs_dither_cube_impl(frames_rgb[..., :3], h, w)

@@ -1,0 +1,292 @@
+"""All-Pallas FS dither pipeline (cube palette): skew, wavefront and
+transposes without any XLA relayout pass.
+
+The v2 kernel (sixel_pallas2.py) is fast (~4.5 ms/128x720p on v5e) but
+its *surroundings* are not: producing its [T, B, Hp] wavefront input
+from [B, Hp, W] frames costs an XLA pad/reshape skew (~56 ms) plus an
+HBM transpose, an order of magnitude more than the dither itself. Here
+the whole layout pipeline is Pallas:
+
+1. ``_skewT``: one kernel fuses the *fine* skew and the transpose.
+   The wavefront needs S[t, b, y] = img[b, y, t - 2y]. Decompose
+   2y = 256*(y//128) + 2*(y%128). The fine part (<= 254) is applied
+   in-VMEM by a 7-step barrel shifter (conditional ``pltpu.roll`` per
+   sublane row); the block is then word-transposed. Output
+   F[u, b, y] = img[b, y, u - 2*(y%128)], shape [Wf, B, Hp].
+2. The FS kernel absorbs the *coarse* part through its input specs:
+   one BlockSpec per 128-row block r, whose index map is shifted by
+   256r/K blocks (clamped; clamped reads alias valid blocks and are
+   masked by the wavefront validity test, which still uses the global
+   x = t - 2y).
+3. ``_transpose_bwd`` returns the packed index planes to [B, Hp, T/4]
+   with the same word-transpose trick, and ``_unskewT`` inverts the
+   skew at word granularity (barrel shift left by (y%128)//2 words,
+   half-word blend for odd rows, coarse 2*(y//128) word-blocks in the
+   input index maps).
+
+Bit-identical with the v1/v2 formulations (tests assert it).
+
+Reference for behavior: libsixel-class 256-color dithering as used by
+the reference's sixel canvas (reference src/sixel-canvas.cc:134-148).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from timg_tpu.ops.sixel import _CUBE_LEVELS
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _skewT(words: jax.Array, interpret: bool = False) -> jax.Array:
+    """[B, Hp, Wp] i32 -> F [Wf, B, Hp] i32 with
+    F[u, b, y] = words[b, y, u - 2*(y % 128)] (garbage outside, callers
+    mask). Wf = Wp + 256."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, wp = words.shape
+    wf = wp + 256
+    pmax = wp // 128 - 1
+    bb = 8
+
+    def kernel(a_ref, b_ref, c_ref, out_ref):
+        cat = jnp.concatenate(
+            [a_ref[...], b_ref[...], c_ref[...]], axis=2)  # [bb,128,384]
+        yloc = jax.lax.broadcasted_iota(jnp.int32, (bb, 128, 384), 1)
+        for bit in range(7):
+            shift = 2 << bit
+            mask = ((yloc >> bit) & 1) == 1
+            cat = jnp.where(mask, pltpu.roll(cat, shift=shift, axis=2),
+                            cat)
+        fine = cat[:, :, 256:384]                          # [bb,128,128]
+        out_ref[...] = jnp.transpose(
+            fine.reshape(bb * 128, 128), (1, 0)).reshape(128, bb, 128)
+
+    def in_spec(off):
+        return pl.BlockSpec(
+            (bb, 128, 128),
+            lambda j, rb, p, off=off: (
+                j, rb, jnp.clip(p - off, 0, pmax)),
+            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, hp // 128, wf // 128),
+        in_specs=[in_spec(2), in_spec(1), in_spec(0)],
+        out_specs=pl.BlockSpec((128, bb, 128),
+                               lambda j, rb, p: (p, j, rb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wf, b, hp), jnp.int32),
+        interpret=interpret,
+    )(words, words, words)
+
+
+def _transpose_bwd(packed: jax.Array, interpret: bool = False) -> jax.Array:
+    """[T4, B, Hp] i32 -> [B, Hp, T4] i32 (word transpose)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t4, b, hp = packed.shape
+    bb = 8
+
+    def kernel(in_ref, out_ref):
+        blk = in_ref[...].reshape(128, bb * 128)
+        out_ref[...] = jnp.transpose(blk, (1, 0)).reshape(bb, 128, 128)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, hp // 128, t4 // 128),
+        in_specs=[pl.BlockSpec((128, bb, 128),
+                               lambda j, rb, i: (i, j, rb),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb, 128, 128),
+                               lambda j, rb, i: (j, rb, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, t4), jnp.int32),
+        interpret=interpret,
+    )(packed)
+
+
+def _unskewT(packed_bht: jax.Array, wp: int,
+             interpret: bool = False) -> jax.Array:
+    """[B, Hp, T4] packed-index words -> [B, Hp, Wp/4] words with
+    out[b, y, m].bytes == idx[b, y, 4m:4m+4], i.e. the inverse skew
+    idx[b, y, x] = bytes[b, y, x + 2y].
+
+    The word shift y//2 splits into 128*(rb//2) word-blocks absorbed by
+    the input index maps and an in-VMEM 7-step barrel shift left by
+    64*(rb&1) + (y%128)//2 words, plus a half-word blend for odd rows
+    (the 2-byte remainder of an odd 2y)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, t4 = packed_bht.shape
+    wp4 = wp // 4
+    bb = 8
+    nblk = t4 // 128 - 1
+    # input window per (j, rb) step: whole output row plus the maximum
+    # barrel displacement (64*(rb&1) + 63 words) plus the odd-row spill
+    n_in = -(-(wp4 + 129) // 128)
+    win = n_in * 128
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_ref = refs[n_in]
+        rb = pl.program_id(1)
+        cat = jnp.concatenate([r[...] for r in in_refs],
+                              axis=2)                      # [bb,128,win]
+        yl = jax.lax.broadcasted_iota(jnp.int32, (bb, 128, win), 1)
+        s = (yl >> 1) + 64 * (rb & 1)
+        for bit in range(7):
+            sh = 1 << bit
+            cond = ((s >> bit) & 1) == 1
+            cat = jnp.where(
+                cond, pltpu.roll(cat, shift=win - sh, axis=2), cat)
+        nxt = pltpu.roll(cat, shift=win - 1, axis=2)
+        blend = jax.lax.shift_right_logical(cat, 16) | (nxt << 16)
+        fixed = jnp.where((yl & 1) == 1, blend, cat)
+        out_ref[...] = fixed[:, :, 0:wp4]
+
+    def in_spec(c):
+        return pl.BlockSpec(
+            (bb, 128, 128),
+            lambda j, rb, c=c: (
+                j, rb, jnp.clip(rb // 2 + c, 0, nblk)),
+            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, hp // 128),
+        in_specs=[in_spec(c) for c in range(n_in)],
+        out_specs=pl.BlockSpec((bb, 128, wp4),
+                               lambda j, rb: (j, rb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp4), jnp.int32),
+        interpret=interpret,
+    )(*([packed_bht] * n_in))
+
+
+def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lr, lg, lb = _CUBE_LEVELS
+    levels = (lr, lg, lb)
+    nrb = hp // 128
+
+    def kernel(*refs):
+        in_refs = refs[:nrb]
+        out_ref = refs[nrb]
+        err_ref = refs[nrb + 1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            err_ref[...] = jnp.zeros_like(err_ref)
+
+        ys = jax.lax.broadcasted_iota(jnp.int32, (b, hp), 1)
+
+        def up(e):
+            rolled = pltpu.roll(e, shift=1, axis=1)
+            return jnp.where(ys == 0, jnp.float32(0.0), rolled)
+
+        t0 = pl.program_id(0) * K
+        e1 = [err_ref[c] for c in range(3)]
+        e2 = [err_ref[3 + c] for c in range(3)]
+        e3 = [err_ref[6 + c] for c in range(3)]
+        packed = None
+        for k in range(K):
+            t = t0 + k
+            xs = t - 2 * ys
+            mask = jnp.logical_and(
+                jnp.logical_and(xs >= 0, xs < w), ys < h)
+            word = jnp.concatenate([r[k] for r in in_refs], axis=1)
+            idx = None
+            new_e = []
+            for c in range(3):
+                n = levels[c]
+                col = ((word >> (8 * c)) & 0xFF).astype(jnp.float32)
+                mix = (e1[c] * (3.0 / 16.0) + e2[c] * (5.0 / 16.0)
+                       + e3[c] * (1.0 / 16.0))
+                incoming = e1[c] * (7.0 / 16.0) + up(mix)
+                v = jnp.clip(col + incoming, 0.0, 255.0)
+                q = jnp.round(v * jnp.float32((n - 1) / 255.0))
+                chosen = jnp.round(q * jnp.float32(255.0 / (n - 1)))
+                new_e.append(
+                    jnp.where(mask, v - chosen, jnp.float32(0.0)))
+                qi = q.astype(jnp.int32)
+                idx = qi if idx is None else idx * n + qi
+            e3, e2, e1 = e2, e1, new_e
+            shift = 8 * (k % 4)
+            packed = (idx << shift if k % 4 == 0
+                      else packed | (idx << shift))
+            if k % 4 == 3:
+                out_ref[k // 4] = packed
+        for c in range(3):
+            err_ref[c] = e1[c]
+            err_ref[3 + c] = e2[c]
+            err_ref[6 + c] = e3[c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
+                                             "out_u8"))
+def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
+                         interpret: bool = False,
+                         out_u8: bool = False) -> jax.Array:
+    """[B, H, W, 4] uint8 -> [B, H, W] cube-palette FS indices
+    (int32, or uint8 with ``out_u8``). All layout work in Pallas."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 8
+    b0 = frames_rgba.shape[0]
+    b = _round_up(b0, 8)
+    hp = _round_up(h, 128)
+    wp = _round_up(w, 128)
+    wf = wp + 256
+    t_len = _round_up(w + 2 * (h - 1), 512)
+
+    x = frames_rgba
+    if x.shape[-1] != 4:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 4 - x.shape[-1])])
+    pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
+    if pad_b or pad_h or pad_w:
+        x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w), (0, 0)))
+    words = jax.lax.bitcast_convert_type(x, jnp.int32)     # [B, Hp, Wp]
+
+    cols = _skewT(words, interpret=interpret)              # [Wf, B, Hp]
+
+    nrb = hp // 128
+
+    def in_spec(r):
+        return pl.BlockSpec(
+            (K, b, 128),
+            lambda i, r=r: (jnp.clip(i - (256 // K) * r, 0,
+                                     wf // K - 1), 0, r),
+            memory_space=pltpu.VMEM)
+
+    packed = pl.pallas_call(
+        _make_fs_kernel(b, hp, K, h, w, wf),
+        grid=(t_len // K,),
+        in_specs=[in_spec(r) for r in range(nrb)],
+        out_specs=pl.BlockSpec((K // 4, b, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32)],
+        interpret=interpret,
+    )(*([cols] * nrb))
+
+    packed_bht = _transpose_bwd(packed, interpret=interpret)
+    words = _unskewT(packed_bht, wp, interpret=interpret)  # [B, Hp, Wp/4]
+    idx = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+        b, hp, wp)
+    out = idx[:b0, :h, :w]
+    return out if out_u8 else out.astype(jnp.int32)
