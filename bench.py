@@ -48,12 +48,14 @@ def main() -> None:
 
     def pipeline(batch):
         # steady-state video config: opaque lean resize (the reference's
-        # video path is swscale bilinear) + FS dither against the fixed
-        # 6x7x6 cube palette (libsixel builtin-palette class) in the
-        # fused all-Pallas pipeline; the adaptive median-cut palette
-        # path is the still-image default.
-        x = resize_op.resize_batch_video(batch, OUT_H, OUT_W)
-        return fs_dither_cube_fused(x, OUT_H, OUT_W, out_u8=True)
+        # video path is swscale bilinear; ours is MXU-matmul resampling
+        # on planar bf16) + FS dither against the fixed 6x7x6 cube
+        # palette (libsixel builtin-palette class) in the fused
+        # all-Pallas pipeline; frames stay RGBA-packed i32 words
+        # throughout -- no channel-minor layouts. The adaptive
+        # median-cut palette path is the still-image default.
+        words = resize_op.resize_video_words(batch, OUT_H, OUT_W)
+        return fs_dither_cube_fused(words, OUT_H, OUT_W, out_u8=True)
 
     @jax.jit
     def run(pool_dev, iters):

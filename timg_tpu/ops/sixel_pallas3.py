@@ -241,8 +241,9 @@ def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
 def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
                          interpret: bool = False,
                          out_u8: bool = False) -> jax.Array:
-    """[B, H, W, 4] uint8 -> [B, H, W] cube-palette FS indices
-    (int32, or uint8 with ``out_u8``). All layout work in Pallas."""
+    """[B, H, W, 4] uint8 (or [B, H, W] i32 RGBA words) -> [B, H, W]
+    cube-palette FS indices (int32, or uint8 with ``out_u8``). All
+    layout work in Pallas."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -255,12 +256,14 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     t_len = _round_up(w + 2 * (h - 1), 512)
 
     x = frames_rgba
-    if x.shape[-1] != 4:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 4 - x.shape[-1])])
+    if x.ndim == 4:
+        if x.shape[-1] != 4:
+            x = jnp.pad(x, [(0, 0)] * 3 + [(0, 4 - x.shape[-1])])
+        x = jax.lax.bitcast_convert_type(x, jnp.int32)     # [B, H, W]
     pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
     if pad_b or pad_h or pad_w:
-        x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w), (0, 0)))
-    words = jax.lax.bitcast_convert_type(x, jnp.int32)     # [B, Hp, Wp]
+        x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
+    words = x                                              # [B, Hp, Wp]
 
     cols = _skewT(words, interpret=interpret)              # [Wf, B, Hp]
 
