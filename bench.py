@@ -58,27 +58,26 @@ def main() -> None:
         return fs_dither_cube_fused(words, OUT_H, OUT_W, out_u8=True)
 
     @jax.jit
-    def run(pool_dev, iters):
+    def run(p0, p1, iters):
         def body(k, s):
-            batch = jax.lax.dynamic_index_in_dim(
-                pool_dev, k % POOL, axis=0, keepdims=False)
-            idx = pipeline(batch)
+            idx = jax.lax.switch(k % POOL, [lambda: pipeline(p0),
+                                            lambda: pipeline(p1)])
             return s + idx[0, 0, 0].astype(jnp.int32) + k
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    pool_dev = jax.device_put(pool)
+    pool_dev = [jax.device_put(pool[i]) for i in range(POOL)]
 
     # Warmup / compile (1 iteration), forced by the scalar fetch.
-    np.asarray(run(pool_dev, 1))
+    np.asarray(run(*pool_dev, 1))
 
     t0 = time.perf_counter()
-    np.asarray(run(pool_dev, ITERS))
+    np.asarray(run(*pool_dev, ITERS))
     elapsed = time.perf_counter() - t0
 
     # Subtract the dispatch+fetch round trip measured on a trivial
     # program (dev-environment tunnels add ~25 ms; ~0 on a real host).
     t1 = time.perf_counter()
-    np.asarray(run(pool_dev, 0))
+    np.asarray(run(*pool_dev, 0))
     rtt = time.perf_counter() - t1
     elapsed = max(elapsed - rtt, 1e-9)
 

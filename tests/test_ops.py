@@ -268,3 +268,34 @@ def test_resize_video_close_to_exact():
     diff = np.abs(lean[..., :3].astype(int) - exact[..., :3].astype(int))
     assert diff.mean() < 1.5, diff.mean()
     assert (lean[..., 3] == 255).all()
+
+
+def test_pallas_video_resize_interpret_matches_fallback():
+    """The single-kernel Pallas video resize (manual-DMA strip kernel)
+    must be bit-identical to the vertical-first banded einsum
+    formulation it replaces (the kernel is always vertical-first; the
+    einsum fallback picks the cheaper order per shape, which only
+    changes f32 rounding at exact-.5 ties)."""
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize as rop
+    from timg_tpu.ops import resize_pallas
+
+    rng = np.random.default_rng(11)
+    for (h, w, oh, ow) in [(108, 256, 72, 160), (96, 128, 192, 256),
+                           (270, 384, 135, 240)]:
+        assert resize_pallas.fits_pallas(h, w, oh, ow)
+        fr = rng.integers(0, 256, (2, h, w, 4), dtype=np.uint8)
+        fr[..., 3] = 255
+        words = jax.lax.bitcast_convert_type(jnp.asarray(fr), jnp.int32)
+        got = np.asarray(resize_pallas.resize_video_words_pallas(
+            words, oh, ow, interpret=True))
+        with mock.patch.object(rop, "plan_passes",
+                               lambda *a, **k: True):
+            want = np.asarray(jax.jit(
+                rop.resize_video_words.__wrapped__,
+                static_argnums=(1, 2))(words, oh, ow))
+        assert np.array_equal(got, want), (h, w, oh, ow)

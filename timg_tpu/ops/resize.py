@@ -266,10 +266,14 @@ def resize_video_words(frames: jax.Array, out_h: int,
     TPU-first layout discipline: no channel-minor arrays anywhere.
     Channels are extracted from the packed word with shifts (free
     bitcast + VPU int ops), resampled as planar bf16 planes on the MXU
-    (dense band matrices, f32 accumulation -- *more* accurate than the
+    (banded tap matmuls, f32 accumulation -- *more* accurate than the
     previous bf16 madd chains), and packed back with shifts. For the
     video path parity does not bind to stb (the reference's video
-    frames go through swscale bilinear, ref video-source.cc:352)."""
+    frames go through swscale bilinear, ref video-source.cc:352).
+
+    On TPU the whole thing is one Pallas strip kernel (resize_pallas);
+    dense MXU einsums serve as the fallback for shapes whose strip
+    windows do not fit VMEM, and for other backends."""
     if frames.ndim == 4:
         words = jax.lax.bitcast_convert_type(frames, jnp.int32)
     else:
@@ -277,6 +281,12 @@ def resize_video_words(frames: jax.Array, out_h: int,
     in_h, in_w = words.shape[1], words.shape[2]
     if (in_h, in_w) == (out_h, out_w):
         return words
+
+    if jax.default_backend() == "tpu":
+        from timg_tpu.ops import resize_pallas
+        if resize_pallas.fits_pallas(in_h, in_w, out_h, out_w):
+            return resize_pallas.resize_video_words_pallas(
+                words, out_h, out_w)
     planes = jnp.stack(
         [((words >> (8 * c)) & 0xFF).astype(jnp.bfloat16)
          for c in range(3)], axis=1)                       # [B,3,H,W]
