@@ -45,6 +45,13 @@ def main() -> None:
     pool = rng.integers(0, 256, (POOL, BATCH, IN_H, IN_W, 4),
                         dtype=np.uint8)
     pool[..., 3] = 255
+    # Stage as RGBA-packed i32 words: free host-side reinterpretation
+    # (identical bytes over PCIe; the video source stages the same
+    # way), where a device-side u8->i32 bitcast would be a full
+    # relayout copy on TPU.
+    pool = pool.view(np.int32).reshape(POOL, BATCH, IN_H, IN_W)
+
+    pad_to = resize_op.padded_plane_dims(OUT_H, OUT_W)
 
     def pipeline(batch):
         # steady-state video config: opaque lean resize (the reference's
@@ -52,10 +59,15 @@ def main() -> None:
         # on planar bf16) + FS dither against the fixed 6x7x6 cube
         # palette (libsixel builtin-palette class) in the fused
         # all-Pallas pipeline; frames stay RGBA-packed i32 words
-        # throughout -- no channel-minor layouts. The adaptive
-        # median-cut palette path is the still-image default.
-        words = resize_op.resize_video_words(batch, OUT_H, OUT_W)
-        return fs_dither_cube_fused(words, OUT_H, OUT_W, out_u8=True)
+        # throughout -- no channel-minor layouts, and the 128-aligned
+        # padded plane layout flows straight from the resize kernel to
+        # the dither to the pitched host assembler (no pad/slice
+        # copies). The adaptive median-cut palette path is the
+        # still-image default.
+        words = resize_op.resize_video_words(batch, OUT_H, OUT_W,
+                                             pad_to=pad_to)
+        return fs_dither_cube_fused(words, OUT_H, OUT_W, out_u8=True,
+                                    out_padded=True)
 
     @jax.jit
     def run(p0, p1, iters):

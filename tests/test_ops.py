@@ -299,3 +299,58 @@ def test_pallas_video_resize_interpret_matches_fallback():
                 rop.resize_video_words.__wrapped__,
                 static_argnums=(1, 2))(words, oh, ow))
         assert np.array_equal(got, want), (h, w, oh, ow)
+
+
+def test_padded_plane_flow_interpret():
+    """resize(pad_to=...) -> fused dither(out_padded) must equal the
+    unpadded flow on the valid region: the padded plane layout flows
+    from the resize kernel through the dither with no pad/slice
+    copies, and the pitched region beyond (h, w) is ignored."""
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize as rop
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+
+    h, w, oh, ow = 270, 384, 135, 240
+    pad_to = rop.padded_plane_dims(oh, ow)
+    assert pad_to == (256, 256)
+    rng = np.random.default_rng(5)
+    fr = rng.integers(0, 256, (8, h, w, 4), dtype=np.uint8)
+    fr[..., 3] = 255
+    words = jax.lax.bitcast_convert_type(jnp.asarray(fr), jnp.int32)
+
+    padded = rop.resize_video_words(words, oh, ow, pad_to=pad_to)
+    assert padded.shape == (8, 256, 256)
+    plain = rop.resize_video_words(words, oh, ow)
+    assert np.array_equal(np.asarray(padded)[:, :oh, :ow],
+                          np.asarray(plain))
+
+    got = np.asarray(fs_dither_cube_fused(
+        padded, oh, ow, interpret=True, out_u8=True, out_padded=True))
+    assert got.shape == (8, 256, 256)
+    want = np.asarray(fs_dither_cube_fused(
+        plain, oh, ow, interpret=True, out_u8=True))
+    assert np.array_equal(got[:, :oh, :ow], want)
+
+
+def test_pallas_resize_padded_output_interpret():
+    """out_h_pad/out_w_pad on the strip kernel: valid region identical
+    to the unpadded call, pad rows zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize_pallas
+
+    h, w, oh, ow = 270, 384, 135, 240
+    rng = np.random.default_rng(9)
+    fr = rng.integers(0, 256, (2, h, w, 4), dtype=np.uint8)
+    fr[..., 3] = 255
+    words = jax.lax.bitcast_convert_type(jnp.asarray(fr), jnp.int32)
+    plain = np.asarray(resize_pallas.resize_video_words_pallas(
+        words, oh, ow, interpret=True))
+    padded = np.asarray(resize_pallas.resize_video_words_pallas(
+        words, oh, ow, interpret=True, out_h_pad=256, out_w_pad=256))
+    assert padded.shape == (2, 256, 256)
+    assert np.array_equal(padded[:, :oh, :ow], plain)
+    assert (padded[:, oh:, :] == 0).all()

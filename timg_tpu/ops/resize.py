@@ -255,9 +255,18 @@ def _band_matrix_np(in_size: int, out_size: int, horizontal: bool):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-def resize_video_words(frames: jax.Array, out_h: int,
-                       out_w: int) -> jax.Array:
+def padded_plane_dims(out_h: int, out_w: int) -> tuple:
+    """(oh_pad, ow_pad) layout shared by resize ``pad_to`` and the
+    fused sixel dither: rows to a 128 multiple, cols to the Pallas
+    resize strip width (256 multiple, also a valid dither width)."""
+    r = lambda x, m: (x + m - 1) // m * m
+    return r(out_h, 128), r(out_w, 256)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w",
+                                             "pad_to"))
+def resize_video_words(frames: jax.Array, out_h: int, out_w: int,
+                       pad_to: tuple | None = None) -> jax.Array:
     """Lean opaque-frame resize, word in / word out.
 
     [B, H, W, 4] uint8 (or [B, H, W] i32 RGBA words) ->
@@ -273,20 +282,32 @@ def resize_video_words(frames: jax.Array, out_h: int,
 
     On TPU the whole thing is one Pallas strip kernel (resize_pallas);
     dense MXU einsums serve as the fallback for shapes whose strip
-    windows do not fit VMEM, and for other backends."""
+    windows do not fit VMEM, and for other backends.
+
+    ``pad_to=(oh_pad, ow_pad)`` returns [B, oh_pad, ow_pad] with the
+    extra rows zero and extra cols unspecified -- the layout the fused
+    sixel dither consumes (dims must be what padded_plane_dims
+    returns; the Pallas kernel emits it for free, the fallback pads)."""
     if frames.ndim == 4:
         words = jax.lax.bitcast_convert_type(frames, jnp.int32)
     else:
         words = frames
     in_h, in_w = words.shape[1], words.shape[2]
-    if (in_h, in_w) == (out_h, out_w):
+    if (in_h, in_w) == (out_h, out_w) and not pad_to:
         return words
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and (in_h, in_w) != (out_h, out_w):
         from timg_tpu.ops import resize_pallas
         if resize_pallas.fits_pallas(in_h, in_w, out_h, out_w):
+            if pad_to:
+                return resize_pallas.resize_video_words_pallas(
+                    words, out_h, out_w, out_h_pad=pad_to[0],
+                    out_w_pad=pad_to[1])
             return resize_pallas.resize_video_words_pallas(
                 words, out_h, out_w)
+    if (in_h, in_w) == (out_h, out_w):                     # pad only
+        return jnp.pad(words, ((0, 0), (0, pad_to[0] - out_h),
+                               (0, pad_to[1] - out_w)))
     planes = jnp.stack(
         [((words >> (8 * c)) & 0xFF).astype(jnp.bfloat16)
          for c in range(3)], axis=1)                       # [B,3,H,W]
@@ -306,8 +327,12 @@ def resize_video_words(frames: jax.Array, out_h: int,
         x = jnp.einsum("bchl,hk->bckl", x.astype(jnp.bfloat16), mv,
                        preferred_element_type=jnp.float32)
     v = jnp.clip(x + jnp.float32(0.5), 0.0, 255.0).astype(jnp.int32)
-    return (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
-            | jnp.int32(-(1 << 24)))                       # alpha 255
+    out = (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+           | jnp.int32(-(1 << 24)))                        # alpha 255
+    if pad_to:
+        out = jnp.pad(out, ((0, 0), (0, pad_to[0] - out_h),
+                            (0, pad_to[1] - out_w)))
+    return out
 
 
 def resize_batch_video(frames, out_h: int, out_w: int):

@@ -96,7 +96,8 @@ def _vmem_estimate(h, w, oh, ow, win_w, win_v, rt):
             + h * win_w * 4)             # unpack temps
 
 
-def _make_kernel(h, w, oh, ow_pad, win_w, win_v, rt, sv, n_steps, kq):
+def _make_kernel(h, w, oh, oh_pad, ow_pad, win_w, win_v, rt, sv,
+                 n_steps, kq):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -149,16 +150,28 @@ def _make_kernel(h, w, oh, ow_pad, win_w, win_v, rt, sv, n_steps, kq):
             vi = jnp.clip(hpass + jnp.float32(0.5),
                           0.0, 255.0).astype(jnp.int32)
             packed = vi if c == 0 else packed | (vi << (8 * c))
-        out_ref[0] = packed | jnp.int32(-(1 << 24))
+        packed = packed | jnp.int32(-(1 << 24))
+        if oh_pad != oh:
+            packed = jnp.pad(packed, ((0, oh_pad - oh), (0, 0)))
+        out_ref[0] = packed
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w",
-                                             "interpret"))
+                                             "interpret", "out_h_pad",
+                                             "out_w_pad"))
 def resize_video_words_pallas(words: jax.Array, out_h: int, out_w: int,
-                              interpret: bool = False) -> jax.Array:
-    """[B, H, W] i32 RGBA words -> [B, out_h, out_w] i32 words."""
+                              interpret: bool = False,
+                              out_h_pad: int = 0,
+                              out_w_pad: int = 0) -> jax.Array:
+    """[B, H, W] i32 RGBA words -> [B, out_h, out_w] i32 words.
+
+    With ``out_h_pad``/``out_w_pad`` the result is [B, out_h_pad,
+    out_w_pad] with zero rows below out_h and the natural strip
+    padding right of out_w (downstream dither kernels want 128-row /
+    128-col aligned planes; emitting them here skips a 0.5 GB pad
+    copy per 128-frame 720p batch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -169,6 +182,13 @@ def resize_video_words_pallas(words: jax.Array, out_h: int, out_w: int,
     rt = tiles_v.shape[0]
     kq = tiles_w.shape[0]
     ow_pad = kq * 256
+    oh_pad = out_h
+    if out_h_pad:
+        if out_h_pad < out_h or out_h_pad % 8:
+            raise ValueError("out_h_pad must be >= out_h, 8-aligned")
+        oh_pad = out_h_pad
+    if out_w_pad and out_w_pad != ow_pad:
+        raise ValueError(f"out_w_pad must be the strip width {ow_pad}")
     sv = tuple(int(x) for x in s_v)
     # transposed vertical tiles: [rt, 128, win_v]
     mv = jnp.asarray(np.ascontiguousarray(
@@ -187,7 +207,7 @@ def resize_video_words_pallas(words: jax.Array, out_h: int, out_w: int,
             pl.BlockSpec((1, win_w, 256), lambda j, q, s: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_h, 256),
+        out_specs=pl.BlockSpec((1, oh_pad, 256),
                                lambda j, q, s: (j, 0, q),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -196,12 +216,14 @@ def resize_video_words_pallas(words: jax.Array, out_h: int, out_w: int,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(h, w, out_h, ow_pad, win_w, win_v, rt, sv,
+        _make_kernel(h, w, out_h, oh_pad, ow_pad, win_w, win_v, rt, sv,
                      n_steps, kq),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, out_h, ow_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, oh_pad, ow_pad), jnp.int32),
         interpret=interpret,
     )(starts, words, mv, mw)
+    if out_h_pad or out_w_pad:
+        return out
     if ow_pad != out_w:
         out = out[:, :, :out_w]
     return out

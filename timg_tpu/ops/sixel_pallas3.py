@@ -237,13 +237,22 @@ def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
-                                             "out_u8"))
+                                             "out_u8", "out_padded"))
 def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
                          interpret: bool = False,
-                         out_u8: bool = False) -> jax.Array:
+                         out_u8: bool = False,
+                         out_padded: bool = False) -> jax.Array:
     """[B, H, W, 4] uint8 (or [B, H, W] i32 RGBA words) -> [B, H, W]
     cube-palette FS indices (int32, or uint8 with ``out_u8``). All
-    layout work in Pallas."""
+    layout work in Pallas.
+
+    The word input may arrive *pre-padded* to [B8, Hp, Wp] (batch
+    multiple of 8, dims multiples of 128, h/w give the valid extent;
+    pad content is arbitrary -- the wavefront masks it). The producer
+    (resize_pallas with out_h_pad/out_w_pad) emits that layout
+    directly, skipping a 0.5 GB XLA pad here. With ``out_padded`` the
+    result stays [B8, Hp, Wp] uint8 (row pitch Wp); the host sixel
+    assembler consumes pitched planes, skipping the slice copy."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -252,17 +261,22 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     b = _round_up(b0, 8)
     hp = _round_up(h, 128)
     wp = _round_up(w, 128)
-    wf = wp + 256
-    t_len = _round_up(w + 2 * (h - 1), 512)
 
     x = frames_rgba
     if x.ndim == 4:
         if x.shape[-1] != 4:
             x = jnp.pad(x, [(0, 0)] * 3 + [(0, 4 - x.shape[-1])])
         x = jax.lax.bitcast_convert_type(x, jnp.int32)     # [B, H, W]
-    pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
-    if pad_b or pad_h or pad_w:
-        x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
+    if x.shape[1] >= h and x.shape[1] % 128 == 0 \
+            and x.shape[2] >= w and x.shape[2] % 128 == 0 \
+            and x.shape[0] % 8 == 0:
+        b, hp, wp = x.shape                                # pre-padded
+    else:
+        pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
+        if pad_b or pad_h or pad_w:
+            x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
+    wf = wp + 256
+    t_len = _round_up(w + 2 * (h - 1), 512)
     words = x                                              # [B, Hp, Wp]
 
     cols = _skewT(words, interpret=interpret)              # [Wf, B, Hp]
@@ -291,5 +305,5 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     words = _unskewT(packed_bht, wp, interpret=interpret)  # [B, Hp, Wp/4]
     idx = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
         b, hp, wp)
-    out = idx[:b0, :h, :w]
+    out = idx if out_padded else idx[:b0, :h, :w]
     return out if out_u8 else out.astype(jnp.int32)

@@ -102,19 +102,26 @@ class VideoSource(ImageSource):
         import jax.numpy as jnp
 
         from timg_tpu.ops.compose import alpha_compose_background
-        from timg_tpu.ops.resize import resize_batch, resize_batch_video
+        from timg_tpu.ops.resize import resize_batch
 
         opts = self._options
         tw, th = self._target
-        x = jnp.asarray(np.stack(raw))
+        arr = np.stack(raw)
         if self._maybe_transparent():
-            x = resize_batch(x, th, tw)
+            x = resize_batch(jnp.asarray(arr), th, tw)
+            result = np.asarray(x)
         else:
             # opaque codecs: lean resize (the reference's video path uses
             # swscale bilinear here, ref video-source.cc:352, so the
-            # stb-exact pipeline isn't the parity target)
-            x = resize_batch_video(x, th, tw)
-        result = np.asarray(x)
+            # stb-exact pipeline isn't the parity target). Frames are
+            # staged to the device as RGBA-packed i32 words -- a free
+            # reinterpretation on host, where a device-side u8->i32
+            # bitcast would be a full relayout copy on TPU.
+            from timg_tpu.ops.resize import resize_video_words
+            words = jnp.asarray(
+                arr.view(np.int32).reshape(arr.shape[:3]))
+            out = np.asarray(resize_video_words(words, th, tw))
+            result = out.view(np.uint8).reshape(out.shape + (4,))
         if opts.bgcolor_getter is not None and (result[..., 3] != 255).any():
             bg = opts.bgcolor_getter()
             if bg[3] != 0:
