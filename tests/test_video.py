@@ -140,3 +140,48 @@ def test_video_sixel_canvas_animation(y4m_file, dither):
                                                            seq, t))
     assert len(sent) == 10
     assert all(b"\033P0;0;8q" in s for s in sent)
+
+
+@pytest.mark.parametrize("dither", ["adaptive", "cube"])
+def test_video_sixel_primed_batch_identical(y4m_file, dither):
+    """The batched primed-plane path (one device dispatch per window,
+    wired when DisplayOptions.sixel_batch_dither is set) must produce
+    byte-identical streams to the per-frame canvas path."""
+    from timg_tpu.options import DisplayOptions, SixelOptions
+    from timg_tpu.render.sixel_render import SixelCanvas
+
+    import unittest.mock as mock
+
+    from timg_tpu.ops import sixel as sixel_op
+
+    def run(batched):
+        sent = []
+
+        class FakeSequencer:
+            def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+                sent.append(block)
+
+        opts_over = {}
+        if batched:
+            opts_over["sixel_batch_dither"] = dither
+        src = _load(y4m_file, **opts_over)
+        opts = DisplayOptions()
+        opts.cell_x_px, opts.cell_y_px = 8, 16
+        opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+        canvas = SixelCanvas(FakeSequencer(), SixelOptions(), opts,
+                             dither=dither)
+        name = "fs_dither" if dither == "adaptive" else "fs_dither_cube"
+        with mock.patch.object(sixel_op, name,
+                               side_effect=getattr(sixel_op, name)) as spy:
+            src.send_frames(float("inf"), 1, lambda: False,
+                            lambda dx, dy, fb, seq, t: canvas.send(
+                                dx, dy, fb, seq, t))
+        return sent, spy.call_count
+
+    plain, n_plain = run(batched=False)
+    primed, n_primed = run(batched=True)
+    assert len(plain) == len(primed) == 10
+    assert plain == primed
+    # per-frame dither calls collapse into batched window dispatches
+    assert n_plain == 10
+    assert n_primed <= 2  # 10 frames / window of 8

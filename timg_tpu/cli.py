@@ -356,6 +356,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             display.cell_y_px = tsize.font_height_px
     display.width = geometry_width * display.cell_x_px
     display.height = geometry_height * display.cell_y_px
+    if present.pixelation == Pixelation.SIXEL:
+        # lets sources prime batched dither planes for video windows
+        display.sixel_batch_dither = present.sixel_dither
 
     filelist.extend(args.files)
     if not filelist:

@@ -105,6 +105,11 @@ class DisplayOptions:
     bg_pattern_color: RGBA = TRANSPARENT
     pattern_size: int = 1
 
+    # Session renders sixel ("cube" | "adaptive"): sources prime
+    # batched dither planes for animation/video windows (timg-tpu
+    # extension; None for non-sixel sessions).
+    sixel_batch_dither: Optional[str] = None
+
     def __post_init__(self) -> None:
         # Env-var default for the title format (ref: display-options.h:35-38).
         env_fmt = os.environ.get("TIMG_DEFAULT_TITLE")

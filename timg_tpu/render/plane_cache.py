@@ -35,6 +35,7 @@ class PlaneCache:
 
 
 BLOCK_PLANES = PlaneCache()
+SIXEL_PLANES = PlaneCache()
 
 
 def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool
@@ -48,6 +49,56 @@ def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool
     if not use_upper_half_block:
         return np.concatenate([empty, frames], axis=1)
     return np.concatenate([frames, empty], axis=1)
+
+
+def prime_sixel_planes(frames: list, options, state: dict) -> None:
+    """Batched sixel dither for an animation/video window: one device
+    dispatch computes the index planes the canvas would otherwise
+    produce frame-by-frame (bit-identical -- same strip padding, same
+    palette rules: cube, or adaptive median-cut built once per
+    animation and reused, ref sixel-canvas.cc:109-148 analog).
+
+    ``state`` is owned by the source and carries the adaptive palette
+    across windows/loops (the canvas refreshes at animation starts
+    from the same first frame, so reuse stays byte-identical)."""
+    mode = getattr(options, "sixel_batch_dither", None)
+    if not frames or mode not in ("cube", "adaptive"):
+        return
+    import jax
+
+    from timg_tpu.ops import sixel as sixel_op
+
+    h, w = frames[0].shape[:2]
+    padded_h = h + 5 - (h + 5) % 6                 # round up to sixel 6
+    batch = np.zeros((len(frames), padded_h, w, 4), np.uint8)
+    batch[:, :h] = np.stack(frames)
+    if padded_h > h and options.bgcolor_getter is not None:
+        bg = options.bgcolor_getter()
+        if bg[3] != 0:
+            batch[:, h:, :, :3] = bg[:3]
+            batch[:, h:, :, 3] = 255
+
+    if mode == "cube":
+        palette = None
+        if jax.default_backend() == "tpu":
+            from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+            words = jax.numpy.asarray(
+                batch.view(np.int32).reshape(batch.shape[:3]))
+            indices = np.asarray(fs_dither_cube_fused(
+                words, padded_h, w, out_u8=True))
+        else:
+            indices = np.asarray(
+                sixel_op.fs_dither_cube(batch)).astype(np.uint8)
+    else:
+        palette = state.get("palette")
+        if palette is None:
+            palette = sixel_op.median_cut_palette(batch[0, ..., :3])
+            state["palette"] = palette
+        indices = np.asarray(
+            sixel_op.fs_dither(batch[..., :3], palette)).astype(np.uint8)
+
+    for i, frame in enumerate(frames):
+        SIXEL_PLANES.put(frame, (indices[i], palette))
 
 
 def prime_block_planes(frames: list, options) -> None:

@@ -217,6 +217,24 @@ class SixelCanvas(TerminalCanvas):
             self.move_cursor_dy(self.cell_height_for_pixels(dy))
         self.move_cursor_dx(x // self._options.cell_x_px)
 
+        # Batched path: sources prime whole animation/video windows in
+        # one device dispatch (bit-identical planes; see plane_cache).
+        from timg_tpu.render.plane_cache import SIXEL_PLANES
+        primed = SIXEL_PLANES.pop(frame)
+        if primed is not None:
+            indices, palette = primed
+            if palette is None:
+                palette = sixel_op.cube_palette()
+            else:
+                self._palette = palette
+            out = bytearray(self.consume_prefix())
+            out += self._before
+            out += encode_sixel_stream(indices, palette)
+            out += self._after
+            self._sequencer.write_buffer(bytes(out), seq_type,
+                                         end_of_frame_ms)
+            return
+
         h, w = frame.shape[:2]
         padded_h = _round_to_sixel(h)
         fb = np.zeros((padded_h, w, 4), dtype=np.uint8)

@@ -38,6 +38,7 @@ class VideoSource(ImageSource):
         self._fps = 25.0
         self._target = (0, 0)
         self._is_apng_like = False
+        self._sixel_state: dict = {}  # adaptive palette across windows
 
     def load_and_scale(self, options: DisplayOptions, frame_offset: int,
                        frame_count: int) -> bool:
@@ -133,8 +134,10 @@ class VideoSource(ImageSource):
                     pattern_h=opts.pattern_size * opts.cell_y_px // 2,
                 ))
         frames = list(result)
-        from timg_tpu.render.plane_cache import prime_block_planes
+        from timg_tpu.render.plane_cache import (prime_block_planes,
+                                                 prime_sixel_planes)
         prime_block_planes(frames, opts)
+        prime_sixel_planes(frames, opts, self._sixel_state)
         return frames
 
     def send_frames(self, duration_ms: float, loops: int,
