@@ -151,3 +151,49 @@ def test_sixel_cli_runs(corpus):
                    [corpus["noise_64x48.png"]])
     assert out.startswith(b"\033[?25l")
     assert b"\033P" in out and b"\033\\" in out
+
+
+@pytest.mark.parametrize("dither", ["adaptive", "cube"])
+def test_gif_sixel_primed_batch_identical(tmp_path, dither):
+    """Animated-image sixel windows primed at load time must render
+    byte-identically to the per-frame canvas path."""
+    from PIL import Image
+
+    from timg_tpu.options import DisplayOptions, SixelOptions
+    from timg_tpu.render.sixel_render import SixelCanvas
+    from timg_tpu.sources.pil_source import PILSource
+
+    rng = np.random.default_rng(3)
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (40, 52, 3), dtype=np.uint8), "RGB")
+        for _ in range(5)]
+    path = str(tmp_path / "anim.gif")
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=40, loop=0)
+
+    def run(batched):
+        sent = []
+
+        class FakeSequencer:
+            def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+                sent.append(block)
+
+        opts = DisplayOptions()
+        opts.width, opts.height = 48, 36
+        opts.cell_x_px, opts.cell_y_px = 8, 16
+        opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+        if batched:
+            opts.sixel_batch_dither = dither
+        src = PILSource(path)
+        assert src.load_and_scale(opts, 0, -1)
+        canvas = SixelCanvas(FakeSequencer(), SixelOptions(),
+                             opts, dither=dither)
+        src.send_frames(float("inf"), 1, lambda: False,
+                        lambda dx, dy, fb, seq, t: canvas.send(
+                            dx, dy, fb, seq, t))
+        return sent
+
+    plain = run(batched=False)
+    primed = run(batched=True)
+    assert len(plain) == len(primed) == 5
+    assert plain == primed

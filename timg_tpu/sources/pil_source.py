@@ -160,6 +160,9 @@ def _process_frames(
                         jnp.asarray(pat_a), pattern_w=pw, pattern_h=ph))
         out.extend(result)
 
-    from timg_tpu.render.plane_cache import prime_block_planes
+    from timg_tpu.render.plane_cache import (prime_block_planes,
+                                             prime_sixel_planes)
     prime_block_planes(out, options)
+    if all(f.shape == out[0].shape for f in out):
+        prime_sixel_planes(out, options, {})  # palette per image
     return out

@@ -76,6 +76,7 @@ def send_scroll_frames(
     time_ms = 0.0
     is_first = True
     k = 0
+    sixel_state: dict = {}  # adaptive palette persists across windows
     while (loops < 0 or k < loops) and not interrupt() \
             and time_ms < duration_ms:
         pos = 0
@@ -85,8 +86,10 @@ def send_scroll_frames(
             count = min(_WINDOW, cycle + 1 - pos)
             window = list(scroll_frames(img, display_w, display_h, dx, dy,
                                         pos, count))
-            from timg_tpu.render.plane_cache import prime_block_planes
+            from timg_tpu.render.plane_cache import (prime_block_planes,
+                                                     prime_sixel_planes)
             prime_block_planes(window, options)
+            prime_sixel_planes(window, options, sixel_state)
             for frame in window:
                 if interrupt() or time_ms > duration_ms:
                     break
