@@ -231,3 +231,50 @@ class TestNativeEmitter:
                 want = canvas._emit_frame_py(glyph, fg, bg, eq, indent=3)
                 got = _emit_frame_native(lib, glyph, fg, bg, eq, 3, use_256)
                 assert got == want, (use_256, trial)
+
+
+class TestOpenSlideSource:
+    def test_gated_hint_for_slide_suffix(self, tmp_path):
+        import pytest
+
+        from timg_tpu.sources.openslide_source import OpenSlideSource, _lib
+        from timg_tpu.options import DisplayOptions
+
+        p = tmp_path / "x.svs"
+        p.write_bytes(b"\x00" * 16)
+        src = OpenSlideSource(str(p))
+        opts = DisplayOptions()
+        opts.width, opts.height = 80, 48
+        if _lib() is None:
+            with pytest.raises(RuntimeError, match="libopenslide"):
+                src.load_and_scale(opts, 0, -1)
+        else:  # lib present: corrupt file is just skipped
+            assert src.load_and_scale(opts, 0, -1) is False
+
+    def test_non_slide_falls_through(self, tmp_path):
+        from timg_tpu.sources.openslide_source import OpenSlideSource
+        from timg_tpu.options import DisplayOptions
+
+        p = tmp_path / "x.png"
+        p.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+        opts = DisplayOptions()
+        opts.width, opts.height = 80, 48
+        assert OpenSlideSource(str(p)).load_and_scale(opts, 0, -1) is False
+
+    def test_argb_conversion_unpremultiply(self):
+        import numpy as np
+
+        from timg_tpu.sources.openslide_source import _argb_to_rgba
+
+        # premultiplied half-alpha red + opaque green + transparent
+        words = np.array([
+            (128 << 24) | (64 << 16),          # a=128, r_pre=64 -> r=127
+            (255 << 24) | (200 << 8),          # opaque g=200
+            0,                                  # fully transparent
+        ], np.uint32)
+        out = _argb_to_rgba(words, 1, 3)
+        assert out.shape == (1, 3, 4)
+        assert tuple(out[0, 0]) == (128, 0, 0, 128) or \
+            tuple(out[0, 0]) == (127, 0, 0, 128)
+        assert tuple(out[0, 1]) == (0, 200, 0, 255)
+        assert tuple(out[0, 2]) == (0, 0, 0, 0)

@@ -185,3 +185,29 @@ def test_video_sixel_primed_batch_identical(y4m_file, dither):
     # per-frame dither calls collapse into batched window dispatches
     assert n_plain == 10
     assert n_primed <= 2  # 10 frames / window of 8
+
+
+def test_video_from_stdin_dash_V(y4m_file):
+    """`timg -V -` reads a video from stdin (ref video-source.cc maps
+    '-' to /dev/stdin; '-V' skips image probing, ref timg.cc)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = open(y4m_file, "rb").read()
+    code = (
+        "import os,sys;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        f"sys.path.insert(0,{repo!r});"
+        "import jax;jax.config.update('jax_platforms','cpu');"
+        "from timg_tpu.cli import main;"
+        "sys.exit(main(['-V','-pq','-g40x20','--debug-no-frame-delay',"
+        "'-b','black','--loops=1','-o',sys.argv[1],'-']))"
+    )
+    out_path = y4m_file + ".stdout"
+    res = subprocess.run([sys.executable, "-c", code, out_path],
+                         input=data, capture_output=True, timeout=240)
+    assert res.returncode == 0, res.stderr[-800:]
+    out = open(out_path, "rb").read()
+    os.unlink(out_path)
+    assert out.count(b"\033[0m\n") >= 10  # all 10 frames rendered

@@ -159,6 +159,10 @@ def create_source(
 
     candidates: list = []
     if attempt_image_loading:
+        # OpenSlide first, like the reference factory priority
+        # (ref image-source.cc:161-221)
+        from timg_tpu.sources.openslide_source import OpenSlideSource
+        candidates.append(OpenSlideSource)
         candidates.append(QOISource)
         candidates.append(SVGSource)
         candidates.append(PDFSource)
