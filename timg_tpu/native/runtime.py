@@ -8,7 +8,9 @@ import subprocess
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libtimg_native.so")
+# Overridable for sanitizer builds (make tsan -> libtimg_native_tsan.so)
+_SO = os.environ.get("TIMG_NATIVE_LIB",
+                     os.path.join(_DIR, "libtimg_native.so"))
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
