@@ -53,3 +53,32 @@ def test_sharded_matches_single_device():
     assert np.array_equal(g1, g2)
     assert np.array_equal(f1, f2)
     assert np.array_equal(b1, b2)
+
+
+def test_sharded_video_sixel_matches_single():
+    """Data-sharded video sixel pipeline == single-device result."""
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import fs_dither_cube
+    from timg_tpu.ops.resize import resize_video_words
+    from timg_tpu.parallel.mesh import make_mesh, sharded_video_sixel_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh8 = make_mesh(8, data=8)
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (8, 48, 64, 4), dtype=np.uint8)
+    frames[..., 3] = 255
+    words = jax.lax.bitcast_convert_type(jnp.asarray(frames), jnp.int32)
+
+    fn = sharded_video_sixel_pipeline(mesh8, 24, 32)
+    with mesh8:
+        got = np.asarray(fn(words))
+
+    resized = resize_video_words(words, 24, 32)
+    want = np.asarray(fs_dither_cube(
+        jax.lax.bitcast_convert_type(resized, jnp.uint8))).astype(np.uint8)
+    assert got.shape == want.shape == (8, 24, 32)
+    assert np.array_equal(got, want)

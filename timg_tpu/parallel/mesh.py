@@ -69,3 +69,32 @@ def sharded_quarter_pipeline(mesh: Mesh, out_h: int, out_w: int,
         in_shardings=(in_sharding,),
         out_shardings=(plane_sharding, color_sharding, color_sharding),
     )
+
+
+def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int):
+    """jit the flagship video path (words -> resize -> cube FS dither ->
+    index planes) with the frame batch sharded over the ``data`` axis.
+
+    Every frame is independent through resize and dithering, so this is
+    pure data parallelism: each chip runs the full per-shard Pallas
+    pipeline on its slice; no cross-chip collectives are needed (the
+    classic contact-sheet/video-window fan-out, ref SURVEY §2.4).
+    Pallas kernels do not auto-partition under GSPMD, so the per-shard
+    body runs under shard_map.
+    """
+    from timg_tpu.ops.resize import resize_video_words
+
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+
+    interpret = jax.default_backend() != "tpu"
+
+    def per_shard(words):
+        resized = resize_video_words(words, out_h, out_w)
+        return fs_dither_cube_fused(resized, out_h, out_w,
+                                    out_u8=True, interpret=interpret)
+
+    fn = jax.shard_map(per_shard, mesh=mesh,
+                       in_specs=P("data", None, None),
+                       out_specs=P("data", None, None),
+                       check_vma=False)  # pallas out_shapes carry no vma
+    return jax.jit(fn)
