@@ -354,3 +354,22 @@ def test_pallas_resize_padded_output_interpret():
     assert padded.shape == (2, 256, 256)
     assert np.array_equal(padded[:, :oh, :ow], plain)
     assert (padded[:, oh:, :] == 0).all()
+
+
+def test_fused_fs_wide_raster_small_batch_blocks():
+    """Wide rasters (4K-class widths) shrink the unskew batch block to
+    fit scoped VMEM (bb<8); the result must stay bit-identical to the
+    scan formulation."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import fs_dither_cube
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+
+    rng = np.random.default_rng(12)
+    b, h, w = 2, 12, 2816  # wp4+win crosses the bb=8 VMEM threshold
+    img = rng.integers(0, 256, (b, h, w, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    want = np.asarray(fs_dither_cube(img))
+    got = np.asarray(fs_dither_cube_fused(jnp.asarray(img), h, w,
+                                          interpret=True))
+    assert np.array_equal(got, want)

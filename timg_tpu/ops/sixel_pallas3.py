@@ -137,12 +137,17 @@ def _unskewT(packed_bht: jax.Array, wp: int,
 
     b, hp, t4 = packed_bht.shape
     wp4 = wp // 4
-    bb = 8
     nblk = t4 // 128 - 1
     # input window per (j, rb) step: whole output row plus the maximum
     # barrel displacement (64*(rb&1) + 63 words) plus the odd-row spill
     n_in = -(-(wp4 + 129) // 128)
     win = n_in * 128
+    # batch block: adapt to the 16 MB scoped-VMEM budget (4K rows blow
+    # it at bb=8; the trailing block dims stay (128, wp4) so a smaller
+    # leading dim is always legal)
+    bb = 8
+    while bb > 1 and 2 * bb * 128 * (win + wp4) * 4 > 12 * 1024 * 1024:
+        bb //= 2
 
     def kernel(*refs):
         in_refs = refs[:n_in]
