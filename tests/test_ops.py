@@ -373,3 +373,33 @@ def test_fused_fs_wide_raster_small_batch_blocks():
     got = np.asarray(fs_dither_cube_fused(jnp.asarray(img), h, w,
                                           interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_pallas_tiled_resize_interpret_matches_fallback():
+    """The row-tiled strip resize (bounded VMEM windows for 4K-class
+    inputs) must be bit-identical to the vertical-first einsum
+    formulation, including non-128-multiple heights where the aligned
+    window clamp needs the widen-until-covered loop."""
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize as rop
+    from timg_tpu.ops import resize_pallas
+
+    rng = np.random.default_rng(13)
+    for (h, w, oh, ow) in [(270, 384, 135, 240), (96, 128, 192, 256),
+                           (540, 1024, 270, 512)]:
+        assert resize_pallas.fits_pallas_tiled(h, w, oh, ow)
+        fr = rng.integers(0, 256, (2, h, w, 4), dtype=np.uint8)
+        fr[..., 3] = 255
+        words = jax.lax.bitcast_convert_type(jnp.asarray(fr), jnp.int32)
+        got = np.asarray(resize_pallas.resize_video_words_pallas_tiled(
+            words, oh, ow, interpret=True))
+        with mock.patch.object(rop, "plan_passes",
+                               lambda *a, **k: True):
+            want = np.asarray(jax.jit(
+                rop.resize_video_words.__wrapped__,
+                static_argnums=(1, 2))(words, oh, ow))
+        assert np.array_equal(got, want), (h, w, oh, ow)

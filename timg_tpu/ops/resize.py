@@ -298,13 +298,18 @@ def resize_video_words(frames: jax.Array, out_h: int, out_w: int,
 
     if jax.default_backend() == "tpu" and (in_h, in_w) != (out_h, out_w):
         from timg_tpu.ops import resize_pallas
+        kw = {}
+        if pad_to:
+            kw = dict(out_h_pad=pad_to[0], out_w_pad=pad_to[1])
         if resize_pallas.fits_pallas(in_h, in_w, out_h, out_w):
-            if pad_to:
-                return resize_pallas.resize_video_words_pallas(
-                    words, out_h, out_w, out_h_pad=pad_to[0],
-                    out_w_pad=pad_to[1])
             return resize_pallas.resize_video_words_pallas(
-                words, out_h, out_w)
+                words, out_h, out_w, **kw)
+        # 4K-class inputs: full-height windows blow VMEM; the row-tiled
+        # variant DMAs only each 128-row output tile's input window.
+        if resize_pallas.fits_pallas_tiled(in_h, in_w, out_h, out_w) \
+                and (not pad_to or pad_to[0] % 128 == 0):
+            return resize_pallas.resize_video_words_pallas_tiled(
+                words, out_h, out_w, **kw)
     if (in_h, in_w) == (out_h, out_w):                     # pad only
         return jnp.pad(words, ((0, 0), (0, pad_to[0] - out_h),
                                (0, pad_to[1] - out_w)))

@@ -70,9 +70,18 @@ def _axis_plan(in_size: int, out_size: int, tile: int, horizontal: bool,
     s_k = (s_k // start_align) * start_align
     width = int((his - s_k).max())
     win = min(_round_up(width, win_align), in_size)
-    s_k = np.minimum(s_k, max(in_size - win, 0))
-    s_k = np.maximum(s_k, 0)
-    s_k = (s_k // start_align) * start_align
+    # Clamp starts into bounds, re-align, and widen the window until
+    # every tile's taps are covered (the aligned clamp can otherwise
+    # push a window below its tile's rows when in_size is not a
+    # start_align multiple).
+    while True:
+        s_k = np.minimum(s_k, max(in_size - win, 0))
+        s_k = np.maximum(s_k, 0)
+        s_k = (s_k // start_align) * start_align
+        need = int((np.minimum(his, in_size) - s_k).max())
+        if need <= win or win >= in_size:
+            break
+        win = min(_round_up(need, win_align), in_size)
 
     tiles = np.zeros((k_tiles, win, tile), np.float32)
     for o in range(out_size):
@@ -241,4 +250,147 @@ def fits_pallas(h: int, w: int, out_h: int, out_w: int) -> bool:
         return False
     est = _vmem_estimate(h, w, out_h, out_w, win_w, win_v,
                          tiles_v.shape[0])
+    return est < 13 * 1024 * 1024
+
+
+def _make_tiled_kernel(h, w, oh, oh_pad, ow_pad, win_w, win_v, rt, kq,
+                       n_steps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(sw_ref, sv_ref, words_hbm, mv_ref, mw_ref, out_ref,
+               win_scratch, sem):
+        j = pl.program_id(0)
+        q = pl.program_id(1)
+        r = pl.program_id(2)
+        lin = (j * kq + q) * rt + r
+
+        def dma(slot, b_idx, q_idx, r_idx):
+            cs = pl.multiple_of(sw_ref[q_idx], 128)
+            rs = pl.multiple_of(sv_ref[r_idx], 8)
+            return pltpu.make_async_copy(
+                words_hbm.at[b_idx, pl.ds(rs, win_v), pl.ds(cs, win_w)],
+                win_scratch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(lin == 0)
+        def _warm():
+            dma(0, j, q, r).start()
+
+        slot = lin % 2
+
+        @pl.when(lin + 1 < n_steps)
+        def _prefetch():
+            nr = jnp.where(r + 1 < rt, r + 1, 0)
+            q1 = jnp.where(r + 1 < rt, q, q + 1)
+            nq = jnp.where(q1 < kq, q1, 0)
+            nj = jnp.where(q1 < kq, j, j + 1)
+            dma((lin + 1) % 2, nj, nq, nr).start()
+
+        dma(slot, j, q, r).wait()
+        window = win_scratch[slot]                 # [win_v, win_w] i32
+
+        packed = None
+        for c in range(3):
+            plane = ((window >> (8 * c)) & 0xFF).astype(jnp.bfloat16)
+            v = jax.lax.dot_general(
+                mv_ref[0], plane,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [128, win_w]
+            hpass = jax.lax.dot_general(
+                v.astype(jnp.bfloat16), mw_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [128, 256]
+            vi = jnp.clip(hpass + jnp.float32(0.5),
+                          0.0, 255.0).astype(jnp.int32)
+            packed = vi if c == 0 else packed | (vi << (8 * c))
+        out_ref[0] = packed | jnp.int32(-(1 << 24))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w",
+                                             "interpret", "out_h_pad",
+                                             "out_w_pad"))
+def resize_video_words_pallas_tiled(words: jax.Array, out_h: int,
+                                    out_w: int, interpret: bool = False,
+                                    out_h_pad: int = 0,
+                                    out_w_pad: int = 0) -> jax.Array:
+    """Row-tiled strip resize for inputs whose full-height window does
+    not fit VMEM (4K-class). Each grid step DMAs only the [win_v,
+    win_w] input window its 128-row output tile needs; the vertical
+    tap matrix is per-row-tile (128-aligned outputs), streamed like
+    the horizontal one. Pad rows (beyond out_h) hold tap-folded
+    garbage, not zeros -- consumers mask by (h, w) anyway."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = words.shape
+    s_w, win_w, tiles_w = _axis_plan(w, out_w, 256, True, 128,
+                                     start_align=128)
+    s_v, win_v, tiles_v = _axis_plan(h, out_h, 128, False, 8,
+                                     start_align=8)
+    rt = tiles_v.shape[0]
+    kq = tiles_w.shape[0]
+    ow_pad = kq * 256
+    oh_pad = rt * 128
+    if out_h_pad and (out_h_pad != oh_pad):
+        raise ValueError(f"out_h_pad must be the tile height {oh_pad}")
+    if out_w_pad and out_w_pad != ow_pad:
+        raise ValueError(f"out_w_pad must be the strip width {ow_pad}")
+    # per-tile transposed vertical matrices [rt, 128, win_v]
+    mv = jnp.asarray(np.ascontiguousarray(
+        tiles_v.transpose(0, 2, 1)), jnp.bfloat16)
+    mw = jnp.asarray(tiles_w, jnp.bfloat16)       # [kq, win_w, 256]
+    starts_w = jnp.asarray(s_w, jnp.int32)
+    starts_v = jnp.asarray(s_v, jnp.int32)
+
+    n_steps = b * kq * rt
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kq, rt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 128, win_v), lambda j, q, r, sw, sv:
+                         (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_w, 256), lambda j, q, r, sw, sv:
+                         (q, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, 256),
+                               lambda j, q, r, sw, sv: (j, r, q),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_v, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_tiled_kernel(h, w, out_h, oh_pad, ow_pad, win_w, win_v,
+                           rt, kq, n_steps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, oh_pad, ow_pad), jnp.int32),
+        interpret=interpret,
+    )(starts_w, starts_v, words, mv, mw)
+    if out_h_pad or out_w_pad:
+        return out
+    return out[:, :out_h, :out_w]
+
+
+def fits_pallas_tiled(h: int, w: int, out_h: int, out_w: int) -> bool:
+    """VMEM check for the row-tiled variant."""
+    if w % 128 != 0:
+        return False
+    try:
+        _, win_w, tw = _axis_plan(w, out_w, 256, True, 128,
+                                  start_align=128)
+        _, win_v, tv = _axis_plan(h, out_h, 128, False, 8,
+                                  start_align=8)
+    except Exception:
+        return False
+    est = (2 * win_v * win_w * 4          # window slots
+           + 2 * 128 * win_v * 2          # mv blocks (dbl buffered)
+           + 2 * win_w * 256 * 2          # mw blocks
+           + 2 * 128 * 256 * 4            # out blocks
+           + 3 * win_v * win_w * 4)       # unpack temps
     return est < 13 * 1024 * 1024
