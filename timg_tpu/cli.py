@@ -134,10 +134,37 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache: first-run kernel compiles are
+    paid once per (shape, version), not once per process — essential
+    for a one-shot CLI. TIMG_TPU_COMPILE_CACHE overrides the location;
+    set it empty to disable."""
+    cache = os.environ.get(
+        "TIMG_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "timg-tpu",
+                     "jax"))
+    if not cache:
+        return
+    # Env vars cover the normal case (jax imported later by the device
+    # path); config.update covers environments that preimport jax.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1.0")
+    if "jax" in sys.modules:
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     global interrupt_received
     interrupt_received = False
     argv = argv if argv is not None else sys.argv[1:]
+    _setup_compile_cache()
 
     parser = build_arg_parser()
     try:
