@@ -52,6 +52,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.timg_sixel_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
+    if hasattr(lib, "timg_png_sub_filter"):  # older prebuilt .so
+        lib.timg_png_sub_filter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
     _lib = lib
     return _lib
 

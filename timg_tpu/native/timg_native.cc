@@ -419,4 +419,25 @@ long timg_ansi_emit(const int32_t *glyph, const uint8_t *fg,
     return pos - out;
 }
 
+// PNG Sub-filter (type 1) row prep for the kitty/iterm2 encoders:
+// out[row] = 0x01, px0 raw, then per-channel cur-prev deltas
+// (role of ref src/timg-png.cc:124-134; one pass, no temporaries).
+void timg_png_sub_filter(const uint8_t *rgba, int h, int w, int ch,
+                         uint8_t *out) {
+    const long stride = 1 + (long)w * ch;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t *row = rgba + (long)y * w * 4;
+        uint8_t *o = out + (long)y * stride;
+        *o++ = 1;
+        for (int c = 0; c < ch; ++c) o[c] = row[c];
+        for (int x = 1; x < w; ++x) {
+            const uint8_t *cur = row + (long)x * 4;
+            const uint8_t *prev = cur - 4;
+            uint8_t *dst = o + (long)x * ch;
+            for (int c = 0; c < ch; ++c)
+                dst[c] = (uint8_t)(cur[c] - prev[c]);
+        }
+    }
+}
+
 }  // extern "C"

@@ -79,6 +79,16 @@ def sub_filter_rows(frame: np.ndarray, with_alpha: bool) -> bytes:
     is overwritten by the next delta -- i.e. plain RGB of pixel 0."""
     h, w = frame.shape[:2]
     channels = 4 if with_alpha else 3
+
+    from timg_tpu.native import runtime
+    lib = runtime.load()
+    if lib is not None and hasattr(lib, "timg_png_sub_filter") \
+            and frame.shape[2] == 4:
+        import ctypes
+        src = np.ascontiguousarray(frame)
+        out = ctypes.create_string_buffer(h * (1 + w * channels))
+        lib.timg_png_sub_filter(src.ctypes.data, h, w, channels, out)
+        return out.raw
     px = frame[..., :channels].astype(np.uint8)
     delta = px.copy()
     delta[:, 1:] = px[:, 1:] - px[:, :-1]  # uint8 wraparound == C behavior
