@@ -73,6 +73,10 @@ OPTIONS
     --frame-offset=<n>  Start at this frame.
     -t <sec>            Stop after this time.
 
+  TIMG-TPU EXTENSIONS
+    --dither=<mode>     Sixel dithering: adaptive (median-cut palette,
+                        default) or cube (fixed 6x7x6, fastest video).
+
 ENVIRONMENT
     TIMG_PIXELATION             Default pixelation mode.
     TIMG_DEFAULT_TITLE          Default title format.
@@ -80,6 +84,9 @@ ENVIRONMENT
     TIMG_FONT_WIDTH_CORRECT     Font aspect-ratio correction factor.
     TIMG_ALLOW_FRAME_SKIP       Allow frame skipping when behind.
     TIMG_SIXEL_NEWLINE_WORKAROUND  2-bit sixel cursor quirk mask.
+    TIMG_TPU_COMPILE_CACHE      XLA compile cache dir (timg-tpu; empty
+                                disables, default ~/.cache/timg-tpu).
+    TIMG_TPU_FORCE_NUMPY        Force the strict CPU mirrors (timg-tpu).
 
 EXIT CODES
     0 success; 1 image read error; 2 parameter error; 3 not a terminal;
