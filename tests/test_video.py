@@ -170,7 +170,8 @@ def test_video_sixel_primed_batch_identical(y4m_file, dither):
         opts.bgcolor_getter = lambda: (0, 0, 0, 255)
         canvas = SixelCanvas(FakeSequencer(), SixelOptions(), opts,
                              dither=dither)
-        name = "fs_dither" if dither == "adaptive" else "fs_dither_cube"
+        name = ("fs_dither_tree" if dither == "adaptive"
+                else "fs_dither_cube")
         with mock.patch.object(sixel_op, name,
                                side_effect=getattr(sixel_op, name)) as spy:
             src.send_frames(float("inf"), 1, lambda: False,

@@ -351,3 +351,191 @@ def fs_dither_fast(frames_rgb, palette: np.ndarray,
         lut = palette_lut(palette)
     return _fs_dither_lut_impl(frames_rgb[..., :3], jnp.asarray(palette),
                                jnp.asarray(lut), h, w)
+
+
+# --------------------------------------------------------------------------
+# Adaptive tree quantizer: balanced median-cut descent.
+#
+# The exact-nearest adaptive path costs a [rows, 256] distance matmul +
+# argmin per wavefront step -- unusable at video rate (and a flat
+# 15-bit LUT cannot be gathered on TPU: lane gathers cap at 128
+# entries per op). Instead the palette is built as a *balanced*
+# depth-8 median-cut tree; quantization is 8 packed table lookups of
+# <=128 entries (one per level) plus one leaf lookup -- each a native
+# TPU lane-gather. Same quantizer class as classic median-cut
+# encoders: assignment by box membership, palette entry = box average
+# (libsixel REP_AVERAGE_COLORS analog, ref sixel-canvas.cc:139-142);
+# the luminosity-weighted split axis matches SIXEL_LARGE_LUM.
+# --------------------------------------------------------------------------
+
+TREE_DEPTH = 8
+
+
+def median_cut_tree(pixels: np.ndarray):
+    """Balanced depth-8 median-cut tree quantizer.
+
+    Returns (palette [256,3] u8, levels [8,128] i32, leaves [256] i32):
+    * levels[d, node] packs (axis << 8 | thr): descend left iff
+      round(v[axis]) <= thr;
+    * leaves[node] packs (idx << 24 | r << 16 | g << 8 | b) for the
+      leaf's palette entry.
+    Nodes at level d occupy [0, 2^d) (level tables padded to 128; the
+    last level's 256 nodes live in the leaf table).
+    """
+    flat = np.asarray(pixels).reshape(-1, 3)
+    if len(flat) > _SAMPLE_LIMIT:
+        stride = int(np.ceil(len(flat) / _SAMPLE_LIMIT))
+        flat = flat[::stride]
+    packed = (flat[:, 0].astype(np.int64) << 16 |
+              flat[:, 1].astype(np.int64) << 8 | flat[:, 2])
+    keys, counts = np.unique(packed, return_counts=True)
+    colors = np.stack([(keys >> 16) & 0xFF, (keys >> 8) & 0xFF,
+                       keys & 0xFF], axis=1).astype(np.int64)
+
+    n_leaves = 1 << TREE_DEPTH
+    levels = np.zeros((TREE_DEPTH, 128), np.int32)
+    palette = np.zeros((n_leaves, 3), np.uint8)
+
+    # boxes[node] at the current level: index array into colors
+    boxes = {0: np.arange(len(colors))}
+    for d in range(TREE_DEPTH):
+        nxt = {}
+        for node in range(1 << d):
+            box = boxes.get(node)
+            if box is None or len(box) == 0:
+                # empty: descend everything left into another empty box
+                levels[d, node] = (0 << 8) | 255
+                nxt[node * 2] = box if box is not None else None
+                continue
+            if len(np.unique(colors[box], axis=0)) <= 1:
+                levels[d, node] = (0 << 8) | 255   # all left
+                nxt[node * 2] = box
+                continue
+            spreads = (colors[box].max(axis=0)
+                       - colors[box].min(axis=0)) * _LUM
+            dim = int(np.argmax(spreads))
+            srt = box[np.argsort(colors[box, dim], kind="stable")]
+            csum = np.cumsum(counts[srt])
+            half = csum[-1] / 2.0
+            cut = int(np.searchsorted(csum, half)) + 1
+            cut = min(max(cut, 1), len(srt) - 1)
+            # threshold: descend-left iff value <= colors[srt[cut-1]].
+            # Equal values may straddle the frequency cut; move the cut
+            # to the value boundary so the rule is a pure comparison.
+            thr = int(colors[srt[cut - 1], dim])
+            if int(colors[srt[cut], dim]) == thr:
+                below = colors[srt, dim] <= thr
+                cut2 = int(below.sum())
+                if cut2 >= len(srt):      # all values equal the max
+                    thr -= 1
+                    below = colors[srt, dim] <= thr
+                    cut2 = int(below.sum())
+                cut = cut2
+            levels[d, node] = (dim << 8) | (thr & 0xFF)
+            nxt[node * 2] = srt[:cut]
+            nxt[node * 2 + 1] = srt[cut:]
+        boxes = nxt
+
+    parent_avg = (colors.sum(axis=0) / max(len(colors), 1) + 0.5
+                  ).astype(np.uint8) if len(colors) else np.zeros(3,
+                                                                  np.uint8)
+    for node in range(n_leaves):
+        box = boxes.get(node)
+        if box is None or len(box) == 0:
+            palette[node] = parent_avg
+        else:
+            palette[node] = (colors[box].sum(axis=0) / len(box)
+                             + 0.5).astype(np.uint8)
+    # fill empty leaves with their nearest non-empty sibling's color so
+    # unused indices still map to sane colors
+    leaves = ((np.arange(n_leaves, dtype=np.int64) << 24)
+              | (palette[:, 0].astype(np.int64) << 16)
+              | (palette[:, 1].astype(np.int64) << 8)
+              | palette[:, 2].astype(np.int64)).astype(np.int32)
+    return palette, levels, leaves
+
+
+def tree_descend_np(rgb: np.ndarray, levels: np.ndarray) -> np.ndarray:
+    """Vectorized descent: rgb [..., 3] (rounded ints) -> leaf node ids."""
+    v = np.asarray(rgb)
+    node = np.zeros(v.shape[:-1], np.int32)
+    for d in range(TREE_DEPTH):
+        word = levels[d][node]
+        axis = word >> 8
+        thr = word & 0xFF
+        comp = np.take_along_axis(
+            v, axis[..., None], axis=-1)[..., 0]
+        node = node * 2 + (comp > thr).astype(np.int32)
+    return node
+
+
+def fs_dither_tree_reference(rgb: np.ndarray, palette: np.ndarray,
+                             levels: np.ndarray,
+                             leaves: np.ndarray) -> np.ndarray:
+    """Scalar host reference of FS + tree-descent quantization (the
+    semantics spec of the device kernels). rgb: [H, W, 3] uint8."""
+    h, w, _ = rgb.shape
+    buf = rgb.astype(np.float32)
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            v = np.clip(buf[y, x], 0.0, 255.0)
+            vq = np.round(v)
+            node = 0
+            for d in range(TREE_DEPTH):
+                word = int(levels[d, node])
+                axis, thr = word >> 8, word & 0xFF
+                node = node * 2 + (1 if vq[axis] > thr else 0)
+            leaf = int(leaves[node])
+            idx = (leaf >> 24) & 0xFF
+            color = np.array([(leaf >> 16) & 0xFF, (leaf >> 8) & 0xFF,
+                              leaf & 0xFF], np.float32)
+            out[y, x] = idx
+            err = v - color
+            if x + 1 < w:
+                buf[y, x + 1] += err * (7.0 / 16.0)
+            if y + 1 < h:
+                if x > 0:
+                    buf[y + 1, x - 1] += err * (3.0 / 16.0)
+                buf[y + 1, x] += err * (5.0 / 16.0)
+                if x + 1 < w:
+                    buf[y + 1, x + 1] += err * (1.0 / 16.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _fs_dither_tree_impl(frames_rgb: jax.Array, levels: jax.Array,
+                         leaves: jax.Array, h: int, w: int) -> jax.Array:
+    """Wavefront FS with balanced median-cut tree descent.
+    frames_rgb: [B, H, W, 3] uint8 -> [B, H, W] int32 indices."""
+
+    def quantize(v):                                      # [B,H,3] f32
+        vq = jnp.round(v)
+        node = jnp.zeros(v.shape[:-1], jnp.int32)
+        for d in range(TREE_DEPTH):
+            word = jnp.take(levels[d], node, axis=0)
+            axis = word >> 8
+            thr = (word & 0xFF).astype(jnp.float32)
+            comp = jnp.where(axis == 0, vq[..., 0],
+                             jnp.where(axis == 1, vq[..., 1],
+                                       vq[..., 2]))
+            node = node * 2 + (comp > thr).astype(jnp.int32)
+        leaf = jnp.take(leaves, node, axis=0)
+        idx = (leaf >> 24) & 0xFF
+        color = jnp.stack(
+            [((leaf >> 16) & 0xFF).astype(jnp.float32),
+             ((leaf >> 8) & 0xFF).astype(jnp.float32),
+             (leaf & 0xFF).astype(jnp.float32)], axis=-1)
+        return idx, color
+
+    return _wavefront_scan(frames_rgb[..., :3], h, w, quantize)
+
+
+def fs_dither_tree(frames_rgb, levels, leaves) -> np.ndarray:
+    """[B, H, W, 3] uint8 + median_cut_tree tables -> [B,H,W] i32."""
+    frames_rgb = np.asarray(frames_rgb)
+    b, h, w = frames_rgb.shape[:3]
+    out = _fs_dither_tree_impl(
+        jnp.asarray(frames_rgb), jnp.asarray(levels),
+        jnp.asarray(leaves), h, w)
+    return np.asarray(out)

@@ -320,3 +320,168 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
         b, hp, wp)
     out = idx if out_padded else idx[:b0, :h, :w]
     return out if out_u8 else out.astype(jnp.int32)
+
+
+def _make_fs_tree_kernel(b: int, hp: int, K: int, h: int, w: int,
+                         wf: int, depth: int):
+    """FS kernel with balanced median-cut tree descent (adaptive
+    palette at video rate): per pixel, ``depth`` packed lane-gathers
+    over <=128-entry level tables + one leaf-word lookup, instead of
+    the cube's arithmetic quantization. Tables ride in VMEM; gathers
+    run per 128-lane chunk (the TPU lane-gather width)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrb = hp // 128
+    nch = hp // 128  # 128-lane chunks of the [b, hp] wavefront arrays
+
+    def kernel(*refs):
+        in_refs = refs[:nrb]
+        levels_ref = refs[nrb]
+        leaves_ref = refs[nrb + 1]
+        out_ref = refs[nrb + 2]
+        err_ref = refs[nrb + 3]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            err_ref[...] = jnp.zeros_like(err_ref)
+
+        ys = jax.lax.broadcasted_iota(jnp.int32, (b, hp), 1)
+
+        def up(e):
+            rolled = pltpu.roll(e, shift=1, axis=1)
+            return jnp.where(ys == 0, jnp.float32(0.0), rolled)
+
+        def chunked_gather(table_row, node):
+            # table_row: [128] i32; node: [b, hp] i32 -> [b, hp] i32
+            tb = jnp.broadcast_to(table_row[None, :], (b, 128))
+            parts = []
+            for k in range(nch):
+                nk = node[:, k * 128:(k + 1) * 128]
+                parts.append(jnp.take_along_axis(tb, nk, axis=1))
+            return jnp.concatenate(parts, axis=1)
+
+        t0 = pl.program_id(0) * K
+        e1 = [err_ref[c] for c in range(3)]
+        e2 = [err_ref[3 + c] for c in range(3)]
+        e3 = [err_ref[6 + c] for c in range(3)]
+        packed = None
+        for k in range(K):
+            t = t0 + k
+            xs = t - 2 * ys
+            mask = jnp.logical_and(
+                jnp.logical_and(xs >= 0, xs < w), ys < h)
+            word = jnp.concatenate([r[k] for r in in_refs], axis=1)
+            vs, vqs = [], []
+            for c in range(3):
+                col = ((word >> (8 * c)) & 0xFF).astype(jnp.float32)
+                mix = (e1[c] * (3.0 / 16.0) + e2[c] * (5.0 / 16.0)
+                       + e3[c] * (1.0 / 16.0))
+                incoming = e1[c] * (7.0 / 16.0) + up(mix)
+                v = jnp.clip(col + incoming, 0.0, 255.0)
+                vs.append(v)
+                vqs.append(jnp.round(v))
+            node = jnp.zeros((b, hp), jnp.int32)
+            for d in range(depth):
+                wrd = chunked_gather(levels_ref[d], node)
+                axis = wrd >> 8
+                thr = (wrd & 0xFF).astype(jnp.float32)
+                comp = jnp.where(axis == 0, vqs[0],
+                                 jnp.where(axis == 1, vqs[1], vqs[2]))
+                node = node * 2 + (comp > thr).astype(jnp.int32)
+            leaf = jnp.where(
+                node < 128,
+                chunked_gather(leaves_ref[0], node),
+                chunked_gather(leaves_ref[1], node - 128))
+            idx = (leaf >> 24) & 0xFF
+            new_e = []
+            for c, sh in enumerate((16, 8, 0)):
+                color = ((leaf >> sh) & 0xFF).astype(jnp.float32)
+                new_e.append(
+                    jnp.where(mask, vs[c] - color, jnp.float32(0.0)))
+            e3, e2, e1 = e2, e1, new_e
+            shift = 8 * (k % 4)
+            packed = (idx << shift if k % 4 == 0
+                      else packed | (idx << shift))
+            if k % 4 == 3:
+                out_ref[k // 4] = packed
+        for c in range(3):
+            err_ref[c] = e1[c]
+            err_ref[3 + c] = e2[c]
+            err_ref[6 + c] = e3[c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
+                                             "out_u8", "out_padded"))
+def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
+                         leaves: jax.Array, h: int, w: int,
+                         interpret: bool = False,
+                         out_u8: bool = False,
+                         out_padded: bool = False) -> jax.Array:
+    """Adaptive (median-cut tree) FS dither, all-Pallas: same layout
+    pipeline as fs_dither_cube_fused with the tree-descent kernel.
+    ``levels`` [depth,128] i32 and ``leaves`` [256] i32 come from
+    sixel.median_cut_tree."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from timg_tpu.ops.sixel import TREE_DEPTH
+
+    K = 8
+    b0 = frames_rgba.shape[0]
+    b = _round_up(b0, 8)
+    hp = _round_up(h, 128)
+    wp = _round_up(w, 128)
+
+    x = frames_rgba
+    if x.ndim == 4:
+        if x.shape[-1] != 4:
+            x = jnp.pad(x, [(0, 0)] * 3 + [(0, 4 - x.shape[-1])])
+        x = jax.lax.bitcast_convert_type(x, jnp.int32)
+    if x.shape[1] >= h and x.shape[1] % 128 == 0 \
+            and x.shape[2] >= w and x.shape[2] % 128 == 0 \
+            and x.shape[0] % 8 == 0:
+        b, hp, wp = x.shape
+    else:
+        pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
+        if pad_b or pad_h or pad_w:
+            x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
+    wf = _round_up(wp + 256, 384)
+    t_len = _round_up(w + 2 * (h - 1), 512)
+    words = x
+
+    cols = _skewT(words, wf, interpret=interpret)
+
+    nrb = hp // 128
+
+    def in_spec(r):
+        return pl.BlockSpec(
+            (K, b, 128),
+            lambda i, r=r: (jnp.clip(i - (256 // K) * r, 0,
+                                     wf // K - 1), 0, r),
+            memory_space=pltpu.VMEM)
+
+    leaves2 = leaves.reshape(2, 128)
+    packed = pl.pallas_call(
+        _make_fs_tree_kernel(b, hp, K, h, w, wf, TREE_DEPTH),
+        grid=(t_len // K,),
+        in_specs=([in_spec(r) for r in range(nrb)]
+                  + [pl.BlockSpec((TREE_DEPTH, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((K // 4, b, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32)],
+        interpret=interpret,
+    )(*([cols] * nrb), levels, leaves2)
+
+    packed_bht = _transpose_bwd(packed, interpret=interpret)
+    words_out = _unskewT(packed_bht, wp, interpret=interpret)
+    idx = jax.lax.bitcast_convert_type(words_out, jnp.uint8).reshape(
+        b, hp, wp)
+    out = idx if out_padded else idx[:b0, :h, :w]
+    return out if out_u8 else out.astype(jnp.int32)

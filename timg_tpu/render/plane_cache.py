@@ -78,6 +78,7 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
             batch[:, h:, :, :3] = bg[:3]
             batch[:, h:, :, 3] = 255
 
+    quantizer = None
     if mode == "cube":
         palette = None
         if jax.default_backend() == "tpu":
@@ -90,15 +91,24 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
             indices = np.asarray(
                 sixel_op.fs_dither_cube(batch)).astype(np.uint8)
     else:
-        palette = state.get("palette")
-        if palette is None:
-            palette = sixel_op.median_cut_palette(batch[0, ..., :3])
-            state["palette"] = palette
-        indices = np.asarray(
-            sixel_op.fs_dither(batch[..., :3], palette)).astype(np.uint8)
+        quantizer = state.get("quantizer")
+        if quantizer is None:
+            quantizer = sixel_op.median_cut_tree(batch[0, ..., :3])
+            state["quantizer"] = quantizer
+        palette, levels, leaves = quantizer
+        if jax.default_backend() == "tpu":
+            from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
+            words = jax.numpy.asarray(
+                batch.view(np.int32).reshape(batch.shape[:3]))
+            indices = np.asarray(fs_dither_tree_fused(
+                words, jax.numpy.asarray(levels),
+                jax.numpy.asarray(leaves), padded_h, w, out_u8=True))
+        else:
+            indices = np.asarray(sixel_op.fs_dither_tree(
+                batch[..., :3], levels, leaves)).astype(np.uint8)
 
     for i, frame in enumerate(frames):
-        SIXEL_PLANES.put(frame, (indices[i], palette))
+        SIXEL_PLANES.put(frame, (indices[i], palette, quantizer))
 
 
 def prime_block_planes(frames: list, options) -> None:

@@ -222,11 +222,11 @@ class SixelCanvas(TerminalCanvas):
         from timg_tpu.render.plane_cache import SIXEL_PLANES
         primed = SIXEL_PLANES.pop(frame)
         if primed is not None:
-            indices, palette = primed
+            indices, palette, quantizer = primed
             if palette is None:
                 palette = sixel_op.cube_palette()
             else:
-                self._palette = palette
+                self._quantizer = quantizer
             out = bytearray(self.consume_prefix())
             out += self._before
             out += encode_sixel_stream(indices, palette)
@@ -253,14 +253,18 @@ class SixelCanvas(TerminalCanvas):
             # Adaptive palettes are rebuilt per still image but reused
             # across animation frames (the reference rebuilds per frame
             # through libsixel; per-segment reuse is the batched design,
-            # refreshed at every animation start).
+            # refreshed at every animation start). Quantization is the
+            # balanced median-cut tree descent -- the same search the
+            # batched device kernel runs at video rate.
             if (seq_type == SeqType.ANIMATION_FRAME
-                    and getattr(self, "_palette", None) is not None):
-                palette = self._palette
+                    and getattr(self, "_quantizer", None) is not None):
+                palette, levels, leaves = self._quantizer
             else:
-                palette = sixel_op.median_cut_palette(fb[..., :3])
-                self._palette = palette
-            indices = sixel_op.fs_dither(fb[None, ..., :3], palette)[0]
+                palette, levels, leaves = sixel_op.median_cut_tree(
+                    fb[..., :3])
+                self._quantizer = (palette, levels, leaves)
+            indices = sixel_op.fs_dither_tree(
+                fb[None, ..., :3], levels, leaves)[0]
 
         out = bytearray(self.consume_prefix())
         out += self._before
