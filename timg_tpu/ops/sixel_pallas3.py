@@ -429,7 +429,8 @@ def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
 
     from timg_tpu.ops.sixel import TREE_DEPTH
 
-    K = 8
+    K = 4   # descent temporaries are heavier than the cube's (K=8
+            # exceeds the 16 MB scoped-VMEM budget at 128x768)
     b0 = frames_rgba.shape[0]
     b = _round_up(b0, 8)
     hp = _round_up(h, 128)
