@@ -44,8 +44,10 @@ class SixelModel(_PixelModel):
             return [encode_sixel_stream(idx, palette) for idx in indices]
         out = []
         for frame in x:
-            palette = sixel_op.median_cut_palette(frame[..., :3])
-            idx = sixel_op.fs_dither(frame[None, ..., :3], palette)[0]
+            palette, levels, leaves = sixel_op.median_cut_tree(
+                frame[..., :3])
+            idx = sixel_op.fs_dither_tree(frame[None, ..., :3],
+                                          levels, leaves)[0]
             out.append(encode_sixel_stream(idx, palette))
         return out
 
