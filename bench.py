@@ -40,14 +40,8 @@ def main() -> None:
 
     # Persistent compile cache: the driver re-runs this in fresh
     # processes; kernel compiles through a dev tunnel can cost minutes.
-    cache = os.environ.get(
-        "TIMG_TPU_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "timg-tpu",
-                     "jax"))
-    if cache:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+    from timg_tpu.cli import _setup_compile_cache
+    _setup_compile_cache()
 
     from timg_tpu.ops import resize as resize_op
     from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused

@@ -403,3 +403,58 @@ def test_pallas_tiled_resize_interpret_matches_fallback():
                 rop.resize_video_words.__wrapped__,
                 static_argnums=(1, 2))(words, oh, ow))
         assert np.array_equal(got, want), (h, w, oh, ow)
+
+
+def test_fused_tree_dither_interpret_matches_reference():
+    """The adaptive tree-descent pipeline: scalar reference spec ==
+    wavefront scan == fused all-Pallas kernel (interpret), including
+    the vectorized descent helper."""
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel import (fs_dither_tree,
+                                    fs_dither_tree_reference,
+                                    median_cut_tree, tree_descend_np)
+    from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (2, 30, 41, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    pal, levels, leaves = median_cut_tree(img[..., :3])
+
+    # descent helper agrees with a scalar walk on raw pixels
+    node = tree_descend_np(img[0, ..., :3].astype(np.int32), levels)
+    y, x = 7, 13
+    n = 0
+    for d in range(levels.shape[0]):
+        word = int(levels[d, n])
+        n = n * 2 + (1 if img[0, y, x, word >> 8] > (word & 0xFF) else 0)
+    assert node[y, x] == n
+
+    want = np.stack([fs_dither_tree_reference(f, pal, levels, leaves)
+                     for f in img[..., :3]])
+    scan = fs_dither_tree(img[..., :3], levels, leaves)
+    assert np.array_equal(scan, want)
+    fused = np.asarray(fs_dither_tree_fused(
+        jnp.asarray(img), jnp.asarray(levels), jnp.asarray(leaves),
+        30, 41, interpret=True))
+    assert np.array_equal(fused, want)
+
+
+def test_pallas_tiled_resize_pad_rows_zero():
+    """pad_to contract on the tiled kernel: rows beyond out_h are 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import resize_pallas
+
+    rng = np.random.default_rng(14)
+    fr = rng.integers(0, 256, (2, 270, 384, 4), dtype=np.uint8)
+    fr[..., 3] = 255
+    words = jax.lax.bitcast_convert_type(jnp.asarray(fr), jnp.int32)
+    out = np.asarray(resize_pallas.resize_video_words_pallas_tiled(
+        words, 135, 240, interpret=True, out_h_pad=256, out_w_pad=256))
+    plain = np.asarray(resize_pallas.resize_video_words_pallas_tiled(
+        words, 135, 240, interpret=True))
+    assert np.array_equal(out[:, :135, :240], plain)
+    assert (out[:, 135:, :] == 0).all()

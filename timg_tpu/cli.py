@@ -153,9 +153,14 @@ def _setup_compile_cache() -> None:
     if "jax" in sys.modules:
         try:
             import jax
-            jax.config.update("jax_compilation_cache_dir", cache)
+            # honor a user-exported JAX_COMPILATION_CACHE_DIR: update
+            # from the (post-setdefault) env, not our default
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+                "jax_persistent_cache_min_compile_time_secs",
+                float(os.environ[
+                    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
         except Exception:
             pass
 

@@ -85,7 +85,7 @@ ENVIRONMENT
     TIMG_ALLOW_FRAME_SKIP       Allow frame skipping when behind.
     TIMG_SIXEL_NEWLINE_WORKAROUND  2-bit sixel cursor quirk mask.
     TIMG_TPU_COMPILE_CACHE      XLA compile cache dir (timg-tpu; empty
-                                disables, default ~/.cache/timg-tpu).
+                                disables; ~/.cache/timg-tpu/jax).
     TIMG_TPU_FORCE_NUMPY        Force the strict CPU mirrors (timg-tpu).
 
 EXIT CODES

@@ -22,6 +22,10 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     if not os.path.exists(_SO):
+        if "TIMG_NATIVE_LIB" in os.environ:
+            # custom lib (e.g. the tsan build) must already exist;
+            # building the default target would not produce it
+            return None
         try:
             subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                            capture_output=True, timeout=120)
@@ -52,7 +56,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.timg_sixel_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
-    if hasattr(lib, "timg_png_sub_filter"):  # older prebuilt .so
+    if hasattr(lib, "timg_png_sub_filter"):  # absent in older .so
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]

@@ -305,7 +305,13 @@ def _make_tiled_kernel(h, w, oh, oh_pad, ow_pad, win_w, win_v, rt, kq,
             vi = jnp.clip(hpass + jnp.float32(0.5),
                           0.0, 255.0).astype(jnp.int32)
             packed = vi if c == 0 else packed | (vi << (8 * c))
-        out_ref[0] = packed | jnp.int32(-(1 << 24))
+        packed = packed | jnp.int32(-(1 << 24))
+        if oh_pad != oh:
+            # honor the pad_to contract: rows beyond out_h are zero
+            rows = (r * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0))
+            packed = jnp.where(rows < oh, packed, 0)
+        out_ref[0] = packed
 
     return kernel
 
@@ -321,8 +327,8 @@ def resize_video_words_pallas_tiled(words: jax.Array, out_h: int,
     not fit VMEM (4K-class). Each grid step DMAs only the [win_v,
     win_w] input window its 128-row output tile needs; the vertical
     tap matrix is per-row-tile (128-aligned outputs), streamed like
-    the horizontal one. Pad rows (beyond out_h) hold tap-folded
-    garbage, not zeros -- consumers mask by (h, w) anyway."""
+    the horizontal one. Pad rows (beyond out_h) are zeroed, matching
+    resize_video_words's pad_to contract."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

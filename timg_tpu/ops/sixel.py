@@ -446,8 +446,8 @@ def median_cut_tree(pixels: np.ndarray):
         else:
             palette[node] = (colors[box].sum(axis=0) / len(box)
                              + 0.5).astype(np.uint8)
-    # fill empty leaves with their nearest non-empty sibling's color so
-    # unused indices still map to sane colors
+    # empty leaves carry the global average color so unused indices
+    # still map to something sane
     leaves = ((np.arange(n_leaves, dtype=np.int64) << 24)
               | (palette[:, 0].astype(np.int64) << 16)
               | (palette[:, 1].astype(np.int64) << 8)

@@ -184,4 +184,6 @@ class OpenSlideSource(ImageSource):
         lib.openslide_read_associated_image(
             osr, b"thumbnail", buf.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint32)))
+        if lib.openslide_get_error(osr):
+            return None  # corrupt thumbnail: fall back to read_region
         return _argb_to_rgba(buf, th.value, tw.value)
