@@ -93,3 +93,49 @@ def test_env_pixelation(img, monkeypatch):
 
 def test_no_files():
     assert main(["-g20x10"]) == 1
+
+
+def test_sigint_mid_animation_resets_terminal(tmp_path):
+    """SIGINT during an endlessly-looping animation: the process exits
+    promptly, the cursor is restored on stdout (ControlWrites still
+    flush, ref buffered-write-sequencer.cc:108-111), and the terminal
+    reset sequence goes to stderr (ref timg.cc:998-1005)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    gif = str(tmp_path / "loop.gif")
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (16, 20, 3), dtype=np.uint8), "RGB")
+        for _ in range(4)]
+    frames[0].save(gif, save_all=True, append_images=frames[1:],
+                   duration=50, loop=0)
+    out = str(tmp_path / "o.bin")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os,sys;"
+        "os.environ['TIMG_TPU_FORCE_NUMPY']='1';"
+        f"sys.path.insert(0,{repo!r});"
+        "from timg_tpu.cli import main;"
+        f"sys.exit(main(['-pq','-g20x10','-b','black','-o',{out!r},"
+        f"{gif!r}]))"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stderr=subprocess.PIPE)
+    time.sleep(2.0)             # let the animation loop
+    proc.send_signal(signal.SIGINT)
+    try:
+        rc = proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise AssertionError("CLI did not exit after SIGINT")
+    stderr = proc.stderr.read()
+    assert rc == 0, rc
+    data = open(out, "rb").read()
+    assert b"\033[?25h" in data[-64:]      # cursor restored at the end
+    assert b"\033[0m\033[" in stderr       # terminal reset on stderr
