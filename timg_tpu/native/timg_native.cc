@@ -235,6 +235,29 @@ inline char *append_dec(char *pos, int v) {
     return pos + sprintf(pos, "%d", v);
 }
 
+// "ddd;" 4-byte-chunk lookup for uint8 components: one memcpy instead
+// of a sprintf per component (role of the 64-byte-aligned LUT in ref
+// unicode-block-canvas.cc:449-491; sprintf was ~30 ms/frame).
+struct DecEntry {
+    char s[4];
+    uint8_t len;
+};
+struct DecTable {
+    DecEntry e[256];
+    DecTable() {
+        for (int v = 0; v < 256; ++v) {
+            int n = snprintf(e[v].s, 4, "%d", v);
+            e[v].s[n] = ';';
+            e[v].len = (uint8_t)(n + 1);
+        }
+    }
+};
+inline char *append_u8_semi(char *pos, uint8_t v) {
+    static const DecTable t;  // magic static: thread-safe init
+    memcpy(pos, t.e[v].s, 4);
+    return pos + t.e[v].len;
+}
+
 inline int as_256_term_color(int r, int g, int b) {
     // xterm 6x6x6 cube / gray ramp (parity with timg_tpu.colors).
     if (r == g && g == b) return 232 + (r * 23 / 255);
@@ -251,12 +274,12 @@ inline int as_256_term_color(int r, int g, int b) {
 
 inline char *append_color(char *pos, const uint8_t *c, bool use_256) {
     if (use_256) {
-        pos = append_dec(pos, as_256_term_color(c[0], c[1], c[2]));
-        *pos++ = ';';
+        pos = append_u8_semi(pos, (uint8_t)as_256_term_color(
+            c[0], c[1], c[2]));
     } else {
-        pos = append_dec(pos, c[0]); *pos++ = ';';
-        pos = append_dec(pos, c[1]); *pos++ = ';';
-        pos = append_dec(pos, c[2]); *pos++ = ';';
+        pos = append_u8_semi(pos, c[0]);
+        pos = append_u8_semi(pos, c[1]);
+        pos = append_u8_semi(pos, c[2]);
     }
     return pos;
 }
