@@ -127,7 +127,16 @@ def test_sigint_mid_animation_resets_terminal(tmp_path):
     )
     proc = subprocess.Popen([sys.executable, "-c", code],
                             stderr=subprocess.PIPE)
-    time.sleep(2.0)             # let the animation loop
+    # wait until frames are actually flowing (cold start under a
+    # loaded machine can exceed any fixed sleep)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if os.path.exists(out) and os.path.getsize(out) > 2048:
+            break
+        time.sleep(0.25)
+    else:
+        raise AssertionError("animation never started")
+    time.sleep(0.3)                   # mid-frame is fine; mid-loop better
     proc.send_signal(signal.SIGINT)
     try:
         rc = proc.wait(timeout=30)

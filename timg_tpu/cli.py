@@ -573,7 +573,8 @@ def _make_canvas(sequencer, display, present):
     if present.pixelation == Pixelation.SIXEL:
         from timg_tpu.render.sixel_render import SixelCanvas
         return SixelCanvas(sequencer, present.sixel_options, display,
-                           dither=present.sixel_dither)
+                           dither=present.sixel_dither,
+                           executor=compression_pool())
     return UnicodeBlockCanvas(
         sequencer,
         use_quarter=(present.pixelation == Pixelation.QUARTER_BLOCK),

@@ -294,17 +294,40 @@ inline char *append_color(char *pos, const uint8_t *c, bool use_256) {
 
 namespace {
 
+inline char *append_dec_fast(char *pos, int v) {
+    // manual itoa: the RLE loop calls this ~100k times per random
+    // frame; sprintf here cost ~60 ms/frame
+    if (v < 10) { *pos++ = (char)('0' + v); return pos; }
+    char tmp[12];
+    int n = 0;
+    while (v) { tmp[n++] = (char)('0' + v % 10); v /= 10; }
+    while (n) *pos++ = tmp[--n];
+    return pos;
+}
+
 inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
     // RLE one color's band row: '?'+bitmask chars, '!<n>' for runs > 3.
+    // Runs are detected with 8-byte word compares: per-color masks are
+    // mostly long equal stretches (zeros for sparse colors), and the
+    // byte loop was the assembler's hot spot.
     int i = 0;
     while (i < w) {
         const uint8_t c = bits[i];
+        const uint64_t pat = 0x0101010101010101ull * c;
         int run = 1;
+        while (i + run + 8 <= w) {
+            uint64_t v;
+            memcpy(&v, bits + i + run, 8);
+            if (v != pat) break;
+            run += 8;
+        }
         while (i + run < w && bits[i + run] == c) ++run;
         if (c == 0 && i + run == w) break;  // trailing blanks omitted
         const char ch = (char)(0x3F + c);
         if (run > 3) {
-            pos += sprintf(pos, "!%d%c", run, ch);
+            *pos++ = '!';
+            pos = append_dec_fast(pos, run);
+            *pos++ = ch;
         } else {
             for (int r = 0; r < run; ++r) *pos++ = ch;
         }
@@ -326,7 +349,12 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w,
         const int r = (palette[i * 3] * 100 + 127) / 255;
         const int g = (palette[i * 3 + 1] * 100 + 127) / 255;
         const int b = (palette[i * 3 + 2] * 100 + 127) / 255;
-        pos += sprintf(pos, "#%d;2;%d;%d;%d", i, r, g, b);
+        *pos++ = '#';
+        pos = append_dec_fast(pos, i);
+        pos = append_str(pos, ";2;");
+        pos = append_dec_fast(pos, r); *pos++ = ';';
+        pos = append_dec_fast(pos, g); *pos++ = ';';
+        pos = append_dec_fast(pos, b);
     }
     const int n_bands = (h + 5) / 6;
     // Per-band scatter: one pass over the band fills the per-color
@@ -350,7 +378,8 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w,
             if (!color_present[color]) continue;
             if (!first) *pos++ = '$';
             first = false;
-            pos += sprintf(pos, "#%d", color);
+            *pos++ = '#';
+            pos = append_dec_fast(pos, color);
             pos = append_sixel_runs(pos, masks + (long)color * w, w);
             memset(masks + (long)color * w, 0, w);
         }

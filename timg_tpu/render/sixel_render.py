@@ -187,10 +187,15 @@ class SixelCanvas(TerminalCanvas):
 
     def __init__(self, sequencer: BufferedWriteSequencer,
                  sixel_options: SixelOptions, options: DisplayOptions,
-                 dither: str = "adaptive"):
+                 dither: str = "adaptive", executor=None):
         super().__init__(sequencer)
         self._options = options
         self._dither = dither  # "adaptive" (median cut) | "cube" (fast)
+        # Compression pool: byte assembly runs async, future handed to
+        # the sequencer (the reference encodes sixel in the shared
+        # compression ThreadPool, ref timg.cc:321-336,
+        # sixel-canvas.cc:128-154).
+        self._executor = executor
         self._full_cell_jump = sixel_options.full_cell_jump
         if not sixel_options.known_broken_cursor_placement:  # ref :66-79
             self._before = CSI + b"80h" + CSI + b"?7730h" + CSI + b"?8452l"
@@ -227,12 +232,7 @@ class SixelCanvas(TerminalCanvas):
                 palette = sixel_op.cube_palette()
             else:
                 self._quantizer = quantizer
-            out = bytearray(self.consume_prefix())
-            out += self._before
-            out += encode_sixel_stream(indices, palette)
-            out += self._after
-            self._sequencer.write_buffer(bytes(out), seq_type,
-                                         end_of_frame_ms)
+            self._enqueue(indices, palette, seq_type, end_of_frame_ms)
             return
 
         h, w = frame.shape[:2]
@@ -266,11 +266,26 @@ class SixelCanvas(TerminalCanvas):
             indices = sixel_op.fs_dither_tree(
                 fb[None, ..., :3], levels, leaves)[0]
 
-        out = bytearray(self.consume_prefix())
-        out += self._before
-        out += encode_sixel_stream(indices, palette)
-        out += self._after
-        self._sequencer.write_buffer(bytes(out), seq_type, end_of_frame_ms)
+        self._enqueue(indices, palette, seq_type, end_of_frame_ms)
+
+    def _enqueue(self, indices, palette, seq_type: SeqType,
+                 end_of_frame_ms: float) -> None:
+        """Assemble + hand to the sequencer; async when pooled."""
+        prefix = self.consume_prefix()
+
+        def assemble() -> bytes:
+            out = bytearray(prefix)
+            out += self._before
+            out += encode_sixel_stream(indices, palette)
+            out += self._after
+            return bytes(out)
+
+        if self._executor is not None:
+            self._sequencer.write_buffer(self._executor.submit(assemble),
+                                         seq_type, end_of_frame_ms)
+        else:
+            self._sequencer.write_buffer(assemble(), seq_type,
+                                         end_of_frame_ms)
 
 
 def _round_to_sixel(pixels: int) -> int:
