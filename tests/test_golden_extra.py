@@ -144,3 +144,20 @@ def test_exit_code_success(corpus):
         assert main(["--debug-no-frame-delay", "-g20x10", "-pq",
                      "-b", "black", "-o", tf.name,
                      corpus["noise_64x48.png"]]) == 0
+
+
+def test_exit_code_missing_filelist(tmp_path):
+    """-f with an unreadable filelist -> EXIT_FILELIST_PROBLEM (5)."""
+    from timg_tpu.cli import main
+
+    rc = main(["-g20x10", "-f", str(tmp_path / "nope.txt")])
+    assert rc == 5
+
+
+def test_exit_code_unwritable_output(tmp_path, corpus):
+    """-o into a nonexistent directory -> EXIT_CANT_OPEN_OUTPUT (4)."""
+    from timg_tpu.cli import main
+
+    rc = main(["-g20x10", "-o", str(tmp_path / "no" / "dir" / "x.bin"),
+               corpus["noise_64x48.png"]])
+    assert rc == 4
