@@ -250,45 +250,6 @@ def _fs_dither_np(frames_rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Fast path: 5-bit lookup-table nearest search inside the FS recurrence.
-# libsixel's own dither runs with a 15-bit lookup cache
-# (sixel_dither_t::cachetable, quant.c lookup_fast), so quantizing the
-# error-adjusted color to 5 bits per channel before the palette search is
-# the same fidelity class as the reference. The LUT turns the per-step
-# [rows, 256] distance matmul into a single gather.
-# --------------------------------------------------------------------------
-
-def palette_lut(palette: np.ndarray, bits: int = 5) -> np.ndarray:
-    """[2^(3*bits)] int16 nearest-palette LUT over the RGB grid."""
-    n = 1 << bits
-    centers = (np.arange(n) << (8 - bits)) | (1 << (7 - bits))
-    grid = np.stack(np.meshgrid(centers, centers, centers, indexing="ij"),
-                    axis=-1).reshape(-1, 3).astype(np.float32)
-    pal = palette.astype(np.float32)
-    # exhaustive nearest over the 32k grid (host, once per palette)
-    d = ((grid[:, None, :] - pal[None, :, :]) ** 2).sum(axis=-1)
-    return d.argmin(axis=1).astype(np.int16)
-
-
-@functools.partial(jax.jit, static_argnames=("h", "w", "bits"))
-def _fs_dither_lut_impl(frames_rgb: jax.Array, palette: jax.Array,
-                        lut: jax.Array, h: int, w: int,
-                        bits: int = 5) -> jax.Array:
-    """Wavefront FS dither with LUT nearest search.
-    frames_rgb: [B, H, W, 3] uint8 -> [B, H, W] int32 indices."""
-    pal = palette.astype(jnp.float32)
-    shift = 8 - bits
-
-    def quantize(v):
-        q = (v.astype(jnp.int32) >> shift)
-        key = (q[..., 0] << (2 * bits)) | (q[..., 1] << bits) | q[..., 2]
-        idx = jnp.take(lut, key, axis=0).astype(jnp.int32)
-        return idx, pal[idx]
-
-    return _wavefront_scan(frames_rgb[..., :3], h, w, quantize)
-
-
-# --------------------------------------------------------------------------
 # Cube-palette fast path: a fixed 6x7x6 RGB cube (252 colors), the same
 # class as libsixel's builtin XTERM256 palette mode. Nearest-color search
 # is pure per-channel arithmetic -- no table lookups inside the
@@ -340,17 +301,6 @@ def fs_dither_cube(frames_rgb) -> jax.Array:
         from timg_tpu.ops.sixel_pallas import fs_dither_cube_pallas
         return fs_dither_cube_pallas(frames_rgb, h, w)
     return _fs_dither_cube_impl(frames_rgb[..., :3], h, w)
-
-
-def fs_dither_fast(frames_rgb, palette: np.ndarray,
-                   lut: np.ndarray | None = None):
-    """LUT-accelerated FS dither (device). Returns a device array."""
-    frames_rgb = jnp.asarray(frames_rgb)
-    b, h, w = frames_rgb.shape[:3]
-    if lut is None:
-        lut = palette_lut(palette)
-    return _fs_dither_lut_impl(frames_rgb[..., :3], jnp.asarray(palette),
-                               jnp.asarray(lut), h, w)
 
 
 # --------------------------------------------------------------------------
