@@ -197,3 +197,29 @@ def test_gif_sixel_primed_batch_identical(tmp_path, dither):
     primed = run(batched=True)
     assert len(plain) == len(primed) == 5
     assert plain == primed
+
+
+def test_c_sixel_assembler_matches_python_spec():
+    """The C stream assembler must be byte-identical to the Python
+    spec implementation across palette sizes and content shapes
+    (random noise = RLE worst case, flat runs, sparse colors)."""
+    from timg_tpu.native import runtime
+    from timg_tpu.render.sixel_render import (encode_sixel_stream,
+                                              encode_sixel_stream_py)
+
+    if runtime.load() is None:
+        pytest.skip("native helper unavailable")
+    rng = np.random.default_rng(8)
+    cases = []
+    for (h, w, ncol) in [(13, 37, 256), (24, 64, 16), (30, 41, 255),
+                         (6, 8, 2), (61, 100, 256)]:
+        idx = rng.integers(0, ncol, (h, w)).astype(np.int32)
+        cases.append((idx, rng.integers(0, 256, (ncol, 3),
+                                        dtype=np.uint8)))
+    flat = np.zeros((18, 50), np.int32)
+    flat[6:12] = 3
+    cases.append((flat, rng.integers(0, 256, (8, 3), dtype=np.uint8)))
+    for idx, pal in cases:
+        c_bytes = encode_sixel_stream(idx, pal)
+        py_bytes = encode_sixel_stream_py(idx, pal)
+        assert c_bytes == py_bytes, (idx.shape, len(pal))

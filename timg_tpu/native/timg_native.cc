@@ -329,7 +329,12 @@ inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
             pos = append_dec_fast(pos, run);
             *pos++ = ch;
         } else {
-            for (int r = 0; r < run; ++r) *pos++ = ch;
+            // branchless splat: write 3, advance by run (the output
+            // buffer always has slack; see the caller's capacity)
+            pos[0] = ch;
+            pos[1] = ch;
+            pos[2] = ch;
+            pos += run;
         }
         i += run;
     }
