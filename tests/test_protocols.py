@@ -223,3 +223,22 @@ def test_c_sixel_assembler_matches_python_spec():
         c_bytes = encode_sixel_stream(idx, pal)
         py_bytes = encode_sixel_stream_py(idx, pal)
         assert c_bytes == py_bytes, (idx.shape, len(pal))
+
+
+def test_c_sixel_assembler_pitched_view():
+    """A strided row view (padded device plane) must assemble
+    byte-identically to a contiguous copy -- the C assembler consumes
+    the row pitch directly, no repack."""
+    from timg_tpu.native import runtime
+    from timg_tpu.render.sixel_render import encode_sixel_stream
+
+    if runtime.load() is None:
+        pytest.skip("native helper unavailable")
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 256, (2, 128, 256), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    view = full[1, :30, :41]            # pitch 256 != width 41
+    assert view.strides[0] == 256 and not view.flags["C_CONTIGUOUS"]
+    got = encode_sixel_stream(view, pal)
+    want = encode_sixel_stream(np.ascontiguousarray(view), pal)
+    assert got == want

@@ -54,8 +54,8 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p]
     lib.timg_sixel_encode.restype = ctypes.c_long
     lib.timg_sixel_encode.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
     if hasattr(lib, "timg_png_sub_filter"):  # absent in older .so
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

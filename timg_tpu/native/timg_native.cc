@@ -343,9 +343,11 @@ inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
 
 }  // namespace
 
-// indices: uint8[h*w]; palette: uint8[n*3]. out must hold a generous
-// upper bound (~h*w*4 + n*16 + 64). Returns bytes written.
-long timg_sixel_encode(const uint8_t *indices, int h, int w,
+// indices: uint8[h x w] rows at ``pitch`` bytes apart (pitch >= w:
+// device kernels emit 128-aligned padded planes; passing the pitch
+// avoids a host repack). palette: uint8[n*3]. out must hold a
+// generous upper bound (~h*w*4 + n*16 + 64). Returns bytes written.
+long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
                        const uint8_t *palette, int n_colors, char *out,
                        uint8_t *scratch /* w bytes */) {
     char *pos = out;
@@ -371,7 +373,7 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w,
         const int rows = (h - y0) < 6 ? (h - y0) : 6;
         memset(color_present, 0, sizeof(color_present));
         for (int r = 0; r < rows; ++r) {
-            const uint8_t *line = indices + (long)(y0 + r) * w;
+            const uint8_t *line = indices + (long)(y0 + r) * pitch;
             const uint8_t bit = (uint8_t)(1 << r);
             for (int x = 0; x < w; ++x) {
                 masks[(long)line[x] * w + x] |= bit;

@@ -85,8 +85,11 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
             from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
             words = jax.numpy.asarray(
                 batch.view(np.int32).reshape(batch.shape[:3]))
-            indices = np.asarray(fs_dither_cube_fused(
-                words, padded_h, w, out_u8=True))
+            full = np.asarray(fs_dither_cube_fused(
+                words, padded_h, w, out_u8=True, out_padded=True))
+            # pitched views into the padded device planes: the C
+            # assembler takes a row pitch, so no repack is needed
+            indices = full[:len(frames), :padded_h, :w]
         else:
             indices = np.asarray(
                 sixel_op.fs_dither_cube(batch)).astype(np.uint8)
@@ -100,9 +103,11 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
             from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
             words = jax.numpy.asarray(
                 batch.view(np.int32).reshape(batch.shape[:3]))
-            indices = np.asarray(fs_dither_tree_fused(
+            full = np.asarray(fs_dither_tree_fused(
                 words, jax.numpy.asarray(levels),
-                jax.numpy.asarray(leaves), padded_h, w, out_u8=True))
+                jax.numpy.asarray(leaves), padded_h, w, out_u8=True,
+                out_padded=True))
+            indices = full[:len(frames), :padded_h, :w]
         else:
             indices = np.asarray(sixel_op.fs_dither_tree(
                 batch[..., :3], levels, leaves)).astype(np.uint8)

@@ -43,15 +43,19 @@ def encode_sixel_stream(indices: np.ndarray, palette: np.ndarray) -> bytes:
         import ctypes
 
         h, w = indices.shape
-        idx = np.ascontiguousarray(indices, dtype=np.uint8)
+        idx = np.asarray(indices)
+        if idx.dtype != np.uint8 or idx.strides[1] != 1:
+            idx = np.ascontiguousarray(indices, dtype=np.uint8)
+        pitch = idx.strides[0]  # padded device planes pass their pitch
         pal = np.ascontiguousarray(palette[:, :3], dtype=np.uint8)
         # worst case: every color present in every band with no runs
         n_bands = (h + 5) // 6
         cap = n_bands * len(pal) * (w + 12) + len(pal) * 20 + 256
         buf = ctypes.create_string_buffer(cap)
         scratch = ctypes.create_string_buffer(w)
-        n = lib.timg_sixel_encode(idx.ctypes.data, h, w, pal.ctypes.data,
-                                  len(pal), buf, scratch)
+        n = lib.timg_sixel_encode(idx.ctypes.data, h, w, pitch,
+                                  pal.ctypes.data, len(pal), buf,
+                                  scratch)
         return buf.raw[:n]
     return encode_sixel_stream_py(indices, palette)
 
