@@ -55,3 +55,45 @@ def test_send_scroll_frames_cycle_length():
     # one loop = cycle_steps + 1 frames (ref :380: <=)
     assert len(frames) == 13
     assert frames[0][0] == 0 and frames[1][0] == -8
+
+
+@pytest.mark.parametrize("dither", ["adaptive", "cube"])
+def test_scroll_sixel_primed_batch_identical(dither):
+    """Scroll windows primed with sixel planes must render
+    byte-identically to the per-frame canvas path."""
+    from timg_tpu.options import SixelOptions
+    from timg_tpu.render.sequencer import SeqType  # noqa: F401
+    from timg_tpu.render.sixel_render import SixelCanvas
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (18, 24, 4), dtype=np.uint8)
+    img[..., 3] = 255
+
+    def run(batched):
+        sent = []
+
+        class FakeSequencer:
+            def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+                sent.append(block)
+
+        opts = DisplayOptions()
+        opts.width, opts.height = 16, 12
+        opts.cell_x_px, opts.cell_y_px = 8, 6
+        opts.scroll_dx, opts.scroll_dy = 1, 0
+        opts.scroll_delay_ms = 1.0
+        opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+        if batched:
+            opts.sixel_batch_dither = dither
+        canvas = SixelCanvas(FakeSequencer(), SixelOptions(), opts,
+                             dither=dither)
+        send_scroll_frames(
+            img, opts, duration_ms=40.0, loops=1,
+            interrupt=lambda: False,
+            sink=lambda dx, dy, fb, seq, t: canvas.send(dx, dy, fb,
+                                                        seq, t))
+        return sent
+
+    plain = run(batched=False)
+    primed = run(batched=True)
+    assert len(plain) == len(primed) > 5
+    assert plain == primed
