@@ -242,3 +242,48 @@ def test_c_sixel_assembler_pitched_view():
     got = encode_sixel_stream(view, pal)
     want = encode_sixel_stream(np.ascontiguousarray(view), pal)
     assert got == want
+
+
+def test_kitty_tmux_passthrough_and_placeholders():
+    """Kitty through tmux: passthrough-wrapped graphics (doubled ESC
+    inside \\ePtmux; ...\\e\\\\) + unicode placeholder tiles carrying
+    the image id in SGR and row/col diacritics
+    (ref kitty-canvas.cc:55-111, 260-344)."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render.kitty import _ROWCOL, KittyCanvas
+    from timg_tpu.render.sequencer import SeqType
+
+    sent = []
+
+    class FakeSequencer:
+        def write_buffer(self, block, seq_type, end_of_frame_ms=0.0):
+            sent.append(block)
+
+    opts = DisplayOptions()
+    opts.cell_x_px, opts.cell_y_px = 8, 16
+    canvas = KittyCanvas(FakeSequencer(), tmux_passthrough_needed=True,
+                         options=opts)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (32, 40, 4), dtype=np.uint8)
+    frame[..., 3] = 255
+    canvas.send(0, 0, frame, SeqType.FRAME_IMMEDIATE)
+    out = sent[-1]
+    if hasattr(out, "result"):
+        out = out.result()
+
+    assert out.count(b"\033Ptmux;") >= 1
+    # doubled ESC for the wrapped APC introducer + terminator
+    assert b"\033\033_Ga=T," in out
+    assert b"\033\033\\" in out
+    assert b",U=1,c=5,r=2" in out          # 40/8 cols, 32/16 rows
+    # placeholder block: U+10FFFF tiles with row 0 / col 0 diacritics
+    tile0 = ("\U0010FFFF" + chr(_ROWCOL[0]) + chr(_ROWCOL[0])).encode()
+    assert tile0 in out
+    # image id rides in the 38:2:r:g:b SGR before the tiles
+    import re
+    m = re.search(rb"\033\[38:2:(\d+):(\d+):(\d+)m", out)
+    assert m is not None
+    ident = (int(m.group(1)) << 16) | (int(m.group(2)) << 8) \
+        | int(m.group(3))
+    assert b"i=%d," % ident in out or b"i=%d;" % ident in out \
+        or (b"a=T,i=" in out)
