@@ -113,3 +113,48 @@ def test_sixel_quirk_env(monkeypatch):
     assert info.preferred_graphics == "sixel"
     assert info.sixel.known_broken_cursor_placement
     assert info.sixel.full_cell_jump
+
+
+def test_graphics_detection_reference_table(monkeypatch):
+    """Env-hint arm of the detection table matches the reference
+    (ref term-query.cc:239-260): Warp -> iterm2; vscode -> iterm2 with
+    the broken-cursor sixel quirk."""
+    from timg_tpu import term
+
+    monkeypatch.setenv("TERM", "xterm-256color")
+    monkeypatch.delenv("TMUX", raising=False)
+    monkeypatch.setattr(term, "query_terminal", lambda *a, **k: b"")
+
+    monkeypatch.setenv("TERM_PROGRAM", "WarpTerminal")
+    info = term.query_supported_graphics_protocol()
+    assert info.preferred_graphics == "iterm2"
+    assert not info.sixel.known_broken_cursor_placement
+
+    monkeypatch.setenv("TERM_PROGRAM", "vscode")
+    info = term.query_supported_graphics_protocol()
+    assert info.preferred_graphics == "iterm2"
+    assert info.sixel.known_broken_cursor_placement
+
+
+def test_graphics_detection_response_table(monkeypatch):
+    """Version-response arm (ref term-query.cc:277-316): Konsole 2 ->
+    iterm2 (not sixel); foot -> sixel + broken cursor; WindowsTerminal
+    -> both sixel quirks."""
+    from timg_tpu import term
+
+    monkeypatch.setenv("TERM", "xterm-256color")
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.delenv("TMUX", raising=False)
+
+    cases = [
+        (b"\033P>|Konsole 20.08.1\033\\", "iterm2", False, False),
+        (b"\033P>|foot(1.16.2)\033\\", "sixel", True, False),
+        (b"\033P>|WindowsTerminal 1.22\033\\", "none", True, True),
+    ]
+    for resp, want_gfx, want_broken, want_jump in cases:
+        monkeypatch.setattr(term, "query_terminal",
+                            lambda *a, _r=resp, **k: _r)
+        info = term.query_supported_graphics_protocol()
+        assert info.preferred_graphics == want_gfx, resp
+        assert info.sixel.known_broken_cursor_placement == want_broken
+        assert info.sixel.full_cell_jump == want_jump, resp

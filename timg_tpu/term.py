@@ -152,8 +152,12 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
     # Environment-variable hints first (ref :239-260).
     if "kitty" in term or "ghostty" in term:
         info.preferred_graphics = "kitty"
-    elif term_program in ("iTerm.app", "WezTerm", "vscode"):
+    elif term_program in ("iTerm.app", "WezTerm", "WarpTerminal"):
         info.preferred_graphics = "iterm2"
+    elif term_program == "vscode":
+        info.preferred_graphics = "iterm2"
+        # in case the user chooses sixel (ref :250-254)
+        info.sixel.known_broken_cursor_placement = True
     elif term in ("mlterm", "yaft-256color", "foot", "xterm-sixel"):
         info.preferred_graphics = "sixel"
 
@@ -164,13 +168,20 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
         low = txt.lower()
         if "kitty" in low or "ghostty" in low:
             info.preferred_graphics = "kitty"
-        elif "iterm2" in low or "wezterm" in low:
+        elif "iterm2" in low or "konsole 2" in low:
+            info.preferred_graphics = "iterm2"   # ref :283-285
+        elif "wezterm" in low:
             info.preferred_graphics = "iterm2"
-            if "wezterm" in low:
-                info.sixel.known_broken_cursor_placement = True
-        elif "konsole" in low or "mlterm" in low or "foot" in low:
+            info.sixel.known_broken_cursor_placement = True
+        elif "mlterm" in low:
             info.preferred_graphics = "sixel"
-        elif "tmux" in low:
+        elif "foot" in low:
+            info.preferred_graphics = "sixel"
+            info.sixel.known_broken_cursor_placement = True
+        if "windowsterminal" in low:             # ref :310-316
+            info.sixel.known_broken_cursor_placement = True
+            info.sixel.full_cell_jump = True
+        if "tmux" in low:
             info.in_tmux = True
         if "xterm" in low and info.preferred_graphics == "none":
             da1 = query_terminal(b"\033[c", 0.25, b"c")
