@@ -111,8 +111,8 @@ def determine_term_size() -> TermSizeResult:
     except OSError:
         return result
     result.cols, result.rows = cols, rows
-    if rows > 0 and cols > 0 and xpixel >= cols and ypixel >= 2 * rows:
-        # Plausible pixel values (ref :377-390).
+    if rows > 0 and cols > 0 and xpixel >= 2 * cols and ypixel >= 4 * rows:
+        # Plausible pixel values: a font is at least 2x4 px (ref :386-392).
         result.font_width_px = xpixel // cols
         result.font_height_px = ypixel // rows
     else:
