@@ -148,3 +148,48 @@ def test_sigint_mid_animation_resets_terminal(tmp_path):
     data = open(out, "rb").read()
     assert b"\033[?25h" in data[-64:]      # cursor restored at the end
     assert b"\033[0m\033[" in stderr       # terminal reset on stderr
+
+
+def test_jpeg_draft_downscale_keeps_true_dims():
+    """Large JPEGs decode at a DCT scale factor >= target (role of ref
+    jpeg-source.cc:184-195) while titles keep the file's dimensions."""
+    import tempfile as tf
+
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.pil_source import PILSource
+
+    rng = np.random.default_rng(6)
+    big = rng.integers(0, 256, (512, 768, 3)).astype(np.uint8)
+    with tf.TemporaryDirectory() as td:
+        path = os.path.join(td, "big.jpg")
+        Image.fromarray(big).save(path, quality=90)
+        opts = DisplayOptions()
+        opts.width, opts.height = 96, 64
+        src = PILSource(path)
+        assert src.load_and_scale(opts, 0, -1)
+        # true dimensions survive for %w/%h (ref FormatFromParameters)
+        assert (src.orig_width, src.orig_height) == (768, 512)
+        assert "768x512" in src.format_title("%wx%h")
+        # and the draft actually engaged (decoded below full size)
+        assert src._true_orig == (768, 512)
+        # output is at the computed target, not the draft size
+        assert src.frames[0].frame.shape[1] <= 96
+
+
+def test_jpeg_small_no_draft():
+    """Small JPEGs (scale factor < 2) decode at full resolution."""
+    import tempfile as tf
+
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.pil_source import PILSource
+
+    rng = np.random.default_rng(6)
+    img_a = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+    with tf.TemporaryDirectory() as td:
+        path = os.path.join(td, "small.jpg")
+        Image.fromarray(img_a).save(path)
+        opts = DisplayOptions()
+        opts.width, opts.height = 64, 48
+        src = PILSource(path)
+        assert src.load_and_scale(opts, 0, -1)
+        assert getattr(src, "_true_orig", None) is None

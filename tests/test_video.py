@@ -212,3 +212,36 @@ def test_video_from_stdin_dash_V(y4m_file):
     out = open(out_path, "rb").read()
     os.unlink(out_path)
     assert out.count(b"\033[0m\n") >= 10  # all 10 frames rendered
+
+
+def test_apng_reroutes_to_video_source():
+    """Animated PNGs are sniffed (acTL) and rerouted to the video
+    decoder with its loop-forever default (ref image-source.cc:297-326,
+    graphics-magick-source.cc:160-164, video-source.cc:277-285)."""
+    from PIL import Image
+
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.base import create_source, looks_like_apng
+    from timg_tpu.sources.video_source import VideoSource
+
+    rng = np.random.default_rng(2)
+    frames = [Image.fromarray(rng.integers(0, 256, (24, 32, 3))
+                              .astype(np.uint8)) for _ in range(3)]
+    with tempfile.TemporaryDirectory() as td:
+        apng = os.path.join(td, "anim.png")
+        frames[0].save(apng, save_all=True, append_images=frames[1:],
+                       duration=100, loop=0)
+        still = os.path.join(td, "still.png")
+        frames[0].save(still)
+
+        assert looks_like_apng(apng)
+        assert not looks_like_apng(still)
+
+        opts = DisplayOptions(width=64, height=48)
+        src, err = create_source(apng, opts)
+        assert err == ""
+        assert isinstance(src, VideoSource)
+        assert src.default_loops() == -1  # APNG loops forever
+
+        src2, _ = create_source(still, opts)
+        assert not isinstance(src2, VideoSource)

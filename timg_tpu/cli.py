@@ -127,8 +127,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-no-frame-delay", action="store_true")
     # timg-tpu extension: sixel quantization strategy. "adaptive" = per
     # frame median-cut palette (reference behavior class); "cube" =
-    # fixed 6x7x6 palette, arithmetic quantizer (fast video path).
-    p.add_argument("--dither", choices=["adaptive", "cube"],
+    # fixed 6x7x6 palette, arithmetic quantizer (fast video path);
+    # "libsixel" = faithful reimplementation of libsixel's quant.c on
+    # host, the reference-exact pipeline (ref sixel-canvas.cc:134-148).
+    p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
                    default="adaptive")
     p.add_argument("files", nargs="*")
     return p
@@ -308,6 +310,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.compress is not None:
         level = args.compress
+        # out-of-range silently falls back to 1, exactly like the
+        # reference (ref timg.cc:696-698)
         display.compress_pixel_level = level if 0 <= level <= 9 else 1
     present.use_256_color = args.color8
     present.hide_cursor = not args.no_hide_cursor

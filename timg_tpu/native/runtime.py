@@ -60,8 +60,44 @@ def load() -> Optional[ctypes.CDLL]:
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+    if hasattr(lib, "timg_libsixel_quant"):
+        lib.timg_libsixel_quant.restype = ctypes.c_int
+        lib.timg_libsixel_quant.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def libsixel_quant(frame_rgba, reqcolors: int = 256):
+    """libsixel-faithful per-frame quantization via the C helper.
+
+    frame_rgba: [H, W, 4] (or [H, W, 3]) uint8.  Returns
+    (indices [H, W] uint8, palette [ncolors, 3] uint8) or None when the
+    native library is unavailable (callers fall back to the Python
+    oracle in ops/libsixel_quant.py).
+    """
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_libsixel_quant"):
+        return None
+    frame = np.asarray(frame_rgba)
+    h, w = frame.shape[:2]
+    if frame.shape[2] == 3 or frame.strides[1] != 4:
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[..., : frame.shape[2]] = frame[..., :4]
+        frame = rgba
+    pitch = frame.strides[0]
+    pal = np.zeros((reqcolors, 3), dtype=np.uint8)
+    idx = np.zeros((h, w), dtype=np.uint8)
+    rc = lib.timg_libsixel_quant(frame.ctypes.data, h, w, pitch,
+                                 reqcolors, pal.ctypes.data,
+                                 idx.ctypes.data)
+    if rc < 0:
+        return None
+    ncolors = rc & 0xFFFF
+    return idx, pal[:ncolors]
 
 
 def describe() -> str:

@@ -499,4 +499,280 @@ void timg_png_sub_filter(const uint8_t *rgba, int h, int w, int ch,
     }
 }
 
+// ---------------------------------------------------------------------------
+// libsixel-faithful quantizer (production `--dither=libsixel` path).
+//
+// Reimplements the algorithm of libsixel's quant.c (netpbm pnmcolormap
+// median cut) on the code path the reference selects per frame:
+// sixel_dither_new(256) + sixel_dither_initialize(..., SIXEL_LARGE_LUM,
+// SIXEL_REP_AVERAGE_COLORS, SIXEL_QUALITY_AUTO) + sixel_encode (ref
+// src/sixel-canvas.cc:134-148).  Byte-tested against the scalar oracle
+// in timg_tpu/ops/libsixel_quant.py (see that module's docstring for
+// every pinned semantic).  Like the reference, this runs on the host in
+// the compression thread pool -- libsixel itself is host CPU code.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct QuantBox {
+    int ind;
+    int colors;
+    long sum;
+};
+
+// largestByLuminosity: strict >, first axis wins, init spread 0 / axis 0.
+int largest_by_lum(const int *minv, const int *maxv) {
+    static const double kLum[3] = {0.2989, 0.5866, 0.1145};
+    double best = 0.0;
+    int dim = 0;
+    for (int plane = 0; plane < 3; ++plane) {
+        const double spread = kLum[plane] * (maxv[plane] - minv[plane]);
+        if (spread > best) {
+            best = spread;
+            dim = plane;
+        }
+    }
+    return dim;
+}
+
+// error_diffuse: add offset*num/16 (C truncation division) and clamp to
+// [0,255] immediately (the uint8 store in libsixel).
+inline void error_diffuse(uint8_t *cell, int offset, int num) {
+    int v = *cell + offset * num / 16;
+    *cell = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+}  // namespace
+
+// Full per-frame pipeline: palette construction + cached-FS apply.
+// rgba: h*w RGBA pixels with row pitch `pitch` bytes (alpha dropped, as
+// sixel_encode normalizes RGBA8888 -> RGB888).  Writes the palette to
+// out_pal (capacity reqcolors*3) and indices to out_idx (h*w).
+// Returns (diffuse << 16) | ncolors; negative on error.
+int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
+                        int reqcolors, uint8_t *out_pal, uint8_t *out_idx) {
+    if (reqcolors < 1 || reqcolors > 256) return -1;
+    const long npix = (long)h * w;
+
+    // RGB888 working copy (mutated by error diffusion).
+    uint8_t *data = (uint8_t *)malloc(npix * 3);
+    if (!data) return -1;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t *src = rgba + y * pitch;
+        uint8_t *dst = data + (long)y * w * 3;
+        for (int x = 0; x < w; ++x) {
+            dst[0] = src[0];
+            dst[1] = src[1];
+            dst[2] = src[2];
+            src += 4;
+            dst += 3;
+        }
+    }
+
+    // --- computeHistogram: sampled 5-bit-bucket histogram -----------------
+    const long length = npix * 3;
+    const long max_sample = 18383;  // QUALITY_AUTO -> LOW for 256 colors
+    long step = length / 3 / max_sample * 3;
+    if (length < max_sample * 3) step = 6 * 3;
+    if (step <= 0) step = 3;
+
+    uint16_t *histogram = (uint16_t *)calloc(1 << 15, sizeof(uint16_t));
+    int *seen_order = (int *)malloc((1 << 15) * sizeof(int));
+    if (!histogram || !seen_order) {
+        free(data); free(histogram); free(seen_order);
+        return -1;
+    }
+    int n_seen = 0;
+    for (long i = 0; i < length; i += step) {
+        const int bucket = (data[i] >> 3) << 10 | (data[i + 1] >> 3) << 5 |
+                           (data[i + 2] >> 3);
+        if (histogram[bucket] == 0) seen_order[n_seen++] = bucket;
+        if (histogram[bucket] < 65535) histogram[bucket]++;
+    }
+
+    // Color table in first-seen order; channel values = bucket bits << 3.
+    int *tbl_c = (int *)malloc((size_t)n_seen * 3 * sizeof(int));
+    long *tbl_n = (long *)malloc((size_t)n_seen * sizeof(long));
+    if (!tbl_c || !tbl_n) {
+        free(data); free(histogram); free(seen_order);
+        free(tbl_c); free(tbl_n);
+        return -1;
+    }
+    for (int i = 0; i < n_seen; ++i) {
+        const int b = seen_order[i];
+        tbl_c[i * 3 + 0] = (b >> 10 & 0x1F) << 3;
+        tbl_c[i * 3 + 1] = (b >> 5 & 0x1F) << 3;
+        tbl_c[i * 3 + 2] = (b & 0x1F) << 3;
+        tbl_n[i] = histogram[b];
+    }
+    free(histogram);
+    free(seen_order);
+
+    int ncolors;
+    int diffuse;
+    if (n_seen <= reqcolors) {
+        // Palette = the bucket colors themselves; diffusion disabled
+        // (sixel_dither_initialize: origcolors <= reqcolors).
+        ncolors = n_seen > 0 ? n_seen : 1;
+        diffuse = 0;
+        memset(out_pal, 0, (size_t)ncolors * 3);
+        for (int i = 0; i < n_seen; ++i)
+            for (int c = 0; c < 3; ++c)
+                out_pal[i * 3 + c] = (uint8_t)tbl_c[i * 3 + c];
+    } else {
+        // --- mediancut ----------------------------------------------------
+        ncolors = reqcolors;
+        diffuse = 1;
+        QuantBox *bv = (QuantBox *)malloc(sizeof(QuantBox) * reqcolors);
+        int *order = (int *)malloc(sizeof(int) * n_seen);
+        int *tmp_c = (int *)malloc((size_t)n_seen * 3 * sizeof(int));
+        long *tmp_n = (long *)malloc((size_t)n_seen * sizeof(long));
+        if (!bv || !order || !tmp_c || !tmp_n) {
+            free(data); free(tbl_c); free(tbl_n);
+            free(bv); free(order); free(tmp_c); free(tmp_n);
+            return -1;
+        }
+        long total = 0;
+        for (int i = 0; i < n_seen; ++i) total += tbl_n[i];
+        bv[0] = {0, n_seen, total};
+        int boxes = 1;
+        while (boxes < reqcolors) {
+            int bi = 0;
+            while (bi < boxes && bv[bi].colors < 2) ++bi;
+            if (bi >= boxes) break;
+            const int ind = bv[bi].ind, n = bv[bi].colors;
+            const long sm = bv[bi].sum;
+
+            int minv[3], maxv[3];
+            for (int c = 0; c < 3; ++c) {
+                minv[c] = 255;
+                maxv[c] = 0;
+            }
+            for (int i = 0; i < n; ++i)
+                for (int c = 0; c < 3; ++c) {
+                    const int v = tbl_c[(ind + i) * 3 + c];
+                    if (v < minv[c]) minv[c] = v;
+                    if (v > maxv[c]) maxv[c] = v;
+                }
+            const int dim = largest_by_lum(minv, maxv);
+
+            // Stable sort of the segment by component `dim` (glibc qsort
+            // is a stable mergesort; counting sort over 0..255 is the
+            // same order and O(n)).
+            {
+                int cnt[257] = {0};
+                for (int i = 0; i < n; ++i)
+                    cnt[tbl_c[(ind + i) * 3 + dim] + 1]++;
+                for (int v = 0; v < 256; ++v) cnt[v + 1] += cnt[v];
+                for (int i = 0; i < n; ++i) {
+                    const int v = tbl_c[(ind + i) * 3 + dim];
+                    order[cnt[v]++] = i;
+                }
+                for (int i = 0; i < n; ++i) {
+                    const int s = order[i];
+                    for (int c = 0; c < 3; ++c)
+                        tmp_c[i * 3 + c] = tbl_c[(ind + s) * 3 + c];
+                    tmp_n[i] = tbl_n[ind + s];
+                }
+                memcpy(tbl_c + (size_t)ind * 3, tmp_c,
+                       (size_t)n * 3 * sizeof(int));
+                memcpy(tbl_n + ind, tmp_n, (size_t)n * sizeof(long));
+            }
+
+            // Frequency median: lowersum < sm/2, index in [1, n-1].
+            long lowersum = tbl_n[ind];
+            int i = 1;
+            while (i < n - 1 && lowersum < sm / 2) {
+                lowersum += tbl_n[ind + i];
+                ++i;
+            }
+            bv[bi].colors = i;
+            bv[bi].sum = lowersum;
+            bv[boxes].ind = ind + i;
+            bv[boxes].colors = n - i;
+            bv[boxes].sum = sm - lowersum;
+            ++boxes;
+            // sumcompare: stable sort by sum descending (insertion sort
+            // preserves relative order of equal sums).
+            for (int j = 1; j < boxes; ++j) {
+                const QuantBox key = bv[j];
+                int m = j - 1;
+                while (m >= 0 && bv[m].sum < key.sum) {
+                    bv[m + 1] = bv[m];
+                    --m;
+                }
+                bv[m + 1] = key;
+            }
+        }
+        // colormapFromBv + averageColors (floor division); zero-fill tail.
+        memset(out_pal, 0, (size_t)reqcolors * 3);
+        for (int b = 0; b < boxes; ++b) {
+            for (int c = 0; c < 3; ++c) {
+                long sum = 0;
+                for (int i = 0; i < bv[b].colors; ++i)
+                    sum += tbl_c[(bv[b].ind + i) * 3 + c];
+                out_pal[b * 3 + c] = (uint8_t)(sum / bv[b].colors);
+            }
+        }
+        free(bv);
+        free(order);
+        free(tmp_c);
+        free(tmp_n);
+    }
+    free(tbl_c);
+    free(tbl_n);
+
+    // --- apply palette: lookup_fast cache + integer FS diffusion ----------
+    uint16_t *cache = (uint16_t *)calloc(1 << 15, sizeof(uint16_t));
+    if (!cache) {
+        free(data);
+        return -1;
+    }
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            uint8_t *p = data + ((long)y * w + x) * 3;
+            const int hashv =
+                (p[0] >> 3) << 10 | (p[1] >> 3) << 5 | (p[2] >> 3);
+            int idx;
+            if (cache[hashv]) {
+                idx = cache[hashv] - 1;
+            } else {
+                long bestd = 0x7FFFFFFFL;
+                idx = 0;
+                for (int i = 0; i < ncolors; ++i) {
+                    const int dr = p[0] - out_pal[i * 3 + 0];
+                    const int dg = p[1] - out_pal[i * 3 + 1];
+                    const int db = p[2] - out_pal[i * 3 + 2];
+                    const long d = (long)dr * dr + (long)dg * dg +
+                                   (long)db * db;
+                    if (d < bestd) {  // strict <: lowest index wins
+                        bestd = d;
+                        idx = i;
+                    }
+                }
+                cache[hashv] = (uint16_t)(idx + 1);
+            }
+            out_idx[(long)y * w + x] = (uint8_t)idx;
+            if (!diffuse) continue;
+            for (int n = 0; n < 3; ++n) {
+                const int off = p[n] - out_pal[idx * 3 + n];
+                if (off == 0) continue;
+                uint8_t *base = data + n;
+                const long pos = (long)y * w + x;
+                if (x < w - 1)
+                    error_diffuse(base + (pos + 1) * 3, off, 7);
+                if (x > 0 && y < h - 1)
+                    error_diffuse(base + (pos + w - 1) * 3, off, 3);
+                if (y < h - 1)
+                    error_diffuse(base + (pos + w) * 3, off, 5);
+                if (x < w - 1 && y < h - 1)
+                    error_diffuse(base + (pos + w + 1) * 3, off, 1);
+            }
+        }
+    }
+    free(cache);
+    free(data);
+    return (diffuse << 16) | ncolors;
+}
+
 }  // extern "C"

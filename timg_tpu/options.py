@@ -124,7 +124,8 @@ class PresentationOptions:
 
     pixelation: Pixelation = Pixelation.NOT_CHOSEN
     sixel_options: SixelOptions = field(default_factory=SixelOptions)
-    sixel_dither: str = "adaptive"  # timg-tpu extension: adaptive | cube
+    # timg-tpu extension: adaptive | cube | libsixel (reference-exact)
+    sixel_dither: str = "adaptive"
     tmux_workaround: bool = False
     terminal_use_upper_block: bool = False
     use_256_color: bool = False

@@ -31,7 +31,17 @@ class PlaneCache:
     def pop(self, frame: np.ndarray) -> Optional[Any]:
         # get-semantics: animations loop over the same frame objects
         entry = self._entries.get(id(frame))
-        return entry[1] if entry is not None else None
+        if entry is None:
+            return None
+        # The id-keying is sound only because entries hold a strong ref
+        # to the key array (an id cannot be reused *while cached*).
+        # Enforce that invariant instead of trusting it: an identity
+        # mismatch means an id was reused after an eviction freed the
+        # original -- treat as a miss rather than serving stale planes.
+        if entry[0] is not frame:
+            del self._entries[id(frame)]
+            return None
+        return entry[1]
 
 
 BLOCK_PLANES = PlaneCache()

@@ -250,6 +250,14 @@ class SixelCanvas(TerminalCanvas):
                 fb[h:, :, :3] = bg[:3]
                 fb[h:, :, 3] = 255
 
+        if self._dither == "libsixel":
+            # Reference-exact mode: palette + cached FS dither exactly as
+            # libsixel's quant.c computes them, on the host inside the
+            # compression pool -- the same architecture as the reference,
+            # whose encode_fun runs sixel_dither_initialize+sixel_encode
+            # in the pool per frame (ref sixel-canvas.cc:128-154).
+            self._enqueue_libsixel(fb, seq_type, end_of_frame_ms)
+            return
         if self._dither == "cube":
             palette = sixel_op.cube_palette()
             indices = np.asarray(sixel_op.fs_dither_cube(fb[None]))[0]
@@ -271,6 +279,33 @@ class SixelCanvas(TerminalCanvas):
                 fb[None, ..., :3], levels, leaves)[0]
 
         self._enqueue(indices, palette, seq_type, end_of_frame_ms)
+
+    def _enqueue_libsixel(self, fb: np.ndarray, seq_type: SeqType,
+                          end_of_frame_ms: float) -> None:
+        """Quantize with the libsixel-faithful C path (Python oracle as
+        fallback) + assemble, all inside the pooled closure."""
+        prefix = self.consume_prefix()
+
+        def assemble() -> bytes:
+            from timg_tpu.native import runtime
+
+            result = runtime.libsixel_quant(fb)
+            if result is None:  # no native lib: scalar oracle (slow)
+                from timg_tpu.ops import libsixel_quant as lsq
+                result = lsq.quantize_reference(fb)
+            indices, palette = result
+            out = bytearray(prefix)
+            out += self._before
+            out += encode_sixel_stream(indices, palette)
+            out += self._after
+            return bytes(out)
+
+        if self._executor is not None:
+            self._sequencer.write_buffer(self._executor.submit(assemble),
+                                         seq_type, end_of_frame_ms)
+        else:
+            self._sequencer.write_buffer(assemble(), seq_type,
+                                         end_of_frame_ms)
 
     def _enqueue(self, indices, palette, seq_type: SeqType,
                  end_of_frame_ms: float) -> None:

@@ -28,6 +28,19 @@ class PILSource(ImageSource):
                        frame_count: int) -> bool:
         from PIL import Image, ImageOps, ImageSequence
 
+        # APNG reroute: animated PNGs go to the video decoder, which
+        # owns the "APNG loops forever" default (ref
+        # graphics-magick-source.cc:160-164, image-source.cc:297-326,
+        # video-source.cc:277-285).  Only bail when the video helper is
+        # actually available, else show it as a still like a video-less
+        # reference build.
+        if self.filename != "-":
+            from timg_tpu.sources.base import looks_like_apng
+            if looks_like_apng(self.filename):
+                from timg_tpu.native import runtime
+                if runtime.load() is not None:
+                    return False
+
         if self.filename == "-":
             import io
             img = Image.open(io.BytesIO(sys.stdin.buffer.read()))
@@ -47,12 +60,39 @@ class PILSource(ImageSource):
                     # (ref graphics-magick-source.cc:79-82)
                     delay = 100.0
                 delays.append(delay)
+                if options.exif_rotate:
+                    # the reference applies the EXIF op per frame
+                    # (ref graphics-magick-source.cc:225-227)
+                    frame = ImageOps.exif_transpose(frame)
                 raw_frames.append(np.asarray(frame.convert("RGBA")))
         else:
+            true_size = img.size
+            orientation = 1
             if options.exif_rotate:
+                try:
+                    orientation = int(img.getexif().get(0x0112) or 1)
+                except Exception:
+                    orientation = 1
+            # DCT-domain downscale for large JPEGs (role of ref
+            # jpeg-source.cc:184-195: smallest tjscalingfactor >= target
+            # before decode; the exact target resample still follows).
+            # Guarded to plain downscales -- no EXIF rotation (would
+            # swap the target axes) and no auto-crop (trims at full
+            # resolution) -- where the reference fast path applies too.
+            if (img.format == "JPEG" and orientation == 1
+                    and not options.auto_crop):
+                tw, th, _ = calc_scale_to_fit(true_size[0], true_size[1],
+                                              options)
+                if (tw > 0 and th > 0 and true_size[0] >= 2 * tw
+                        and true_size[1] >= 2 * th):
+                    img.draft(None, (tw, th))
+            if options.exif_rotate and orientation != 1:
                 img = ImageOps.exif_transpose(img)
             raw_frames.append(np.asarray(img.convert("RGBA")))
             delays.append(0.0)
+            if img.size != true_size:
+                # drafted decode: report the file's real dimensions
+                self._true_orig = true_size
 
         if frame_offset > 0 and is_animation:
             raw_frames = raw_frames[frame_offset:]
@@ -68,6 +108,10 @@ class PILSource(ImageSource):
 
         self.orig_width = raw_frames[0].shape[1]
         self.orig_height = raw_frames[0].shape[0]
+        if getattr(self, "_true_orig", None) is not None:
+            # drafted JPEG decode: %w/%h titles and the target
+            # computation use the file's real dimensions
+            self.orig_width, self.orig_height = self._true_orig
 
         target_w, target_h, _ = calc_scale_to_fit(
             self.orig_width, self.orig_height, options)
