@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""One-shot CLI latency vs the reference (BASELINE.md config #1).
+
+SURVEY §7 warns batch wins must not regress `timg one-image.jpg`; the
+reference's measured one-shot wall-clock for 512x512 PNG -> quarter
+blocks at 80x24 cells is 9.5 ms (BASELINE.md, process startup
+included).  This measures our CLI the same way — full subprocess
+wall-clock, N runs — on:
+
+* the numpy-mirror path (TIMG_TPU_FORCE_NUMPY=1): the honest
+  interactive one-shot configuration;
+* the TPU path with a warmed persistent compile cache (one discarded
+  warmup run compiles/caches; the timed runs still pay jax import +
+  dispatch);
+* the reference binary, re-measured on the same machine for a
+  same-day comparison.
+
+Writes JSON to stdout (the driver artifact captures it, e.g.
+`python scripts/latency_check.py | tee LATENCY_r02.json`).
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF = os.path.join(REPO, ".refbuild", "src", "timg")
+RUNS = 12
+
+
+def measure(cmd, env, warmup=1, runs=RUNS):
+    for _ in range(warmup):
+        subprocess.run(cmd, env=env, capture_output=True, timeout=600)
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, env=env, capture_output=True, timeout=600)
+        times.append((time.perf_counter() - t0) * 1e3)
+        if r.returncode != 0:
+            return None, r.stderr.decode()[-300:]
+    return times, ""
+
+
+def main() -> int:
+    from tests.corpus import build_corpus
+
+    corpus = build_corpus(os.path.join(tempfile.gettempdir(),
+                                       "timg_tpu_corpus"))
+    img = corpus["noise_512x512.png"]
+    args = ["-pq", "-g80x24", "--debug-no-frame-delay", "-b", "black",
+            "-o", "/dev/null", img]
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith("TIMG_")}
+
+    out = {"config": "512x512 PNG -> -pq 80x24 (BASELINE.md #1)",
+           "runs": RUNS, "reference_baseline_ms": 9.5}
+
+    env = dict(base_env, TIMG_TPU_FORCE_NUMPY="1")
+    times, err = measure([os.path.join(REPO, "timg-tpu"), *args], env)
+    if times:
+        out["numpy_path_ms"] = {
+            "median": round(statistics.median(times), 1),
+            "min": round(min(times), 1)}
+    else:
+        out["numpy_path_error"] = err
+
+    times, err = measure([os.path.join(REPO, "timg-tpu"), *args], base_env,
+                         warmup=2)
+    if times:
+        out["tpu_warm_cache_ms"] = {
+            "median": round(statistics.median(times), 1),
+            "min": round(min(times), 1)}
+    else:
+        out["tpu_path_error"] = err
+
+    if os.path.exists(REF):
+        times, err = measure([REF, *args], base_env)
+        if times:
+            out["reference_remeasured_ms"] = {
+                "median": round(statistics.median(times), 1),
+                "min": round(min(times), 1)}
+
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,7 +111,7 @@ def test_video_sixel_cli(y4m_file):
 
     out = run_ours(["--debug-no-frame-delay", "-g40x20", "-ps",
                     "-b", "black", "--loops=1"], [y4m_file])
-    assert out.count(b"\033P0;0;8q") == 1
+    assert out.count(b"\033Pq") == 1
     assert b"\033\\" in out
 
 
@@ -139,7 +139,7 @@ def test_video_sixel_canvas_animation(y4m_file, dither):
                     lambda dx, dy, fb, seq, t: canvas.send(dx, dy, fb,
                                                            seq, t))
     assert len(sent) == 10
-    assert all(b"\033P0;0;8q" in s for s in sent)
+    assert all(b"\033Pq" in s for s in sent)
 
 
 @pytest.mark.parametrize("dither", ["adaptive", "cube"])
@@ -245,3 +245,17 @@ def test_apng_reroutes_to_video_source():
 
         src2, _ = create_source(still, opts)
         assert not isinstance(src2, VideoSource)
+
+
+def test_v4l2_gate_reports_availability():
+    """Device capture is a runtime gate: avdevice registers when its
+    library exists (ref video-source.cc:100-102 HAVE_AVDEVICE); absent,
+    /dev/video paths fail with the normal source-factory diagnostics."""
+    lib = runtime.load()
+    assert hasattr(lib, "timg_video_device_capture_available")
+    avail = lib.timg_video_device_capture_available()
+    assert avail in (0, 1)
+    if not avail:
+        # graceful: open of a device path returns null, no crash
+        assert lib.timg_video_open(b"/dev/video0") is None
+    assert ("avdevice" in runtime.describe()) == bool(avail)

@@ -104,4 +104,10 @@ def describe() -> str:
     lib = load()
     if lib is None:
         return "unavailable"
-    return lib.timg_video_version().decode() + "; ansi emitter"
+    desc = lib.timg_video_version().decode() + "; ansi emitter"
+    if hasattr(lib, "timg_video_device_capture_available"):
+        # ref prints "; avdevice <version>" when built with it
+        # (timg-print-version analog of video-source.cc:120-122)
+        if lib.timg_video_device_capture_available():
+            desc += "; avdevice (v4l2 capture)"
+    return desc

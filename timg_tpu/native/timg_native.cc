@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <thread>
 #include <cstdlib>
+#include <dlfcn.h>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -82,9 +83,39 @@ bool init_sws(VideoHandle *v) {
 
 extern "C" {
 
+// v4l2 / device capture: the reference enables it by calling
+// avdevice_register_all() when built with HAVE_AVDEVICE (ref
+// video-source.cc:100-102, src/CMakeLists.txt:102).  Here the gate is
+// at runtime: dlopen libavdevice if present (registers the v4l2
+// demuxer so `timg-tpu /dev/video0` opens like any input), silently
+// absent otherwise -- the same graceful degradation as a build
+// without the define.  Returns 1 when device capture is available.
+static int register_avdevice() {
+    static int available = -1;
+    if (available >= 0) return available;
+    available = 0;
+    const char *names[] = {"libavdevice.so.61", "libavdevice.so.60",
+                           "libavdevice.so.59", "libavdevice.so.58",
+                           "libavdevice.so"};
+    for (const char *name : names) {
+        void *lib = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
+        if (!lib) continue;
+        void (*reg)() = (void (*)())dlsym(lib, "avdevice_register_all");
+        if (reg) {
+            reg();
+            available = 1;
+        }
+        break;
+    }
+    return available;
+}
+
+int timg_video_device_capture_available() { return register_avdevice(); }
+
 void *timg_video_open(const char *filename) {
     static bool initialized = false;
     if (!initialized) {
+        register_avdevice();
         avformat_network_init();
         av_log_set_callback(dummy_log);
         initialized = true;
@@ -351,7 +382,7 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
                        const uint8_t *palette, int n_colors, char *out,
                        uint8_t *scratch /* w bytes */) {
     char *pos = out;
-    pos += sprintf(pos, "\033P0;0;8q\"1;1;%d;%d", w, h);
+    pos += sprintf(pos, "\033Pq\"1;1;%d;%d", w, h);
     for (int i = 0; i < n_colors; ++i) {
         const int r = (palette[i * 3] * 100 + 127) / 255;
         const int g = (palette[i * 3 + 1] * 100 + 127) / 255;

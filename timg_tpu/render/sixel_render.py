@@ -7,7 +7,7 @@ height up to a multiple of 6 with a background-composed strip
 quantization + dithering run on device (timg_tpu.ops.sixel); this module
 turns the palette + index planes into the DCS byte stream:
 
-  ESC P 0;0;8 q " 1;1;W;H  #i;2;r%;g%;b%...  bands of 6 rows  ESC backslash
+  ESC P q " 1;1;W;H  #i;2;r%;g%;b%...  bands of 6 rows  ESC backslash
 
 with per-band per-color runs, '!' RLE, '$' carriage returns and '-' line
 feeds, matching libsixel's emitter structure (quality/feature flags per
@@ -65,7 +65,7 @@ def encode_sixel_stream_py(indices: np.ndarray, palette: np.ndarray) -> bytes:
     h, w = indices.shape
     n = len(palette)
     out = bytearray()
-    out += b"\033P0;0;8q"
+    out += b"\033Pq"  # libsixel default header (params omitted when 0)
     out += b'"1;1;%d;%d' % (w, h)
     for i, (r, g, b) in enumerate(palette):
         out += b"#%d;2;%d;%d;%d" % (i, _pct(r), _pct(g), _pct(b))
