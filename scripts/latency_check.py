@@ -61,6 +61,30 @@ def main() -> int:
     out = {"config": "512x512 PNG -> -pq 80x24 (BASELINE.md #1)",
            "runs": RUNS, "reference_baseline_ms": 9.5}
 
+    # Python interpreter startup in this environment (sitecustomize
+    # preimports jax + registers the PJRT plugin in *every* process):
+    # pure environment overhead the C++ reference does not pay, reported
+    # separately so the framework cost is comparable.
+    times, _ = measure([sys.executable, "-c", ""], base_env)
+    if times:
+        out["python_startup_overhead_ms"] = round(
+            statistics.median(times), 1)
+
+    # In-process latency: main() on a warm interpreter -- the
+    # framework's own decode+resize+argmin+emit cost (numpy path).
+    os.environ["TIMG_TPU_FORCE_NUMPY"] = "1"
+    from timg_tpu.cli import main as cli_main
+    cli_main(args)  # warm imports
+    inproc = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        cli_main(args)
+        inproc.append((time.perf_counter() - t0) * 1e3)
+    del os.environ["TIMG_TPU_FORCE_NUMPY"]
+    out["inprocess_numpy_ms"] = {
+        "median": round(statistics.median(inproc), 1),
+        "min": round(min(inproc), 1)}
+
     env = dict(base_env, TIMG_TPU_FORCE_NUMPY="1")
     times, err = measure([os.path.join(REPO, "timg-tpu"), *args], env)
     if times:

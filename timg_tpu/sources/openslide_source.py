@@ -37,8 +37,11 @@ _SLIDE_SUFFIXES = (".svs", ".ndpi", ".mrxs", ".scn", ".vms", ".vmu",
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    for name in ("libopenslide.so.1", "libopenslide.so.0",
-                 "libopenslide.so"):
+    import os
+    override = os.environ.get("TIMG_OPENSLIDE_LIB")  # test mock hook
+    names = ((override,) if override else
+             ("libopenslide.so.1", "libopenslide.so.0", "libopenslide.so"))
+    for name in names:
         try:
             lib = ctypes.CDLL(name)
             break
@@ -83,8 +86,8 @@ def _argb_to_rgba(buf: np.ndarray, h: int, w: int) -> np.ndarray:
     g = ((words >> 8) & 0xFF).astype(np.uint8)
     b = (words & 0xFF).astype(np.uint8)
     out = np.stack([r, g, b, a], axis=-1)
-    nz = a > 0
-    if not nz.all():  # unpremultiply where alpha < 255
+    if not (a == 255).all():  # unpremultiply wherever alpha < 255
+        nz = a > 0
         af = np.where(nz, a, 1).astype(np.uint32)
         for c in range(3):
             ch = out[..., c].astype(np.uint32)
