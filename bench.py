@@ -81,11 +81,22 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
 
     lib = runtime.load()
     rng = np.random.default_rng(7)
-    host_pool = [
-        rng.integers(0, 256, (E2E_BATCH, IN_H, IN_W, 4), dtype=np.uint8)
-        .view(np.int32).reshape(E2E_BATCH, IN_H, IN_W)
-        for _ in range(3)
-    ]
+    # Photo-like frames (gradients + mild noise), not uniform noise:
+    # noise is a pathological sixel workload (every palette color in
+    # every band, ~3x the output bytes) that no video produces; the
+    # e2e number should reflect the representative case.
+    y, x = np.mgrid[0:IN_H, 0:IN_W]
+    base = np.stack([x * 255 // IN_W, y * 255 // IN_H,
+                     (x + y) * 255 // (IN_W + IN_H),
+                     np.full_like(x, 255)], axis=-1).astype(np.float32)
+    host_pool = []
+    for p in range(3):
+        frames = np.clip(
+            base[None] + rng.normal(p * 3, 6, (E2E_BATCH, IN_H, IN_W, 4)),
+            0, 255).astype(np.uint8)
+        frames[..., 3] = 255
+        host_pool.append(
+            frames.view(np.int32).reshape(E2E_BATCH, IN_H, IN_W))
     pad_to = resize_op.padded_plane_dims(OUT_H, OUT_W)
     palette = np.ascontiguousarray(sixel_op.cube_palette(), dtype=np.uint8)
 
@@ -157,6 +168,10 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         legs["assemble_ms_per_frame"] = round(
             (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
     devnull.close()
+    frame_mb = IN_H * IN_W * 4 / 1e6
+    legs["h2d_mb_per_s"] = round(
+        frame_mb / max(legs["h2d_ms_per_frame"], 1e-6) * 1e3, 1)
+    legs["host_cpus"] = os.cpu_count()
     bottleneck = max(
         ("h2d", legs["h2d_ms_per_frame"]),
         ("device", legs["device_ms_per_frame"]),

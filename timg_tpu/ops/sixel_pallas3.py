@@ -186,67 +186,136 @@ def _unskewT(packed_bht: jax.Array, wp: int,
     )(*([packed_bht] * n_in))
 
 
-def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
+def _make_wavefront_kernel(b: int, hp: int, K: int, h: int, w: int,
+                           n_tables: int, make_quantize):
+    """Row-block-skipping FS wavefront driver (shared by the cube and
+    tree quantizers).
+
+    The [b, hp] wavefront arrays of the original formulation waste
+    ~45% of the VPU work: at any step t only rows with 0 <= t-2y < w
+    carry valid pixels, but whole-array ops compute every row block.
+    Here the kernel body runs **per 128-row block** under a
+    ``pl.when`` activity guard -- a block only computes during the
+    step range that can touch it (plus 3 drain steps so the e1/e2/e3
+    carries settle to zero before the guard closes).  The only value
+    crossing block boundaries is the rolled 3/16-5/16-1/16 error mix
+    entering the block's first row; it rides in a small VMEM scratch
+    (``bnd_ref[rb, c, :, k]``, written by block rb at step k, lane 0
+    of the rolled mix) which is zeroed whenever the producer block is
+    inactive.  Values and association order are exactly those of the
+    whole-array kernel, so output stays bit-identical (tests assert
+    it).
+
+    ``make_quantize(table_refs)`` returns ``quantize(vs, vqs) ->
+    (idx, colors)`` over [b, 128] arrays; refs order: nrb inputs,
+    n_tables tables, out, err scratch, bnd scratch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    lr, lg, lb = _CUBE_LEVELS
-    levels = (lr, lg, lb)
     nrb = hp // 128
 
     def kernel(*refs):
         in_refs = refs[:nrb]
-        out_ref = refs[nrb]
-        err_ref = refs[nrb + 1]
+        table_refs = refs[nrb:nrb + n_tables]
+        out_ref = refs[nrb + n_tables]
+        err_ref = refs[nrb + n_tables + 1]
+        bnd_ref = refs[nrb + n_tables + 2]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
             err_ref[...] = jnp.zeros_like(err_ref)
 
-        ys = jax.lax.broadcasted_iota(jnp.int32, (b, hp), 1)
-
-        def up(e):
-            rolled = pltpu.roll(e, shift=1, axis=1)
-            return jnp.where(ys == 0, jnp.float32(0.0), rolled)
-
+        quantize = make_quantize(table_refs)
         t0 = pl.program_id(0) * K
-        e1 = [err_ref[c] for c in range(3)]
-        e2 = [err_ref[3 + c] for c in range(3)]
-        e3 = [err_ref[6 + c] for c in range(3)]
-        packed = None
-        for k in range(K):
-            t = t0 + k
-            xs = t - 2 * ys
-            mask = jnp.logical_and(
-                jnp.logical_and(xs >= 0, xs < w), ys < h)
-            word = jnp.concatenate([r[k] for r in in_refs], axis=1)
-            idx = None
-            new_e = []
-            for c in range(3):
-                n = levels[c]
-                col = ((word >> (8 * c)) & 0xFF).astype(jnp.float32)
-                mix = (e1[c] * (3.0 / 16.0) + e2[c] * (5.0 / 16.0)
-                       + e3[c] * (1.0 / 16.0))
-                incoming = e1[c] * (7.0 / 16.0) + up(mix)
-                v = jnp.clip(col + incoming, 0.0, 255.0)
-                q = jnp.round(v * jnp.float32((n - 1) / 255.0))
-                chosen = jnp.round(q * jnp.float32(255.0 / (n - 1)))
-                new_e.append(
-                    jnp.where(mask, v - chosen, jnp.float32(0.0)))
-                qi = q.astype(jnp.int32)
-                idx = qi if idx is None else idx * n + qi
-            e3, e2, e1 = e2, e1, new_e
-            shift = 8 * (k % 4)
-            packed = (idx << shift if k % 4 == 0
-                      else packed | (idx << shift))
-            if k % 4 == 3:
-                out_ref[k // 4] = packed
-        for c in range(3):
-            err_ref[c] = e1[c]
-            err_ref[3 + c] = e2[c]
-            err_ref[6 + c] = e3[c]
+        yloc = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+
+        for rb in range(nrb):
+            y_lo = 128 * rb
+            if y_lo >= h:
+                continue  # rows entirely beyond the image: no work,
+                # no consumer (the next block is beyond h too)
+            y_max = min(y_lo + 127, h - 1)
+            sl = slice(y_lo, y_lo + 128)
+            active = jnp.logical_and(t0 + K - 1 >= 2 * y_lo,
+                                     t0 <= w - 1 + 2 * y_max + 3)
+
+            @pl.when(jnp.logical_not(active))
+            def _quiet(rb=rb):
+                # consumers read zeros while this block is inactive
+                bnd_ref[rb] = jnp.zeros_like(bnd_ref[rb])
+
+            @pl.when(active)
+            def _block(rb=rb, y_lo=y_lo, y_max=y_max, sl=sl):
+                ys = y_lo + yloc
+                e1 = [err_ref[c, :, sl] for c in range(3)]
+                e2 = [err_ref[3 + c, :, sl] for c in range(3)]
+                e3 = [err_ref[6 + c, :, sl] for c in range(3)]
+                packed = None
+                for k in range(K):
+                    t = t0 + k
+                    xs = t - 2 * ys
+                    mask = jnp.logical_and(xs >= 0, xs < w)
+                    if y_max == h - 1 and y_lo + 127 >= h:
+                        mask = jnp.logical_and(mask, ys < h)
+                    word = in_refs[rb][k]
+                    vs, vqs = [], []
+                    for c in range(3):
+                        col = ((word >> (8 * c)) & 0xFF).astype(
+                            jnp.float32)
+                        mix = (e1[c] * (3.0 / 16.0)
+                               + e2[c] * (5.0 / 16.0)
+                               + e3[c] * (1.0 / 16.0))
+                        rolled = pltpu.roll(mix, shift=1, axis=1)
+                        # lane 0 of the rolled mix = the boundary value
+                        # the next block's first row consumes
+                        bnd_ref[rb, c, :, k:k + 1] = rolled[:, 0:1]
+                        if rb == 0:
+                            row0 = jnp.zeros((b, 128), jnp.float32)
+                        else:
+                            row0 = jnp.broadcast_to(
+                                bnd_ref[rb - 1, c, :, k:k + 1],
+                                (b, 128))
+                        upmix = jnp.where(yloc == 0, row0, rolled)
+                        incoming = e1[c] * (7.0 / 16.0) + upmix
+                        v = jnp.clip(col + incoming, 0.0, 255.0)
+                        vs.append(v)
+                        vqs.append(jnp.round(v))
+                    idx, colors = quantize(vs, vqs)
+                    new_e = [jnp.where(mask, vs[c] - colors[c],
+                                       jnp.float32(0.0))
+                             for c in range(3)]
+                    e3, e2, e1 = e2, e1, new_e
+                    shift = 8 * (k % 4)
+                    packed = (idx << shift if k % 4 == 0
+                              else packed | (idx << shift))
+                    if k % 4 == 3:
+                        out_ref[k // 4, :, sl] = packed
+                for c in range(3):
+                    err_ref[c, :, sl] = e1[c]
+                    err_ref[3 + c, :, sl] = e2[c]
+                    err_ref[6 + c, :, sl] = e3[c]
 
     return kernel
+
+
+def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
+    lr, lg, lb = _CUBE_LEVELS
+    levels = (lr, lg, lb)
+
+    def make_quantize(_tables):
+        def quantize(vs, vqs):
+            idx = None
+            colors = []
+            for c in range(3):
+                n = levels[c]
+                q = jnp.round(vs[c] * jnp.float32((n - 1) / 255.0))
+                colors.append(jnp.round(q * jnp.float32(255.0 / (n - 1))))
+                qi = q.astype(jnp.int32)
+                idx = qi if idx is None else idx * n + qi
+            return idx, colors
+        return quantize
+
+    return _make_wavefront_kernel(b, hp, K, h, w, 0, make_quantize)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
@@ -310,7 +379,8 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
         out_specs=pl.BlockSpec((K // 4, b, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32),
+                        pltpu.VMEM((hp // 128, 3, b, K), jnp.float32)],
         interpret=interpret,
     )(*([cols] * nrb))
 
@@ -322,95 +392,75 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     return out if out_u8 else out.astype(jnp.int32)
 
 
+def _quad_tables(levels: jax.Array, depth: int) -> jax.Array:
+    """Fold the binary level tables into quaternary ones.
+
+    levels[d, node] packs (axis << 8 | thr) for the binary tree.  Two
+    binary levels collapse into one 4-way level whose table word packs
+    the parent split and both child splits --
+    [a0:2][t0:8][a1:2][t1:8][a2:2][t2:8] (30 bits) -- so one lane-gather
+    per 4-way level replaces two.  The partition (and therefore every
+    output index) is identical to the binary descent; only the search
+    shape changes.  Returns [depth//2, 128] i32 (level q has 4**q nodes,
+    q <= 3 -> all tables fit one 128-lane gather)."""
+    qts = []
+    for q in range(depth // 2):
+        n = 4 ** q
+        p = levels[2 * q, :n]
+        l1 = levels[2 * q + 1]
+        le = l1[0:2 * n:2]
+        lo = l1[1:2 * n:2]
+        word = (((p >> 8) << 28) | ((p & 0xFF) << 20)
+                | ((le >> 8) << 18) | ((le & 0xFF) << 10)
+                | ((lo >> 8) << 8) | (lo & 0xFF))
+        qts.append(jnp.zeros(128, jnp.int32).at[:n].set(word))
+    return jnp.stack(qts)
+
+
 def _make_fs_tree_kernel(b: int, hp: int, K: int, h: int, w: int,
                          wf: int, depth: int):
     """FS kernel with balanced median-cut tree descent (adaptive
-    palette at video rate): per pixel, ``depth`` packed lane-gathers
-    over <=128-entry level tables + one leaf-word lookup, instead of
-    the cube's arithmetic quantization. Tables ride in VMEM; gathers
-    run per 128-lane chunk (the TPU lane-gather width)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    palette at video rate): per pixel, ``depth//2`` packed lane-gathers
+    over quaternary level tables (see _quad_tables) + one leaf-word
+    lookup, instead of the cube's arithmetic quantization. Tables ride
+    in VMEM; gathers are native 128-lane TPU lane-gathers (the per-rb
+    wavefront arrays are exactly gather-width)."""
 
-    nrb = hp // 128
-    nch = hp // 128  # 128-lane chunks of the [b, hp] wavefront arrays
+    def make_quantize(table_refs):
+        levels_ref, leaves_ref = table_refs
 
-    def kernel(*refs):
-        in_refs = refs[:nrb]
-        levels_ref = refs[nrb]
-        leaves_ref = refs[nrb + 1]
-        out_ref = refs[nrb + 2]
-        err_ref = refs[nrb + 3]
-
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
-            err_ref[...] = jnp.zeros_like(err_ref)
-
-        ys = jax.lax.broadcasted_iota(jnp.int32, (b, hp), 1)
-
-        def up(e):
-            rolled = pltpu.roll(e, shift=1, axis=1)
-            return jnp.where(ys == 0, jnp.float32(0.0), rolled)
-
-        def chunked_gather(table_row, node):
-            # table_row: [128] i32; node: [b, hp] i32 -> [b, hp] i32
+        def gather(table_row, node):
+            # table_row: [128] i32; node: [b, 128] i32 -> [b, 128] i32
             tb = jnp.broadcast_to(table_row[None, :], (b, 128))
-            parts = []
-            for k in range(nch):
-                nk = node[:, k * 128:(k + 1) * 128]
-                parts.append(jnp.take_along_axis(tb, nk, axis=1))
-            return jnp.concatenate(parts, axis=1)
+            return jnp.take_along_axis(tb, node, axis=1)
 
-        t0 = pl.program_id(0) * K
-        e1 = [err_ref[c] for c in range(3)]
-        e2 = [err_ref[3 + c] for c in range(3)]
-        e3 = [err_ref[6 + c] for c in range(3)]
-        packed = None
-        for k in range(K):
-            t = t0 + k
-            xs = t - 2 * ys
-            mask = jnp.logical_and(
-                jnp.logical_and(xs >= 0, xs < w), ys < h)
-            word = jnp.concatenate([r[k] for r in in_refs], axis=1)
-            vs, vqs = [], []
-            for c in range(3):
-                col = ((word >> (8 * c)) & 0xFF).astype(jnp.float32)
-                mix = (e1[c] * (3.0 / 16.0) + e2[c] * (5.0 / 16.0)
-                       + e3[c] * (1.0 / 16.0))
-                incoming = e1[c] * (7.0 / 16.0) + up(mix)
-                v = jnp.clip(col + incoming, 0.0, 255.0)
-                vs.append(v)
-                vqs.append(jnp.round(v))
-            node = jnp.zeros((b, hp), jnp.int32)
-            for d in range(depth):
-                wrd = chunked_gather(levels_ref[d], node)
-                axis = wrd >> 8
-                thr = (wrd & 0xFF).astype(jnp.float32)
-                comp = jnp.where(axis == 0, vqs[0],
+        def quantize(vs, vqs):
+            def sel(axis):
+                return jnp.where(axis == 0, vqs[0],
                                  jnp.where(axis == 1, vqs[1], vqs[2]))
-                node = node * 2 + (comp > thr).astype(jnp.int32)
-            leaf = jnp.where(
-                node < 128,
-                chunked_gather(leaves_ref[0], node),
-                chunked_gather(leaves_ref[1], node - 128))
-            idx = (leaf >> 24) & 0xFF
-            new_e = []
-            for c, sh in enumerate((16, 8, 0)):
-                color = ((leaf >> sh) & 0xFF).astype(jnp.float32)
-                new_e.append(
-                    jnp.where(mask, vs[c] - color, jnp.float32(0.0)))
-            e3, e2, e1 = e2, e1, new_e
-            shift = 8 * (k % 4)
-            packed = (idx << shift if k % 4 == 0
-                      else packed | (idx << shift))
-            if k % 4 == 3:
-                out_ref[k // 4] = packed
-        for c in range(3):
-            err_ref[c] = e1[c]
-            err_ref[3 + c] = e2[c]
-            err_ref[6 + c] = e3[c]
 
-    return kernel
+            node = jnp.zeros((b, 128), jnp.int32)
+            for q in range(depth // 2):
+                wrd = gather(levels_ref[q], node)
+                b0 = (sel((wrd >> 28) & 3)
+                      > ((wrd >> 20) & 0xFF).astype(jnp.float32)
+                      ).astype(jnp.int32)
+                axis1 = jnp.where(b0 == 1, (wrd >> 8) & 3,
+                                  (wrd >> 18) & 3)
+                thr1 = jnp.where(b0 == 1, wrd & 0xFF,
+                                 (wrd >> 10) & 0xFF).astype(jnp.float32)
+                b1 = (sel(axis1) > thr1).astype(jnp.int32)
+                node = node * 4 + b0 * 2 + b1
+            leaf = jnp.where(node < 128,
+                             gather(leaves_ref[0], node),
+                             gather(leaves_ref[1], node - 128))
+            idx = (leaf >> 24) & 0xFF
+            colors = [((leaf >> sh) & 0xFF).astype(jnp.float32)
+                      for sh in (16, 8, 0)]
+            return idx, colors
+        return quantize
+
+    return _make_wavefront_kernel(b, hp, K, h, w, 2, make_quantize)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
@@ -465,20 +515,23 @@ def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
             memory_space=pltpu.VMEM)
 
     leaves2 = leaves.reshape(2, 128)
+    quads = _quad_tables(levels, TREE_DEPTH)
     packed = pl.pallas_call(
         _make_fs_tree_kernel(b, hp, K, h, w, wf, TREE_DEPTH),
         grid=(t_len // K,),
         in_specs=([in_spec(r) for r in range(nrb)]
-                  + [pl.BlockSpec((TREE_DEPTH, 128), lambda i: (0, 0),
+                  + [pl.BlockSpec((TREE_DEPTH // 2, 128),
+                                  lambda i: (0, 0),
                                   memory_space=pltpu.VMEM),
                      pl.BlockSpec((2, 128), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec((K // 4, b, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32),
+                        pltpu.VMEM((hp // 128, 3, b, K), jnp.float32)],
         interpret=interpret,
-    )(*([cols] * nrb), levels, leaves2)
+    )(*([cols] * nrb), quads, leaves2)
 
     packed_bht = _transpose_bwd(packed, interpret=interpret)
     words_out = _unskewT(packed_bht, wp, interpret=interpret)
