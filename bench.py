@@ -72,36 +72,47 @@ def _device_fps(jax, jnp, np, pipeline, pool_dev, iters=ITERS):
 
 
 def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
-    """Sustained pipeline with the host legs in.  Returns (fps, legs)."""
+    """Sustained pipeline with the host legs in.  Returns (fps, legs).
+
+    Transport is the CLI video path's: raw YUV 4:2:0 planes over the
+    host->device link (1.5 B/px, 2.67x less than RGBA words) with the
+    BT.601 conversion fused device-side (ops/yuv.py) -- the TPU-native
+    replacement for the reference's host swscale leg (ref
+    video-source.cc:352-354)."""
     import ctypes
     from concurrent.futures import ThreadPoolExecutor
 
     from timg_tpu.native import runtime
     from timg_tpu.ops import sixel as sixel_op
+    from timg_tpu.ops.yuv import yuv420_to_rgba_words
 
     lib = runtime.load()
     rng = np.random.default_rng(7)
-    # Photo-like frames (gradients + mild noise), not uniform noise:
+    # Photo-like frames (gradients + mild luma noise, smooth chroma):
     # noise is a pathological sixel workload (every palette color in
     # every band, ~3x the output bytes) that no video produces; the
     # e2e number should reflect the representative case.
-    y, x = np.mgrid[0:IN_H, 0:IN_W]
-    base = np.stack([x * 255 // IN_W, y * 255 // IN_H,
-                     (x + y) * 255 // (IN_W + IN_H),
-                     np.full_like(x, 255)], axis=-1).astype(np.float32)
+    ch, cw = IN_H // 2, IN_W // 2
+    yy, xx = np.mgrid[0:IN_H, 0:IN_W]
+    ybase = ((xx + yy) * 255 // (IN_W + IN_H)).astype(np.float32)
+    cyy, cxx = np.mgrid[0:ch, 0:cw]
     host_pool = []
     for p in range(3):
-        frames = np.clip(
-            base[None] + rng.normal(p * 3, 6, (E2E_BATCH, IN_H, IN_W, 4)),
-            0, 255).astype(np.uint8)
-        frames[..., 3] = 255
-        host_pool.append(
-            frames.view(np.int32).reshape(E2E_BATCH, IN_H, IN_W))
+        yp = np.clip(ybase[None] + rng.normal(p * 3, 6,
+                                              (E2E_BATCH, IN_H, IN_W)),
+                     0, 255).astype(np.uint8)
+        up = np.broadcast_to((64 + cxx * 128 // cw + 2 * p
+                              ).astype(np.uint8), (E2E_BATCH, ch, cw)).copy()
+        vp = np.broadcast_to((192 - cyy * 128 // ch - 2 * p
+                              ).astype(np.uint8), (E2E_BATCH, ch, cw)).copy()
+        host_pool.append((yp, up, vp))
     pad_to = resize_op.padded_plane_dims(OUT_H, OUT_W)
     palette = np.ascontiguousarray(sixel_op.cube_palette(), dtype=np.uint8)
 
     @jax.jit
-    def dev(words):
+    def dev(planes):
+        y, u, v = planes
+        words = yuv420_to_rgba_words(y, u, v, True)
         words = resize_op.resize_video_words(words, OUT_H, OUT_W,
                                              pad_to=pad_to)
         return fs_dither_cube_fused(words, OUT_H, OUT_W, out_u8=True,
@@ -168,9 +179,10 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         legs["assemble_ms_per_frame"] = round(
             (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
     devnull.close()
-    frame_mb = IN_H * IN_W * 4 / 1e6
+    frame_mb = IN_H * IN_W * 1.5 / 1e6      # YUV 4:2:0 transport
     legs["h2d_mb_per_s"] = round(
         frame_mb / max(legs["h2d_ms_per_frame"], 1e-6) * 1e3, 1)
+    legs["transport"] = "yuv420"
     legs["host_cpus"] = os.cpu_count()
     bottleneck = max(
         ("h2d", legs["h2d_ms_per_frame"]),

@@ -45,6 +45,13 @@ def load() -> Optional[ctypes.CDLL]:
     lib.timg_video_read_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.timg_video_rewind.restype = ctypes.c_int
     lib.timg_video_rewind.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "timg_video_read_frame_yuv"):  # absent in older .so
+        lib.timg_video_pix_info.restype = ctypes.c_int
+        lib.timg_video_pix_info.argtypes = [ctypes.c_void_p]
+        lib.timg_video_read_frame_yuv.restype = ctypes.c_int
+        lib.timg_video_read_frame_yuv.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p]
     lib.timg_video_close.argtypes = [ctypes.c_void_p]
     lib.timg_video_version.restype = ctypes.c_char_p
     lib.timg_ansi_emit.restype = ctypes.c_long

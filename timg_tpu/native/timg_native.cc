@@ -217,6 +217,86 @@ int timg_video_read_frame(void *handle, uint8_t *rgba_out) {
     }
 }
 
+// Pixel-format info for the raw-plane fast path.  Bit 0: the decoded
+// stream is 8-bit 4:2:0 planar (YUV420P / YUVJ420P) so frames can ship
+// as raw planes (1.5 B/px over the host->device link instead of 4 B/px
+// RGBA, with color conversion done device-side).  Bit 1: full-range
+// ("J" format, or limited format tagged AVCOL_RANGE_JPEG, e.g. y4m
+// C420jpeg).  The reference always converts on host via swscale (ref
+// video-source.cc:352-354); the raw-plane path is the TPU-native
+// replacement for that conversion.
+int timg_video_pix_info(void *handle) {
+    VideoHandle *v = (VideoHandle *)handle;
+    AVPixelFormat pix = v->codec->pix_fmt;
+    int info = 0;
+    if (pix == AV_PIX_FMT_YUV420P || pix == AV_PIX_FMT_YUVJ420P) info |= 1;
+    AVColorRange range = v->codec->color_range;
+    if (range == AVCOL_RANGE_UNSPECIFIED)
+        // some demuxers (e.g. y4m C420jpeg) only tag the stream params
+        range = v->format->streams[v->stream_index]->codecpar->color_range;
+    if (pix == AV_PIX_FMT_YUVJ420P || range == AVCOL_RANGE_JPEG) info |= 2;
+    return info;
+}
+
+// Raw-plane read: like timg_video_read_frame but hands the decoded
+// 4:2:0 planes directly (y: h*w, u/v: ceil(h/2)*ceil(w/2) bytes, pitch
+// removed).  Returns 1 = YUV planes written; 2 = the frame was not
+// 4:2:0 after all (mid-stream format change) and was sws-converted to
+// RGBA into rgba_fallback instead; 0 = end of stream; -1 = error.
+int timg_video_read_frame_yuv(void *handle, uint8_t *y_out, uint8_t *u_out,
+                              uint8_t *v_out, uint8_t *rgba_fallback) {
+    VideoHandle *v = (VideoHandle *)handle;
+    for (;;) {
+        int ret = avcodec_receive_frame(v->codec, v->frame);
+        if (ret == 0) {
+            const int fmt = v->frame->format;
+            if (fmt == AV_PIX_FMT_YUV420P || fmt == AV_PIX_FMT_YUVJ420P) {
+                const int w = v->width, h = v->height;
+                const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+                for (int r = 0; r < h; ++r)
+                    memcpy(y_out + (size_t)r * w,
+                           v->frame->data[0] + (size_t)r * v->frame->linesize[0],
+                           w);
+                for (int r = 0; r < ch; ++r) {
+                    memcpy(u_out + (size_t)r * cw,
+                           v->frame->data[1] + (size_t)r * v->frame->linesize[1],
+                           cw);
+                    memcpy(v_out + (size_t)r * cw,
+                           v->frame->data[2] + (size_t)r * v->frame->linesize[2],
+                           cw);
+                }
+                av_frame_unref(v->frame);
+                return 1;
+            }
+            uint8_t *dst[1] = {rgba_fallback};
+            int dst_stride[1] = {v->width * 4};
+            sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,
+                      v->height, dst, dst_stride);
+            av_frame_unref(v->frame);
+            return 2;
+        }
+        if (ret == AVERROR_EOF) return 0;
+        if (ret != AVERROR(EAGAIN)) return -1;
+        if (v->draining) return 0;
+
+        for (;;) {
+            ret = av_read_frame(v->format, v->packet);
+            if (ret < 0) {
+                v->draining = true;
+                avcodec_send_packet(v->codec, nullptr);  // start drain
+                break;
+            }
+            if (v->packet->stream_index == v->stream_index) {
+                ret = avcodec_send_packet(v->codec, v->packet);
+                av_packet_unref(v->packet);
+                if (ret < 0 && ret != AVERROR(EAGAIN)) return -1;
+                break;
+            }
+            av_packet_unref(v->packet);
+        }
+    }
+}
+
 // Rewind for looping (ref video-source.cc:302-307).
 int timg_video_rewind(void *handle) {
     VideoHandle *v = (VideoHandle *)handle;

@@ -71,7 +71,8 @@ def sharded_quarter_pipeline(mesh: Mesh, out_h: int, out_w: int,
     )
 
 
-def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int):
+def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int,
+                                 yuv: bool = False):
     """jit the flagship video path (words -> resize -> cube FS dither ->
     index planes) with the frame batch sharded over the ``data`` axis.
 
@@ -81,6 +82,10 @@ def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int):
     classic contact-sheet/video-window fan-out, ref SURVEY §2.4).
     Pallas kernels do not auto-partition under GSPMD, so the per-shard
     body runs under shard_map.
+
+    With ``yuv`` the input is the CLI video transport's (y, u, v) raw
+    4:2:0 plane triple (1.5 B/px over each chip's host link) and the
+    BT.601 conversion runs per shard on device (ops/yuv.py).
     """
     from timg_tpu.ops.resize import resize_video_words
 
@@ -88,13 +93,19 @@ def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int):
 
     interpret = jax.default_backend() != "tpu"
 
-    def per_shard(words):
+    def per_shard(*args):
+        if yuv:
+            from timg_tpu.ops.yuv import yuv420_to_rgba_words
+            words = yuv420_to_rgba_words(*args, True)
+        else:
+            (words,) = args
         resized = resize_video_words(words, out_h, out_w)
         return fs_dither_cube_fused(resized, out_h, out_w,
                                     out_u8=True, interpret=interpret)
 
+    n_in = 3 if yuv else 1
     fn = jax.shard_map(per_shard, mesh=mesh,
-                       in_specs=P("data", None, None),
+                       in_specs=tuple([P("data", None, None)] * n_in),
                        out_specs=P("data", None, None),
                        check_vma=False)  # pallas out_shapes carry no vma
     return jax.jit(fn)

@@ -1,18 +1,26 @@
 """Video source: libav host decode feeding batched device processing.
 
 Behavioral spec: ref src/video-source.cc. Demux/decode happen in the
-native helper (timg_native.cc); frames are converted to RGBA at *native*
-resolution and resized/composed on device in windows of several frames
-per dispatch (the reference scales each frame serially on host with
-sws_scale, :352-354). Pacing semantics are the reference's: dy=-height
-reposition per frame, AnimationFrame timestamps at k/fps
-(:356-360), rewind-and-loop via seek (:302-307), "videos loop once"
-default handled by the CLI, frame_offset skip (:342-347).
+native helper (timg_native.cc); frames are resized/composed on device in
+windows of several frames per dispatch (the reference scales each frame
+serially on host with sws_scale, :352-354). Pacing semantics are the
+reference's: dy=-height reposition per frame, AnimationFrame timestamps
+at k/fps (:356-360), rewind-and-loop via seek (:302-307), "videos loop
+once" default handled by the CLI, frame_offset skip (:342-347).
+
+TPU-first transport: when the decoded stream is 8-bit 4:2:0 (the
+overwhelmingly common case) the raw Y/U/V planes ship to the device at
+1.5 bytes/pixel and the BT.601 conversion runs there (ops/yuv.py),
+replacing the reference's host-side swscale YUV->RGBA leg entirely --
+2.67x less host->device traffic and zero host conversion CPU.  Other
+pixel formats (and ``TIMG_TPU_VIDEO_RGBA=1`` for A/B testing) fall back
+to host sws conversion exactly like the reference.
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 import sys
 from typing import Callable, List
 
@@ -24,6 +32,32 @@ from timg_tpu.render.sequencer import SeqType
 from timg_tpu.sources.base import FrameSink, ImageSource
 
 _WINDOW = 8  # frames per device dispatch
+
+_yuv_jit = None
+
+
+def _get_yuv_jit():
+    """Jitted fused YUV420 -> RGBA -> resize, built once (a per-window
+    closure would re-trace every dispatch)."""
+    global _yuv_jit
+    if _yuv_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.yuv import yuv420_to_rgba_words
+
+        @functools.partial(jax.jit,
+                           static_argnames=("th", "tw", "full_range"))
+        def convert_resize(y, u, v, th, tw, full_range):
+            words = yuv420_to_rgba_words(y, u, v, full_range)
+            words = resize_video_words(words, th, tw)
+            return jax.lax.bitcast_convert_type(words, jnp.uint8)
+
+        _yuv_jit = convert_resize
+    return _yuv_jit
 
 
 class VideoSource(ImageSource):
@@ -74,6 +108,20 @@ class VideoSource(ImageSource):
         self._transparent_suffix = lower.endswith(
             (".png", ".gif", ".qoi", ".apng", ".svg")) or lower == "-"
 
+        # Raw-plane transport: 4:2:0 streams ship YUV planes to the
+        # device (1.5 B/px) with BT.601 conversion on the TPU instead of
+        # host sws (see module docstring).  Transparent-capable suffixes
+        # keep the RGBA path (4:2:0 carries no alpha, but their RGBA
+        # compose path is the tested one).
+        self._full_range = False
+        self._use_yuv = False
+        if hasattr(lib, "timg_video_pix_info") \
+                and not self._maybe_transparent() \
+                and not os.environ.get("TIMG_TPU_VIDEO_RGBA"):
+            info = lib.timg_video_pix_info(handle)
+            self._use_yuv = bool(info & 1)
+            self._full_range = bool(info & 2)
+
         tw, th, _ = calc_scale_to_fit(self.orig_width, self.orig_height,
                                       options)
         self._target = (tw, th)
@@ -98,8 +146,14 @@ class VideoSource(ImageSource):
             self._lib.timg_video_close(self._handle)
             self._handle = None
 
-    def _process_window(self, raw: List[np.ndarray]) -> List[np.ndarray]:
-        """One batched device dispatch: resize + compose."""
+    def _process_window(self, raw: List, kind: str = "rgba"
+                        ) -> List[np.ndarray]:
+        """One batched device dispatch: [convert +] resize + compose.
+
+        ``kind`` "rgba": raw = list of [H,W,4] u8 frames.  "yuv": raw =
+        list of (y, u, v) plane triples; conversion and resize fuse into
+        one jitted dispatch, so the only host->device traffic is the
+        1.5 B/px planes."""
         import jax.numpy as jnp
 
         from timg_tpu.ops.compose import alpha_compose_background
@@ -107,11 +161,18 @@ class VideoSource(ImageSource):
 
         opts = self._options
         tw, th = self._target
-        arr = np.stack(raw)
-        if self._maybe_transparent():
+        if kind == "yuv":
+            ys = np.stack([f[0] for f in raw])
+            us = np.stack([f[1] for f in raw])
+            vs = np.stack([f[2] for f in raw])
+            result = np.asarray(_get_yuv_jit()(
+                ys, us, vs, th, tw, self._full_range))
+        elif self._maybe_transparent():
+            arr = np.stack(raw)
             x = resize_batch(jnp.asarray(arr), th, tw)
             result = np.asarray(x)
         else:
+            arr = np.stack(raw)
             # opaque codecs: lean resize (the reference's video path uses
             # swscale bilinear here, ref video-source.cc:352, so the
             # stb-exact pipeline isn't the parity target). Frames are
@@ -148,8 +209,15 @@ class VideoSource(ImageSource):
         opts = self._options
         tw, th = self._target
         frame_ms = 1000.0 / self._fps
-        nbytes = self.orig_width * self.orig_height * 4
+        w, h = self.orig_width, self.orig_height
+        nbytes = w * h * 4
         buf = ctypes.create_string_buffer(nbytes)
+        use_yuv = getattr(self, "_use_yuv", False)
+        if use_yuv:
+            cw, ch = (w + 1) // 2, (h + 1) // 2
+            ybuf = ctypes.create_string_buffer(w * h)
+            ubuf = ctypes.create_string_buffer(cw * ch)
+            vbuf = ctypes.create_string_buffer(cw * ch)
 
         if loops == NOT_INITIALIZED:
             loops = self.default_loops()
@@ -165,13 +233,14 @@ class VideoSource(ImageSource):
                 break
             frames_seen = 0
             emitted = 0
-            pending: List[np.ndarray] = []
+            pending: List = []
+            pending_kind = "rgba"
 
             def flush():
                 nonlocal time_ms, is_first, last_height
                 if not pending:
                     return
-                for frame in self._process_window(pending):
+                for frame in self._process_window(pending, pending_kind):
                     time_ms += frame_ms
                     dy = -last_height if last_height > 0 else 0
                     seq = (SeqType.START_OF_ANIMATION if is_first
@@ -183,8 +252,12 @@ class VideoSource(ImageSource):
                 pending.clear()
 
             while not interrupt():
-                ret = lib.timg_video_read_frame(handle, buf)
-                if ret != 1:
+                if use_yuv:
+                    ret = lib.timg_video_read_frame_yuv(
+                        handle, ybuf, ubuf, vbuf, buf)
+                else:
+                    ret = lib.timg_video_read_frame(handle, buf)
+                if ret <= 0:
                     break
                 frames_seen += 1
                 if frames_seen <= self._frame_offset:  # ref :342-347
@@ -192,9 +265,24 @@ class VideoSource(ImageSource):
                 if self._frame_count >= 0 and emitted >= self._frame_count:
                     break
                 emitted += 1
-                frame = np.frombuffer(buf, np.uint8, nbytes).reshape(
-                    self.orig_height, self.orig_width, 4).copy()
-                pending.append(frame)
+                if ret == 1 and use_yuv:
+                    item = (np.frombuffer(ybuf, np.uint8,
+                                          w * h).reshape(h, w).copy(),
+                            np.frombuffer(ubuf, np.uint8,
+                                          cw * ch).reshape(ch, cw).copy(),
+                            np.frombuffer(vbuf, np.uint8,
+                                          cw * ch).reshape(ch, cw).copy())
+                    kind = "yuv"
+                else:
+                    # ret == 2: mid-stream non-4:2:0 frame, native
+                    # helper sws-converted it to RGBA as fallback
+                    item = np.frombuffer(buf, np.uint8, nbytes).reshape(
+                        h, w, 4).copy()
+                    kind = "rgba"
+                if pending and kind != pending_kind:
+                    flush()           # homogeneous device windows only
+                pending_kind = kind
+                pending.append(item)
                 if len(pending) >= _WINDOW:
                     flush()
                 if time_ms > duration_ms:
