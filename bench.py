@@ -122,19 +122,21 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
 
     def assemble(planes_host):
         """Pooled C sixel assembly of one batch (the CLI architecture:
-        per-frame assembly futures in the compression pool)."""
+        per-frame assembly futures in the compression pool, thread-local
+        output buffers reused across frames)."""
+        from timg_tpu.render.sixel_render import _tls_buffers
+
         pitch = planes_host.strides[1]
         n_bands = (OUT_H + 5) // 6
         cap = n_bands * len(palette) * (OUT_W + 12) + len(palette) * 20 + 256
 
         def one(i):
             frame = planes_host[i]
-            buf = ctypes.create_string_buffer(cap)
-            scratch = ctypes.create_string_buffer(OUT_W)
+            buf, scratch = _tls_buffers(cap, OUT_W)
             n = lib.timg_sixel_encode(frame.ctypes.data, OUT_H, OUT_W,
                                       pitch, palette.ctypes.data,
                                       len(palette), buf, scratch)
-            return buf.raw[:n]
+            return ctypes.string_at(buf, n)
         for fut in [pool_exec.submit(one, i) for i in range(E2E_BATCH)]:
             devnull.write(fut.result())
 

@@ -278,3 +278,34 @@ class TestOpenSlideSource:
             tuple(out[0, 0]) == (127, 0, 0, 128)
         assert tuple(out[0, 1]) == (0, 200, 0, 255)
         assert tuple(out[0, 2]) == (0, 0, 0, 0)
+
+
+class TestTlsBuffers:
+    """Thread-local C-assembler buffer reuse (sixel_render._tls_buffers)."""
+
+    def test_reuse_and_growth(self):
+        import ctypes
+
+        from timg_tpu.render.sixel_render import _tls_buffers
+
+        b1, s1 = _tls_buffers(1024, 64)
+        b2, s2 = _tls_buffers(512, 32)     # smaller: same objects back
+        assert b1 is b2 and s1 is s2
+        b3, _ = _tls_buffers(ctypes.sizeof(b1) + 1, 16)  # grows
+        assert ctypes.sizeof(b3) > ctypes.sizeof(b1)
+
+    def test_threads_are_isolated(self):
+        import threading
+
+        from timg_tpu.render.sixel_render import _tls_buffers
+
+        main_buf, _ = _tls_buffers(2048, 8)
+        seen = {}
+
+        def worker():
+            seen["buf"], _ = _tls_buffers(2048, 8)
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert seen["buf"] is not main_buf

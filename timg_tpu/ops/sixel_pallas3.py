@@ -206,8 +206,10 @@ def _make_wavefront_kernel(b: int, hp: int, K: int, h: int, w: int,
     whole-array kernel, so output stays bit-identical (tests assert
     it).
 
-    ``make_quantize(table_refs)`` returns ``quantize(vs, vqs) ->
-    (idx, colors)`` over [b, 128] arrays; refs order: nrb inputs,
+    ``make_quantize(table_refs)`` returns ``quantize(vs) ->
+    (idx, colors)`` over [b, 128] arrays (quantizers needing rounded
+    values compute them themselves -- the cube path never does, so the
+    driver must not spend the 3 rounds/step); refs order: nrb inputs,
     n_tables tables, out, err scratch, bnd scratch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -247,9 +249,16 @@ def _make_wavefront_kernel(b: int, hp: int, K: int, h: int, w: int,
             @pl.when(active)
             def _block(rb=rb, y_lo=y_lo, y_max=y_max, sl=sl):
                 ys = y_lo + yloc
-                e1 = [err_ref[c, :, sl] for c in range(3)]
-                e2 = [err_ref[3 + c, :, sl] for c in range(3)]
-                e3 = [err_ref[6 + c, :, sl] for c in range(3)]
+                yloc3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (3, b, 128), 2)
+                # error carries ride channel-packed [3, b, 128]: the
+                # whole FS propagation (mix/roll/boundary/incoming/
+                # clip) runs as single stacked VPU ops instead of 3x
+                # per-channel op issues -- same per-lane arithmetic,
+                # bit-identical output
+                e1 = err_ref[0:3, :, sl]
+                e2 = err_ref[3:6, :, sl]
+                e3 = err_ref[6:9, :, sl]
                 packed = None
                 for k in range(K):
                     t = t0 + k
@@ -258,42 +267,38 @@ def _make_wavefront_kernel(b: int, hp: int, K: int, h: int, w: int,
                     if y_max == h - 1 and y_lo + 127 >= h:
                         mask = jnp.logical_and(mask, ys < h)
                     word = in_refs[rb][k]
-                    vs, vqs = [], []
-                    for c in range(3):
-                        col = ((word >> (8 * c)) & 0xFF).astype(
-                            jnp.float32)
-                        mix = (e1[c] * (3.0 / 16.0)
-                               + e2[c] * (5.0 / 16.0)
-                               + e3[c] * (1.0 / 16.0))
-                        rolled = pltpu.roll(mix, shift=1, axis=1)
-                        # lane 0 of the rolled mix = the boundary value
-                        # the next block's first row consumes
-                        bnd_ref[rb, c, :, k:k + 1] = rolled[:, 0:1]
-                        if rb == 0:
-                            row0 = jnp.zeros((b, 128), jnp.float32)
-                        else:
-                            row0 = jnp.broadcast_to(
-                                bnd_ref[rb - 1, c, :, k:k + 1],
-                                (b, 128))
-                        upmix = jnp.where(yloc == 0, row0, rolled)
-                        incoming = e1[c] * (7.0 / 16.0) + upmix
-                        v = jnp.clip(col + incoming, 0.0, 255.0)
-                        vs.append(v)
-                        vqs.append(jnp.round(v))
-                    idx, colors = quantize(vs, vqs)
-                    new_e = [jnp.where(mask, vs[c] - colors[c],
-                                       jnp.float32(0.0))
-                             for c in range(3)]
+                    cols3 = jnp.stack(
+                        [((word >> (8 * c)) & 0xFF) for c in range(3)]
+                    ).astype(jnp.float32)
+                    mix = (e1 * (3.0 / 16.0) + e2 * (5.0 / 16.0)
+                           + e3 * (1.0 / 16.0))
+                    rolled = pltpu.roll(mix, shift=1, axis=2)
+                    # lane 0 of the rolled mix = the boundary value
+                    # the next block's first row consumes
+                    bnd_ref[rb, :, :, k:k + 1] = rolled[:, :, 0:1]
+                    if rb == 0:
+                        upmix = jnp.where(yloc3 == 0,
+                                          jnp.float32(0.0), rolled)
+                    else:
+                        row0 = jnp.broadcast_to(
+                            bnd_ref[rb - 1, :, :, k:k + 1],
+                            (3, b, 128))
+                        upmix = jnp.where(yloc3 == 0, row0, rolled)
+                    v3 = jnp.clip(cols3 + (e1 * (7.0 / 16.0) + upmix),
+                                  0.0, 255.0)
+                    idx, colors = quantize([v3[0], v3[1], v3[2]])
+                    new_e = jnp.where(
+                        mask[None], v3 - jnp.stack(colors),
+                        jnp.float32(0.0))
                     e3, e2, e1 = e2, e1, new_e
                     shift = 8 * (k % 4)
                     packed = (idx << shift if k % 4 == 0
                               else packed | (idx << shift))
                     if k % 4 == 3:
                         out_ref[k // 4, :, sl] = packed
-                for c in range(3):
-                    err_ref[c, :, sl] = e1[c]
-                    err_ref[3 + c, :, sl] = e2[c]
-                    err_ref[6 + c, :, sl] = e3[c]
+                err_ref[0:3, :, sl] = e1
+                err_ref[3:6, :, sl] = e2
+                err_ref[6:9, :, sl] = e3
 
     return kernel
 
@@ -303,7 +308,7 @@ def _make_fs_kernel(b: int, hp: int, K: int, h: int, w: int, wf: int):
     levels = (lr, lg, lb)
 
     def make_quantize(_tables):
-        def quantize(vs, vqs):
+        def quantize(vs):
             idx = None
             colors = []
             for c in range(3):
@@ -434,7 +439,9 @@ def _make_fs_tree_kernel(b: int, hp: int, K: int, h: int, w: int,
             tb = jnp.broadcast_to(table_row[None, :], (b, 128))
             return jnp.take_along_axis(tb, node, axis=1)
 
-        def quantize(vs, vqs):
+        def quantize(vs):
+            vqs = [jnp.round(v) for v in vs]
+
             def sel(axis):
                 return jnp.where(axis == 0, vqs[0],
                                  jnp.where(axis == 1, vqs[1], vqs[2]))

@@ -47,12 +47,15 @@ def _emit_frame_native(lib, glyph, fg, bg, eq, indent: int,
     e = (np.ascontiguousarray(eq, dtype=np.uint8)
          if eq is not None else None)
     cap = hcells * (wcells * 48 + 24) + 64
-    buf = ctypes.create_string_buffer(cap)
+    # thread-local reuse: zeroing a fresh buffer every frame is
+    # measurable at video rate (see sixel_render._tls_buffers)
+    from timg_tpu.render.sixel_render import _tls_buffers
+    buf, _ = _tls_buffers(cap, 1)
     n = lib.timg_ansi_emit(
         g.ctypes.data, f.ctypes.data, b.ctypes.data,
         e.ctypes.data if e is not None else None,
         hcells, wcells, indent, int(use_256), buf)
-    return buf.raw[:n]
+    return ctypes.string_at(buf, n)
 
 
 def _c_div2_trunc(a: int) -> int:

@@ -24,6 +24,32 @@ from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
 
 CSI = b"\033["
 
+_tls = None
+
+
+def _tls_buffers(cap: int, w: int):
+    """Thread-local (buf, scratch) for the C assembler, grown on
+    demand.  The capacity bound is the no-runs worst case (~tens of MB
+    at video sizes); ctypes.create_string_buffer zeroes its memory, so
+    allocating per frame would cost more than the assembly itself
+    (~40 MB memset vs ~10 ms of encoding at 720p).  Compression-pool
+    threads each keep their own pair."""
+    import ctypes
+    import threading
+
+    global _tls
+    if _tls is None:
+        _tls = threading.local()
+    buf = getattr(_tls, "buf", None)
+    if buf is None or ctypes.sizeof(buf) < cap:
+        buf = ctypes.create_string_buffer(cap)
+        _tls.buf = buf
+    scratch = getattr(_tls, "scratch", None)
+    if scratch is None or ctypes.sizeof(scratch) < w:
+        scratch = ctypes.create_string_buffer(w)
+        _tls.scratch = scratch
+    return buf, scratch
+
 
 def _pct(v: int) -> int:
     """0..255 -> 0..100 percent as libsixel converts palette entries."""
@@ -51,12 +77,11 @@ def encode_sixel_stream(indices: np.ndarray, palette: np.ndarray) -> bytes:
         # worst case: every color present in every band with no runs
         n_bands = (h + 5) // 6
         cap = n_bands * len(pal) * (w + 12) + len(pal) * 20 + 256
-        buf = ctypes.create_string_buffer(cap)
-        scratch = ctypes.create_string_buffer(w)
+        buf, scratch = _tls_buffers(cap, w)
         n = lib.timg_sixel_encode(idx.ctypes.data, h, w, pitch,
                                   pal.ctypes.data, len(pal), buf,
                                   scratch)
-        return buf.raw[:n]
+        return ctypes.string_at(buf, n)
     return encode_sixel_stream_py(indices, palette)
 
 
