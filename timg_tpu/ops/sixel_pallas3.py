@@ -44,22 +44,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_SKEW_BLK = 768  # skew output block; wf must be a multiple
+
+
 def _skewT(words: jax.Array, wf: int, interpret: bool = False
            ) -> jax.Array:
     """[B, Hp, Wp] i32 -> F [Wf, B, Hp] i32 with
     F[u, b, y] = words[b, y, u - 2*(y % 128)] (garbage outside, callers
-    mask). Wf >= Wp + 256, multiple of the 512-col output block.
+    mask). Wf >= Wp + 256, multiple of the _SKEW_BLK output block.
 
-    Wide output blocks (512 cols per step from a 768-col window)
-    amortize the halo: 1.5x input read and 1.5x barrel-shift work per
-    output column, vs 3x for the naive 128-col blocking."""
+    Wide output blocks amortize the 256-col barrel-shift halo: 768
+    cols per step from a 1024-col window cost 1.33x input read and
+    barrel-shift work per output column (vs 1.67x at 384 and 3x for
+    naive 128-col blocking).  The ~24 MB VMEM footprint needs the
+    per-kernel limit raised above the 16 MB default via
+    CompilerParams (v5e has 128 MB)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, hp, wp = words.shape
     pmax = wp // 128 - 1
     bb = 8
-    blk = 384                    # 640-col window fits 16 MB scoped VMEM
+    blk = _SKEW_BLK
     nin = blk // 128 + 2
     win = blk + 256
 
@@ -92,6 +98,8 @@ def _skewT(words: jax.Array, wf: int, interpret: bool = False
                                lambda j, rb, p: (p, j, rb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((wf, b, hp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*([words] * nin))
 
@@ -362,7 +370,7 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
         pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
         if pad_b or pad_h or pad_w:
             x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
-    wf = _round_up(wp + 256, 384)
+    wf = _round_up(wp + 256, _SKEW_BLK)
     t_len = _round_up(w + 2 * (h - 1), 512)
     words = x                                              # [B, Hp, Wp]
 
@@ -506,7 +514,7 @@ def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
         pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
         if pad_b or pad_h or pad_w:
             x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
-    wf = _round_up(wp + 256, 384)
+    wf = _round_up(wp + 256, _SKEW_BLK)
     t_len = _round_up(w + 2 * (h - 1), 512)
     words = x
 
