@@ -70,7 +70,18 @@ def main():
     levels = jnp.asarray(levels_np)
     leaves = jnp.asarray(leaves_np)
 
+    from timg_tpu.ops import resize as resize_op
+
+    in_pool = [jax.device_put(rng.integers(
+        -2**31, 2**31, (B, 1080, 1920), dtype=np.int32))
+        for _ in range(2)]
+    pad_to = resize_op.padded_plane_dims(H, W)
+
     res = {}
+    res["resize_ms"] = round(timed(
+        jax, jnp, np,
+        lambda x: resize_op.resize_video_words(x, H, W, pad_to=pad_to),
+        in_pool), 2)
     res["skewT_ms"] = round(timed(
         jax, jnp, np, lambda x: sp._skewT(x, wf), words_pool), 2)
     res["transpose_bwd_ms"] = round(timed(
