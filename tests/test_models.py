@@ -48,3 +48,34 @@ def test_kitty_iterm2_models(frames):
         m = models.get(name)(out_h=16, out_w=24)
         payloads = m.render_batch(frames)
         assert all(p.startswith(marker) for p in payloads)
+
+
+def test_sixel_model_yuv_transport():
+    """render_batch_yuv: 4:2:0 planes in, sixel streams out, matching
+    render_batch on the equivalently converted RGBA frames."""
+    from timg_tpu.ops.yuv import yuv420_to_rgba_words_np
+
+    rng = np.random.default_rng(9)
+    h, w = 40, 60
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+
+    # identity size: the YUV path uses the lean video resize while
+    # render_batch uses the stb-exact one, so only the no-resize case
+    # is pixel-identical between them
+    m = models.get("sixel")(h, w, dither="cube")
+    got = m.render_batch_yuv(y, u, v, full_range=True)
+    assert len(got) == 2 and all(s.startswith(b"\033Pq") for s in got)
+
+    words = yuv420_to_rgba_words_np(y, u, v, True)
+    rgba = words.view(np.uint8).reshape(2, h, w, 4)
+    want = m.render_batch(rgba)
+    assert got == want
+
+    # resizing variant still produces well-formed streams
+    m2 = models.get("sixel")(24, 36, dither="adaptive")
+    streams = m2.render_batch_yuv(y, u, v, full_range=True)
+    assert len(streams) == 2
+    assert all(s.startswith(b"\033Pq") and s.endswith(b"\033\\")
+               for s in streams)

@@ -27,6 +27,17 @@ class _PixelModel:
             jnp.asarray(frames), self.out_h, self.out_w,
             jnp.asarray(bg), jnp.asarray(np.zeros(4, np.uint8))))
 
+    def _resized_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     full_range: bool) -> np.ndarray:
+        """Raw 4:2:0 planes -> resized RGBA frames, conversion on
+        device (the video-rate transport: 1.5 B/px over the link;
+        see ops/yuv.py).  Opaque by construction, so no compose."""
+        from timg_tpu.sources.video_source import _get_yuv_jit
+
+        return np.asarray(_get_yuv_jit()(
+            np.asarray(y), np.asarray(u), np.asarray(v),
+            self.out_h, self.out_w, bool(full_range)))
+
 
 class SixelModel(_PixelModel):
     def __init__(self, *args, dither: str = "adaptive", **kw):
@@ -34,10 +45,21 @@ class SixelModel(_PixelModel):
         self.dither = dither  # "adaptive" | "cube"
 
     def render_batch(self, frames: np.ndarray) -> List[bytes]:
+        return self._render_resized(self._resized(frames))
+
+    def render_batch_yuv(self, y: np.ndarray, u: np.ndarray,
+                         v: np.ndarray,
+                         full_range: bool = True) -> List[bytes]:
+        """[B,H,W] y + [B,ceil(H/2),ceil(W/2)] u/v uint8 planes (e.g.
+        straight from a video decoder) -> sixel streams.  Ships 2.67x
+        fewer bytes to the device than RGBA input."""
+        return self._render_resized(self._resized_yuv(y, u, v,
+                                                      full_range))
+
+    def _render_resized(self, x: np.ndarray) -> List[bytes]:
         from timg_tpu.ops import sixel as sixel_op
         from timg_tpu.render.sixel_render import encode_sixel_stream
 
-        x = self._resized(frames)
         if self.dither == "cube":
             palette = sixel_op.cube_palette()
             indices = np.asarray(sixel_op.fs_dither_cube(x[..., :3]))

@@ -494,8 +494,10 @@ def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
 
     from timg_tpu.ops.sixel import TREE_DEPTH
 
-    K = 4   # descent temporaries are heavier than the cube's (K=8
-            # exceeds the 16 MB scoped-VMEM budget at 128x768)
+    K = 8   # descent temporaries are heavier than the cube's; the
+            # default 16 MB scoped-VMEM cap would force K=4, so the
+            # pallas_call raises the limit (v5e has 128 MB) to keep
+            # the cube path's grid-iteration count
     b0 = frames_rgba.shape[0]
     b = _round_up(b0, 8)
     hp = _round_up(h, 128)
@@ -545,6 +547,8 @@ def fs_dither_tree_fused(frames_rgba: jax.Array, levels: jax.Array,
         out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.float32),
                         pltpu.VMEM((hp // 128, 3, b, K), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*([cols] * nrb), quads, leaves2)
 
