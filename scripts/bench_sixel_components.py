@@ -51,7 +51,7 @@ def main():
 
     rng = np.random.default_rng(11)
     hp, wp = 768, 1280
-    wf = sp._round_up(wp + 256, 384)
+    wf = sp._round_up(wp + 256, sp._SKEW_BLK)
     t_len = sp._round_up(W + 2 * (H - 1), 512)
 
     words_pool = [jax.device_put(rng.integers(

@@ -309,3 +309,49 @@ class TestTlsBuffers:
         t.start()
         t.join()
         assert seen["buf"] is not main_buf
+
+
+class TestExifJpeg:
+    """EXIF orientation vs the JPEG draft fast path (ref
+    jpeg-source.cc:63-82,184-195)."""
+
+    def _opts(self):
+        from timg_tpu.options import DisplayOptions
+
+        opts = DisplayOptions()
+        opts.width, opts.height = 40, 40
+        opts.cell_x_px = opts.cell_y_px = 2
+        opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+        return opts
+
+    def _jpeg(self, tmp_path, w, h, orientation):
+        from PIL import Image
+
+        img = Image.new("RGB", (w, h), (200, 30, 30))
+        path = str(tmp_path / f"o{orientation}.jpg")
+        exif = Image.Exif()
+        exif[0x0112] = orientation
+        img.save(path, exif=exif.tobytes())
+        return path
+
+    def test_orientation_6_reports_rotated_dims(self, tmp_path):
+        """A portrait-via-EXIF JPEG must report post-rotation dims --
+        recording pre-rotation size would swap the target aspect."""
+        from timg_tpu.sources.pil_source import PILSource
+
+        path = self._jpeg(tmp_path, 60, 30, orientation=6)
+        src = PILSource(path)
+        assert src.load_and_scale(self._opts(), 0, -1)
+        assert (src.orig_width, src.orig_height) == (30, 60)
+        frame = src.frames[0].frame
+        assert frame.shape[0] > frame.shape[1]  # portrait stays portrait
+
+    def test_drafted_decode_reports_true_dims(self, tmp_path):
+        """The DCT draft fast path decodes small but must report the
+        file's real dimensions for %w/%h titles."""
+        from timg_tpu.sources.pil_source import PILSource
+
+        path = self._jpeg(tmp_path, 640, 320, orientation=1)
+        src = PILSource(path)
+        assert src.load_and_scale(self._opts(), 0, -1)
+        assert (src.orig_width, src.orig_height) == (640, 320)

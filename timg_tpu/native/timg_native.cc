@@ -268,6 +268,19 @@ int timg_video_read_frame_yuv(void *handle, uint8_t *y_out, uint8_t *u_out,
                 av_frame_unref(v->frame);
                 return 1;
             }
+            // Mid-stream format change: the stream opened as 4:2:0 but
+            // this frame is something else, so the sws context built at
+            // open (for the original format) must not be used -- rebuild
+            // keyed on the actual frame format.  getCachedContext
+            // returns v->sws unchanged when the parameters still match.
+            v->sws = sws_getCachedContext(
+                v->sws, v->width, v->height, (AVPixelFormat)fmt,
+                v->width, v->height, AV_PIX_FMT_RGBA, SWS_BILINEAR,
+                nullptr, nullptr, nullptr);
+            if (!v->sws) {
+                av_frame_unref(v->frame);
+                return -1;
+            }
             uint8_t *dst[1] = {rgba_fallback};
             int dst_stride[1] = {v->width * 4};
             sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,

@@ -72,7 +72,8 @@ def sharded_quarter_pipeline(mesh: Mesh, out_h: int, out_w: int,
 
 
 def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int,
-                                 yuv: bool = False):
+                                 yuv: bool = False,
+                                 full_range: bool = True):
     """jit the flagship video path (words -> resize -> cube FS dither ->
     index planes) with the frame batch sharded over the ``data`` axis.
 
@@ -85,7 +86,10 @@ def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int,
 
     With ``yuv`` the input is the CLI video transport's (y, u, v) raw
     4:2:0 plane triple (1.5 B/px over each chip's host link) and the
-    BT.601 conversion runs per shard on device (ops/yuv.py).
+    BT.601 conversion runs per shard on device (ops/yuv.py);
+    ``full_range`` carries the stream's sample range (pix_info bit 1
+    in the CLI transport -- limited-range MPEG video must not be
+    decoded as full-range or blacks wash out).
     """
     from timg_tpu.ops.resize import resize_video_words
 
@@ -96,7 +100,7 @@ def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int,
     def per_shard(*args):
         if yuv:
             from timg_tpu.ops.yuv import yuv420_to_rgba_words
-            words = yuv420_to_rgba_words(*args, True)
+            words = yuv420_to_rgba_words(*args, full_range)
         else:
             (words,) = args
         resized = resize_video_words(words, out_h, out_w)

@@ -180,11 +180,18 @@ class PDFSource(ImageSource):
                     return False
                 try:
                     bbox = _PopplerRectangle(0.0, 0.0, 0.0, 0.0)
+                    got_bbox = False
                     if (options.auto_crop
                             and hasattr(poppler,
                                         "poppler_page_get_bounding_box")):
-                        poppler.poppler_page_get_bounding_box(
+                        ok = poppler.poppler_page_get_bounding_box(
                             page, ctypes.byref(bbox))
+                        # a blank page returns FALSE / a degenerate
+                        # box; fall back to the page size like the
+                        # reference (ref pdf-image-source.cc:70-82)
+                        got_bbox = bool(ok) and bbox.x2 > bbox.x1 \
+                            and bbox.y2 > bbox.y1
+                    if got_bbox:
                         self.orig_width = bbox.x2 - bbox.x1
                         self.orig_height = bbox.y2 - bbox.y1
                     else:

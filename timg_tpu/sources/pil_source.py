@@ -86,13 +86,17 @@ class PILSource(ImageSource):
                 if (tw > 0 and th > 0 and true_size[0] >= 2 * tw
                         and true_size[1] >= 2 * th):
                     img.draft(None, (tw, th))
+                    if img.size != true_size:
+                        # drafted decode: report the file's real
+                        # dimensions (checked here, before any EXIF
+                        # transpose can also change img.size -- a
+                        # rotated image must NOT report pre-rotation
+                        # dims or the target aspect would be swapped)
+                        self._true_orig = true_size
             if options.exif_rotate and orientation != 1:
                 img = ImageOps.exif_transpose(img)
             raw_frames.append(np.asarray(img.convert("RGBA")))
             delays.append(0.0)
-            if img.size != true_size:
-                # drafted decode: report the file's real dimensions
-                self._true_orig = true_size
 
         if frame_offset > 0 and is_animation:
             raw_frames = raw_frames[frame_offset:]
