@@ -167,10 +167,30 @@ def _setup_compile_cache() -> None:
             pass
 
 
+def _force_host_backend() -> None:
+    """TIMG_TPU_FORCE_NUMPY must force *everything* onto the host: the
+    ops with strict numpy mirrors consult use_numpy(), but the video
+    resize and the batched plane priming branch on the active jax
+    backend -- in an environment that preimports jax with a TPU
+    attached they would silently keep running device kernels, making a
+    'CPU reference stream' partially TPU-produced.  Pin the platform to
+    cpu (both the env var for a late jax import and config.update for
+    a preimported jax, which ignores the env var)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if "jax" in sys.modules:
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # pragma: no cover
+            pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     global interrupt_received
     interrupt_received = False
     argv = argv if argv is not None else sys.argv[1:]
+    if os.environ.get("TIMG_TPU_FORCE_NUMPY"):
+        _force_host_backend()
     _setup_compile_cache()
 
     parser = build_arg_parser()
