@@ -276,8 +276,10 @@ def test_kitty_tmux_passthrough_and_placeholders():
     assert b"\033\033_Ga=T," in out
     assert b"\033\033\\" in out
     assert b",U=1,c=5,r=2" in out          # 40/8 cols, 32/16 rows
-    # placeholder block: U+10FFFF tiles with row 0 / col 0 diacritics
-    tile0 = ("\U0010FFFF" + chr(_ROWCOL[0]) + chr(_ROWCOL[0])).encode()
+    # placeholder block: U+10EEEE tiles (the kitty spec placeholder;
+    # the reference emits these bytes too, kitty-canvas.cc:69) with
+    # row 0 / col 0 diacritics
+    tile0 = ("\U0010EEEE" + chr(_ROWCOL[0]) + chr(_ROWCOL[0])).encode()
     assert tile0 in out
     # image id rides in the 38:2:r:g:b SGR before the tiles
     import re
@@ -287,3 +289,39 @@ def test_kitty_tmux_passthrough_and_placeholders():
         | int(m.group(3))
     assert b"i=%d," % ident in out or b"i=%d;" % ident in out \
         or (b"a=T,i=" in out)
+
+
+def test_kitty_tmux_passthrough_end_to_end(tmp_path, monkeypatch):
+    """Full CLI drive under a stubbed tmux: the passthrough enable
+    command runs (`tmux set -p allow-passthrough on`, ref
+    kitty-canvas.cc:83-111) and the output stream is \\ePtmux;-wrapped
+    with unicode-placeholder tiles."""
+    import os
+    import subprocess
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    png = tmp_path / "img.png"
+    Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                 dtype=np.uint8)).save(png)
+
+    log = tmp_path / "tmux_calls.log"
+    stub = tmp_path / "tmux"
+    stub.write_text("#!/bin/sh\necho \"$@\" >> %s\nexit 0\n" % log)
+    stub.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    monkeypatch.setenv("TMUX", "/tmp/fake-sock,1,0")
+    monkeypatch.setenv("TERM", "tmux-256color")
+
+    from tests.test_golden import run_ours
+
+    out = run_ours(["-pk", "-g40x20", "-b", "black",
+                    "--debug-no-frame-delay"], [str(png)])
+    assert b"\033Ptmux;" in out
+    # placeholder tiles: the row/column diacritic rendering emits the
+    # U+10EEEE placeholder char for every cell
+    assert "\U0010EEEE".encode() in out
+    assert log.exists()
+    assert "set -p allow-passthrough on" in log.read_text()

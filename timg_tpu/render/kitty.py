@@ -108,7 +108,11 @@ def _placeholder_tiles(image_id: int, indent: int, rows: int,
         out += b"\033[38:2:%d:%d:%dm" % (
             (image_id >> 16) & 0xFF, (image_id >> 8) & 0xFF, image_id & 0xFF)
         for c in range(cols):
-            cell = "\U0010FFFF"
+            # U+10EEEE, the kitty graphics-protocol placeholder char.
+            # The reference's comment says U+10FFFF but its emitted
+            # bytes "\xf4\x8e\xbb\xae" are U+10EEEE (ref
+            # kitty-canvas.cc:69), matching the kitty spec.
+            cell = "\U0010EEEE"
             if r < len(_ROWCOL):
                 cell += chr(_ROWCOL[r])
             if c < len(_ROWCOL):
