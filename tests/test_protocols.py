@@ -325,3 +325,72 @@ def test_kitty_tmux_passthrough_end_to_end(tmp_path, monkeypatch):
     assert "\U0010EEEE".encode() in out
     assert log.exists()
     assert "set -p allow-passthrough on" in log.read_text()
+
+
+@needs_reference
+def test_kitty_tmux_placeholders_match_reference(corpus, tmp_path,
+                                                 monkeypatch):
+    """tmux-mode kitty output vs the reference binary, modulo the
+    time-seeded image id.  The reference learns about tmux only from
+    the CSI >q response (term-query.cc:308), so it runs under a
+    scripted pty that answers the version query with a tmux string;
+    ours detects the same via the TMUX env.  The id rides in three
+    places: the i= field, the SGR 38:2:r:g:b foreground carrying its
+    low 3 bytes, and an optional per-tile diacritic carrying the top
+    byte -- all normalized on both sides.  This is the test class that
+    catches placeholder-codepoint mistakes (the spec char is U+10EEEE;
+    the reference's comment says otherwise but its bytes agree)."""
+    import pty
+    import subprocess
+    import threading
+
+    stub = tmp_path / "tmux"
+    stub.write_text("#!/bin/sh\nexit 0\n")
+    stub.chmod(0o755)
+
+    args = ["--debug-no-frame-delay", "-g40x20", "-pk", "-b", "black"]
+    files = [corpus["noise_64x48.png"]]
+    out_path = str(tmp_path / "ref.out")
+
+    master, slave = pty.openpty()
+
+    def pump():
+        try:
+            while True:
+                data = os.read(master, 4096)
+                if not data:
+                    return
+                if b"\033[>q" in data:
+                    os.write(master,
+                             b"\033P>|tmux 3.3a\033\\\033[0n")
+        except OSError:
+            return
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    env = {**_CLEAN_ENV,
+           "PATH": f"{tmp_path}:{os.environ.get('PATH', '')}"}
+    env.pop("TMUX", None)
+    subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
+                   env=env, stdin=slave, stdout=slave, stderr=slave,
+                   timeout=120)
+    os.close(slave)
+    os.close(master)
+    with open(out_path, "rb") as f:
+        ref = f.read()
+    assert b"Ptmux;" in ref, "reference did not enter tmux mode"
+
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ.get('PATH', '')}")
+    monkeypatch.setenv("TMUX", "/tmp/fake-sock,1,0")
+    monkeypatch.setenv("TERM", "tmux-256color")
+    ours = run_ours(args, files)
+
+    def norm(raw: bytes) -> str:
+        s = raw.decode("utf-8", errors="replace")
+        s = re.sub(r"i=\d+", "i=ID", s)
+        s = re.sub(r"\x1b\[38:2:\d+:\d+:\d+m", "\x1b[38:2:IDm", s)
+        # tile = placeholder + row + col (+ msb diacritic): drop the
+        # id-dependent third diacritic, keep row/col
+        return re.sub("(\U0010EEEE..)(.)?", r"\1", s)
+
+    assert norm(ref) == norm(ours)

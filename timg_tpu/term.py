@@ -147,6 +147,11 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
     info = GraphicsInfo()
     term = os.environ.get("TERM", "")
     term_program = os.environ.get("TERM_PROGRAM", "")
+    # Deviation from the reference (documented): the reference learns
+    # about tmux ONLY from the CSI >q response (ref :308), so output
+    # redirected to a file while inside tmux misses the passthrough
+    # wrapping.  The TMUX / TERM env guess is a strictly-additive
+    # signal that keeps `timg-tpu -o file` + `cat` working in tmux.
     info.in_tmux = bool(os.environ.get("TMUX")) or term.startswith(("screen", "tmux"))
 
     # Environment-variable hints first (ref :239-260).
@@ -161,33 +166,38 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
     elif term in ("mlterm", "yaft-256color", "foot", "xterm-sixel"):
         info.preferred_graphics = "sixel"
 
-    if info.preferred_graphics == "none":
-        # CSI >q term version query + DA1 sixel capability (ref :277-343).
-        resp = query_terminal(b"\033[>q\033[5n", 0.25, b"n")
-        txt = resp.decode("latin-1", "replace")
-        low = txt.lower()
-        if "kitty" in low or "ghostty" in low:
-            info.preferred_graphics = "kitty"
-        elif "iterm2" in low or "konsole 2" in low:
-            info.preferred_graphics = "iterm2"   # ref :283-285
-        elif "wezterm" in low:
-            info.preferred_graphics = "iterm2"
-            info.sixel.known_broken_cursor_placement = True
-        elif "mlterm" in low:
+    # CSI >q term version query (ref :277-318).  Like the reference,
+    # this runs even when an env hint already picked a protocol: the
+    # response is also how a tmux pane is detected ("Fall through, as
+    # we still have to determine if we're in tmux", ref :243), and a
+    # response match overrides the env guess.
+    resp = query_terminal(b"\033[>q\033[5n", 0.25, b"n")
+    txt = resp.decode("latin-1", "replace")
+    low = txt.lower()
+    if "kitty" in low or "ghostty" in low:
+        info.preferred_graphics = "kitty"
+    elif "iterm2" in low or "konsole 2" in low:
+        info.preferred_graphics = "iterm2"   # ref :283-285
+    elif "wezterm" in low:
+        info.preferred_graphics = "iterm2"
+        info.sixel.known_broken_cursor_placement = True
+    elif "mlterm" in low:
+        info.preferred_graphics = "sixel"
+    elif "foot" in low:
+        info.preferred_graphics = "sixel"
+        info.sixel.known_broken_cursor_placement = True
+    if "windowsterminal" in low:             # ref :310-316
+        info.sixel.known_broken_cursor_placement = True
+        info.sixel.full_cell_jump = True
+    if "tmux" in low:
+        info.in_tmux = True
+    # DA1 sixel capability fallback only when nothing matched
+    # (ref :320-343).
+    if "xterm" in low and info.preferred_graphics == "none":
+        da1 = query_terminal(b"\033[c", 0.25, b"c")
+        if re.search(rb";4[;c]", da1):
             info.preferred_graphics = "sixel"
-        elif "foot" in low:
-            info.preferred_graphics = "sixel"
             info.sixel.known_broken_cursor_placement = True
-        if "windowsterminal" in low:             # ref :310-316
-            info.sixel.known_broken_cursor_placement = True
-            info.sixel.full_cell_jump = True
-        if "tmux" in low:
-            info.in_tmux = True
-        if "xterm" in low and info.preferred_graphics == "none":
-            da1 = query_terminal(b"\033[c", 0.25, b"c")
-            if re.search(rb";4[;c]", da1):
-                info.preferred_graphics = "sixel"
-                info.sixel.known_broken_cursor_placement = True
 
     # Per-terminal sixel quirks and env override
     # (TIMG_SIXEL_NEWLINE_WORKAROUND 2-bit mask, ref term-query.cc:229-231).
