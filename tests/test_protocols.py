@@ -394,3 +394,67 @@ def test_kitty_tmux_placeholders_match_reference(corpus, tmp_path,
         return re.sub("(\U0010EEEE..)(.)?", r"\1", s)
 
     assert norm(ref) == norm(ours)
+
+
+@needs_reference
+def test_bg_auto_matches_reference_via_pty(corpus, tmp_path):
+    """`-b auto` asks the terminal for its background (OSC 11, ref
+    term-query.cc:165-224) and composes transparent pixels on the
+    answer.  Both the reference binary and our CLI run under a
+    scripted pty answering rgb:8000/4000/c000; the quarter-block
+    streams must be byte-identical."""
+    import pty
+    import subprocess
+    import threading
+
+    args = ["--debug-no-frame-delay", "-g40x20", "-pq", "-b", "auto"]
+    files = [corpus["alpha_80x100.png"]]
+
+    def scripted(cmd_env_fn):
+        master, slave = pty.openpty()
+
+        def pump():
+            try:
+                while True:
+                    data = os.read(master, 4096)
+                    if not data:
+                        return
+                    if b"\033]11;?" in data:
+                        os.write(master,
+                                 b"\033]11;rgb:8000/4000/c000\033\\")
+                    if b"\033[>q" in data:
+                        os.write(master, b"\033[0n")
+            except OSError:
+                return
+
+        threading.Thread(target=pump, daemon=True).start()
+        try:
+            return cmd_env_fn(slave)
+        finally:
+            os.close(slave)
+            os.close(master)
+
+    ref_out = str(tmp_path / "ref.out")
+
+    def run_ref(slave):
+        subprocess.run([REFERENCE_BINARY, *args, "-o", ref_out, *files],
+                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
+                       stderr=slave, timeout=120)
+        with open(ref_out, "rb") as f:
+            return f.read()
+
+    ref = scripted(run_ref)
+
+    def run_us(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            return run_ours(args, files)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+    ours = scripted(run_us)
+    assert b"\033[48;2;128;64;192m" in ref or \
+        b"\033[38;2;" in ref  # sanity: the queried bg landed in SGRs
+    assert ref == ours

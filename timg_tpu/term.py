@@ -134,9 +134,13 @@ def query_background_color() -> Optional[str]:
         return None
 
     def scale(component: bytes) -> int:
-        value = int(component, 16)
-        bits = 4 * len(component)
-        return value * 255 // ((1 << bits) - 1)
+        # the reference takes the first two hex digits of each
+        # component verbatim (high byte of the 16-bit value, ref
+        # term-query.cc:210-220: memcpy of 2 chars into "#rrggbb") --
+        # NOT a rounded 16->8-bit rescale, and parity binds to it
+        # (rgb:8000/... must become 0x80, not round(0x8000*255/65535))
+        two = (component + b"0")[:2]
+        return int(two, 16)
 
     r, g, b = (scale(m.group(i)) for i in (1, 2, 3))
     return f"#{r:02x}{g:02x}{b:02x}"
