@@ -458,3 +458,81 @@ def test_bg_auto_matches_reference_via_pty(corpus, tmp_path):
     assert b"\033[48;2;128;64;192m" in ref or \
         b"\033[38;2;" in ref  # sanity: the queried bg landed in SGRs
     assert ref == ours
+
+
+@needs_reference
+@pytest.mark.parametrize("term_answer,norm_id", [
+    (b"\033P>|kitty(0.26.5)\033\\\033[0n", True),   # auto -> kitty
+    (b"\033P>|iTerm2 3.4.19\033\\\033[0n", False),  # auto -> iterm2
+    (b"\033[0n", False),                            # unknown -> quarter
+])
+def test_auto_pixelation_sieve_matches_reference(corpus, tmp_path,
+                                                 term_answer, norm_id):
+    """The full startup sieve with NO -g / NO -p (ref timg.cc:726-854):
+    terminal size from the pty winsize (incl. pixel dims -> cell
+    geometry + width stretch), graphics protocol auto-detection from
+    the scripted CSI >q answer, geometry default rows-2.  Both binaries
+    see the same scripted terminal; streams must match (modulo the
+    time-seeded kitty image id)."""
+    import fcntl
+    import pty
+    import struct
+    import subprocess
+    import termios
+    import threading
+
+    args = ["--debug-no-frame-delay", "-b", "black"]
+    files = [corpus["gradient_320x200.png"]]
+
+    def scripted(fn):
+        master, slave = pty.openpty()
+        # 80x24 cells, 640x384 px -> 8x16 px cells (plausible size)
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", 24, 80, 640, 384))
+
+        def pump():
+            try:
+                while True:
+                    data = os.read(master, 4096)
+                    if not data:
+                        return
+                    if b"\033[>q" in data:
+                        os.write(master, term_answer)
+                    if b"\033]11;?" in data:
+                        os.write(master,
+                                 b"\033]11;rgb:0000/0000/0000\033\\")
+            except OSError:
+                return
+
+        threading.Thread(target=pump, daemon=True).start()
+        try:
+            return fn(slave)
+        finally:
+            os.close(slave)
+            os.close(master)
+
+    out_path = str(tmp_path / "ref.out")
+
+    def run_ref(slave):
+        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
+                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
+                       stderr=slave, timeout=120)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+    ref = scripted(run_ref)
+
+    def run_us(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            return run_ours(args, files)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+    ours = scripted(run_us)
+    if norm_id:
+        ref = re.sub(rb"i=\d+", b"i=ID", ref)
+        ours = re.sub(rb"i=\d+", b"i=ID", ours)
+    assert ref == ours
