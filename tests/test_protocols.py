@@ -536,3 +536,88 @@ def test_auto_pixelation_sieve_matches_reference(corpus, tmp_path,
         ref = re.sub(rb"i=\d+", b"i=ID", ref)
         ours = re.sub(rb"i=\d+", b"i=ID", ours)
     assert ref == ours
+
+
+@needs_reference
+@pytest.mark.parametrize("extra_args,image", [
+    (["--loops=1"], "anim_32x24.gif"),        # animation: flip-flop ids
+    (["--grid=2x1", "--title"], "noise_64x48.png"),  # grid + titles
+])
+def test_kitty_flows_match_reference(corpus, tmp_path, extra_args, image):
+    """Kitty animation (two alternating ids, cursor repositioning
+    between frames, ref kitty-canvas.cc:143-172) and kitty grid+title
+    layout vs the reference binary under the same scripted kitty
+    terminal, modulo the time-seeded ids."""
+    import fcntl
+    import pty
+    import struct
+    import subprocess
+    import termios
+    import threading
+
+    args = ["--debug-no-frame-delay", "-b", "black", *extra_args]
+    files = [corpus[image], corpus[image]] if "grid" in extra_args[0] \
+        else [corpus[image]]
+
+    def scripted(fn):
+        master, slave = pty.openpty()
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", 24, 80, 640, 384))
+
+        def pump():
+            try:
+                while True:
+                    data = os.read(master, 4096)
+                    if not data:
+                        return
+                    if b"\033[>q" in data:
+                        os.write(master,
+                                 b"\033P>|kitty(0.26.5)\033\\\033[0n")
+                    if b"\033]11;?" in data:
+                        os.write(master,
+                                 b"\033]11;rgb:0000/0000/0000\033\\")
+            except OSError:
+                return
+
+        threading.Thread(target=pump, daemon=True).start()
+        try:
+            return fn(slave)
+        finally:
+            os.close(slave)
+            os.close(master)
+
+    out_path = str(tmp_path / "ref.out")
+
+    def run_ref(slave):
+        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
+                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
+                       stderr=slave, timeout=120)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+    ref = scripted(run_ref)
+
+    def run_us(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            return run_ours(args, files)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+    ours = scripted(run_us)
+
+    def norm(raw):
+        # normalize ids but keep their equality structure (flip-flop
+        # animations must alternate between exactly two ids)
+        ids = {}
+
+        def sub(m):
+            v = m.group(1)
+            ids.setdefault(v, b"ID%d" % len(ids))
+            return b"i=" + ids[v]
+
+        return re.sub(rb"i=(\d+)", sub, raw)
+
+    assert norm(ref) == norm(ours)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -13,14 +14,37 @@ _SO = os.environ.get("TIMG_NATIVE_LIB",
                      os.path.join(_DIR, "libtimg_native.so"))
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if necessary) the native library; None if unavailable."""
+    """Load (building if necessary) the native library; None if unavailable.
+
+    Thread-safe: concurrent first calls from encode-pool threads must
+    not observe the tried flag before the handle is published (the
+    fallbacks are byte-compatible, but a silent mixed-path run hides
+    the fast path; same race class as png._load_libdeflate)."""
     global _lib, _tried
     if _tried:
         return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    lib = _open_and_bind()
+    # publish the handle BEFORE the tried flag: the unlocked fast path
+    # in load() reads _tried without the lock, so flag-first ordering
+    # would let a racing thread observe tried=True with a None handle
+    _lib = lib
     _tried = True
+    return _lib
+
+
+def _open_and_bind() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO):
         if "TIMG_NATIVE_LIB" in os.environ:
             # custom lib (e.g. the tsan build) must already exist;
@@ -72,8 +96,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.timg_libsixel_quant.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def libsixel_quant(frame_rgba, reqcolors: int = 256):

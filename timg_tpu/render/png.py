@@ -16,6 +16,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import struct
+import threading
 import zlib
 from typing import Optional
 
@@ -23,29 +24,39 @@ import numpy as np
 
 _libdeflate = None
 _checked = False
+_load_lock = threading.Lock()
 
 
 def _load_libdeflate() -> Optional[ctypes.CDLL]:
+    """Thread-safe one-time loader.  Kitty/iTerm2 animation frames
+    compress concurrently in the pool; setting the checked flag before
+    the handle is ready would make racing threads silently take the
+    zlib fallback, whose deflate bytes differ from libdeflate's --
+    frames of one animation would then mix compressors (caught by the
+    kitty animation parity test vs the reference binary)."""
     global _libdeflate, _checked
     if _checked:
         return _libdeflate
-    _checked = True
-    name = ctypes.util.find_library("deflate") or "libdeflate.so.0"
-    try:
-        lib = ctypes.CDLL(name)
-        lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
-        lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
-        lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
-        lib.libdeflate_zlib_compress.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.c_char_p, ctypes.c_size_t]
-        lib.libdeflate_free_compressor.argtypes = [ctypes.c_void_p]
-        lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
-        lib.libdeflate_zlib_compress_bound.argtypes = [
-            ctypes.c_void_p, ctypes.c_size_t]
-        _libdeflate = lib
-    except OSError:
-        _libdeflate = None
+    with _load_lock:
+        if _checked:
+            return _libdeflate
+        name = ctypes.util.find_library("deflate") or "libdeflate.so.0"
+        try:
+            lib = ctypes.CDLL(name)
+            lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+            lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+            lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+            lib.libdeflate_zlib_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+            lib.libdeflate_free_compressor.argtypes = [ctypes.c_void_p]
+            lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+            lib.libdeflate_zlib_compress_bound.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t]
+            _libdeflate = lib
+        except OSError:
+            _libdeflate = None
+        _checked = True
     return _libdeflate
 
 
