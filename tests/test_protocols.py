@@ -621,3 +621,75 @@ def test_kitty_flows_match_reference(corpus, tmp_path, extra_args, image):
         return re.sub(rb"i=(\d+)", sub, raw)
 
     assert norm(ref) == norm(ours)
+
+
+@needs_reference
+def test_cell_size_fallback_query_matches_reference(corpus, tmp_path):
+    """Winsize reports 0x0 pixels -> both sides fall back to the
+    CSI 16t cell-size query (ref term-query.cc:347-366,399) before the
+    auto sieve; with the scripted 8x16 answer the kitty streams must
+    match the plausible-winsize case byte-for-byte (modulo id)."""
+    import fcntl
+    import pty
+    import struct
+    import subprocess
+    import termios
+    import threading
+
+    args = ["--debug-no-frame-delay", "-b", "black"]
+    files = [corpus["gradient_320x200.png"]]
+
+    def scripted(fn):
+        master, slave = pty.openpty()
+        # pixel dims ZERO: forces the CSI 16t fallback
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", 24, 80, 0, 0))
+
+        def pump():
+            try:
+                while True:
+                    data = os.read(master, 4096)
+                    if not data:
+                        return
+                    if b"\033[16t" in data:
+                        os.write(master, b"\033[6;16;8t")
+                    if b"\033[>q" in data:
+                        os.write(master,
+                                 b"\033P>|kitty(0.26.5)\033\\\033[0n")
+                    if b"\033]11;?" in data:
+                        os.write(master,
+                                 b"\033]11;rgb:0000/0000/0000\033\\")
+            except OSError:
+                return
+
+        threading.Thread(target=pump, daemon=True).start()
+        try:
+            return fn(slave)
+        finally:
+            os.close(slave)
+            os.close(master)
+
+    out_path = str(tmp_path / "ref.out")
+
+    def run_ref(slave):
+        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
+                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
+                       stderr=slave, timeout=120)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+    ref = scripted(run_ref)
+
+    def run_us(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            return run_ours(args, files)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+    ours = scripted(run_us)
+    ref = re.sub(rb"i=\d+", b"i=ID", ref)
+    ours = re.sub(rb"i=\d+", b"i=ID", ours)
+    assert ref and ref == ours
