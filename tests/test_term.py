@@ -158,3 +158,58 @@ def test_graphics_detection_response_table(monkeypatch):
         assert info.preferred_graphics == want_gfx, resp
         assert info.sixel.known_broken_cursor_placement == want_broken
         assert info.sixel.full_cell_jump == want_jump, resp
+
+
+def test_da1_sixel_fallback_without_xterm_version():
+    """A terminal that answers nothing recognizable to CSI >q but
+    reports ';4' in DA1 must be detected as sixel (the reference
+    probes DA1 whenever the protocol is still unknown,
+    ref term-query.cc:320-343) -- with no cursor quirk, which only the
+    XTerm version match sets."""
+    from timg_tpu import term
+
+    def responder(buf):
+        if b"\033[>q" in buf:
+            return b"\033[0n"
+        if b"\033[c" in buf:
+            return b"\033[?64;4;22c"
+        return b""
+
+    env_backup = {k: os.environ.pop(k, None)
+                  for k in ("TERM", "TERM_PROGRAM", "TMUX")}
+    try:
+        os.environ["TERM"] = "vt340"
+        info = _run_with_pty(responder,
+                             term.query_supported_graphics_protocol)
+    finally:
+        for k, v in env_backup.items():
+            if v is not None:
+                os.environ[k] = v
+    assert info.preferred_graphics == "sixel"
+    assert not info.sixel.known_broken_cursor_placement
+
+
+def test_xterm_quirk_applies_with_env_sixel_hint():
+    """TERM=xterm-sixel sets the protocol from the env, but the XTerm
+    version response must still flag the cursor-placement quirk (the
+    reference sets it unconditionally in the >q handler,
+    ref term-query.cc:300-303)."""
+    from timg_tpu import term
+
+    def responder(buf):
+        if b"\033[>q" in buf:
+            return b"\033P>|XTerm(370)\033\\\033[0n"
+        return b""
+
+    env_backup = {k: os.environ.pop(k, None)
+                  for k in ("TERM", "TERM_PROGRAM", "TMUX")}
+    try:
+        os.environ["TERM"] = "xterm-sixel"
+        info = _run_with_pty(responder,
+                             term.query_supported_graphics_protocol)
+    finally:
+        for k, v in env_backup.items():
+            if v is not None:
+                os.environ[k] = v
+    assert info.preferred_graphics == "sixel"
+    assert info.sixel.known_broken_cursor_placement

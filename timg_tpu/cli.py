@@ -175,8 +175,10 @@ def _force_host_backend() -> None:
     attached they would silently keep running device kernels, making a
     'CPU reference stream' partially TPU-produced.  Pin the platform to
     cpu (both the env var for a late jax import and config.update for
-    a preimported jax, which ignores the env var)."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    a preimported jax, which ignores the env var).  The assignment is
+    unconditional: a user-exported JAX_PLATFORMS=tpu must not override
+    the explicit FORCE_NUMPY request."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
     if "jax" in sys.modules:
         try:
             import jax

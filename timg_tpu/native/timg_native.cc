@@ -51,11 +51,14 @@ struct VideoHandle {
     bool draining = false;
 };
 
-bool init_sws(VideoHandle *v) {
-    // YUVJ -> YUV pixel format range fix (behavior of ref
-    // video-source.cc:59-89: deprecated J formats carry full range).
-    AVPixelFormat pix = v->codec->pix_fmt;
-    bool full_range = false;
+// Context converting pixel format `fmt_in` to RGBA at the stream size,
+// cached on the handle and rebuilt on mid-stream format changes.
+// Applies the YUVJ -> YUV range fix (behavior of ref
+// video-source.cc:59-89: deprecated J formats carry full range) and
+// honors an explicit AVCOL_RANGE_JPEG tag on non-J formats.
+SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range) {
+    AVPixelFormat pix = (AVPixelFormat)fmt_in;
+    bool full_range = color_range == AVCOL_RANGE_JPEG;
     switch (pix) {
     case AV_PIX_FMT_YUVJ420P: pix = AV_PIX_FMT_YUV420P; full_range = true; break;
     case AV_PIX_FMT_YUVJ422P: pix = AV_PIX_FMT_YUV422P; full_range = true; break;
@@ -63,20 +66,27 @@ bool init_sws(VideoHandle *v) {
     case AV_PIX_FMT_YUVJ440P: pix = AV_PIX_FMT_YUV440P; full_range = true; break;
     default: break;
     }
-    v->sws = sws_getContext(v->width, v->height, pix, v->width, v->height,
-                            AV_PIX_FMT_RGBA, SWS_BILINEAR, nullptr, nullptr,
-                            nullptr);
-    if (!v->sws) return false;
+    // Returns the existing context unchanged when parameters match.
+    v->sws = sws_getCachedContext(v->sws, v->width, v->height, pix,
+                                  v->width, v->height, AV_PIX_FMT_RGBA,
+                                  SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!v->sws) return nullptr;
     if (full_range) {
         int *inv_table, *table, in_full, out_full, brightness, contrast, sat;
         if (sws_getColorspaceDetails(v->sws, &inv_table, &in_full, &table,
                                      &out_full, &brightness, &contrast,
-                                     &sat) != -1) {
+                                     &sat) != -1 &&
+            !in_full) {
             sws_setColorspaceDetails(v->sws, inv_table, 1, table, out_full,
                                      brightness, contrast, sat);
         }
     }
-    return true;
+    return v->sws;
+}
+
+bool init_sws(VideoHandle *v) {
+    return sws_for_format(v, v->codec->pix_fmt,
+                          v->codec->color_range) != nullptr;
 }
 
 }  // namespace
@@ -187,9 +197,17 @@ int timg_video_read_frame(void *handle, uint8_t *rgba_out) {
     for (;;) {
         int ret = avcodec_receive_frame(v->codec, v->frame);
         if (ret == 0) {
+            // keyed on the actual frame format: a mid-stream pixel
+            // format change must not feed the old context
+            SwsContext *sws = sws_for_format(v, v->frame->format,
+                                             v->frame->color_range);
+            if (!sws) {
+                av_frame_unref(v->frame);
+                return -1;
+            }
             uint8_t *dst[1] = {rgba_out};
             int dst_stride[1] = {v->width * 4};
-            sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,
+            sws_scale(sws, v->frame->data, v->frame->linesize, 0,
                       v->height, dst, dst_stride);
             av_frame_unref(v->frame);
             return 1;
@@ -269,21 +287,18 @@ int timg_video_read_frame_yuv(void *handle, uint8_t *y_out, uint8_t *u_out,
                 return 1;
             }
             // Mid-stream format change: the stream opened as 4:2:0 but
-            // this frame is something else, so the sws context built at
-            // open (for the original format) must not be used -- rebuild
-            // keyed on the actual frame format.  getCachedContext
-            // returns v->sws unchanged when the parameters still match.
-            v->sws = sws_getCachedContext(
-                v->sws, v->width, v->height, (AVPixelFormat)fmt,
-                v->width, v->height, AV_PIX_FMT_RGBA, SWS_BILINEAR,
-                nullptr, nullptr, nullptr);
-            if (!v->sws) {
+            // this frame is something else -- convert via the shared
+            // helper, which rebuilds the cached context keyed on the
+            // actual frame format incl. the J/range handling.
+            SwsContext *sws = sws_for_format(v, fmt,
+                                             v->frame->color_range);
+            if (!sws) {
                 av_frame_unref(v->frame);
                 return -1;
             }
             uint8_t *dst[1] = {rgba_fallback};
             int dst_stride[1] = {v->width * 4};
-            sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,
+            sws_scale(sws, v->frame->data, v->frame->linesize, 0,
                       v->height, dst, dst_stride);
             av_frame_unref(v->frame);
             return 2;

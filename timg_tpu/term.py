@@ -190,18 +190,23 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
     elif "foot" in low:
         info.preferred_graphics = "sixel"
         info.sixel.known_broken_cursor_placement = True
+    if "xterm" in low:
+        # don't know yet if it supports sixel (DA1 below decides), but
+        # the cursor-placement quirk applies regardless (ref :300-303)
+        info.sixel.known_broken_cursor_placement = True
     if "windowsterminal" in low:             # ref :310-316
         info.sixel.known_broken_cursor_placement = True
         info.sixel.full_cell_jump = True
     if "tmux" in low:
         info.in_tmux = True
-    # DA1 sixel capability fallback only when nothing matched
-    # (ref :320-343).
-    if "xterm" in low and info.preferred_graphics == "none":
+    # DA1 sixel capability fallback whenever the protocol is still
+    # unknown -- the reference probes unconditionally, also covering
+    # terminals that answer nothing recognizable to CSI >q
+    # (ref :320-343; the ";4" must follow the "CSI ?" response intro).
+    if info.preferred_graphics == "none":
         da1 = query_terminal(b"\033[c", 0.25, b"c")
-        if re.search(rb";4[;c]", da1):
+        if re.search(rb"\033\[\?[0-9;]*?;4[;c]", da1):
             info.preferred_graphics = "sixel"
-            info.sixel.known_broken_cursor_placement = True
 
     # Per-terminal sixel quirks and env override
     # (TIMG_SIXEL_NEWLINE_WORKAROUND 2-bit mask, ref term-query.cc:229-231).
