@@ -351,7 +351,9 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K = 8
+    K = 8   # 16 was tried: ~2x compile time (>14 min through the
+            # tunnel, Mosaic unrolls K*nrb step bodies) for an
+            # expected ~2% win -- not worth the first-run latency
     b0 = frames_rgba.shape[0]
     b = _round_up(b0, 8)
     hp = _round_up(h, 128)
