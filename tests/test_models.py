@@ -79,3 +79,32 @@ def test_sixel_model_yuv_transport():
     assert len(streams) == 2
     assert all(s.startswith(b"\033Pq") and s.endswith(b"\033\\")
                for s in streams)
+
+
+def test_sixel_model_adaptive_reuse():
+    """adaptive_reuse builds the palette once (CLI video semantics):
+    same palette header across batches, one batched dither dispatch,
+    and reset_palette() rebuilds from the next frame."""
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 255, (2, 24, 32, 4), dtype=np.uint8)
+    b = rng.integers(0, 255, (2, 24, 32, 4), dtype=np.uint8)
+    a[..., 3] = b[..., 3] = 255
+
+    m = models.get("sixel")(24, 32, dither="adaptive", adaptive_reuse=True)
+    sa = m.render_batch(a)
+    sb = m.render_batch(b)
+
+    # all frames of both batches share the first frame's palette
+    pal_defs = [s.split(b"#")[1:257] for s in sa + sb]
+    assert all(p == pal_defs[0] for p in pal_defs[1:])
+
+    m.reset_palette()
+    sb2 = m.render_batch(b)
+    # after reset the palette comes from b's first frame: differs from
+    # the a-derived palette with overwhelming probability
+    assert sb2[0].split(b"#")[1:257] != pal_defs[0]
+
+    # per-frame mode (default) rebuilds per frame: palettes differ
+    m2 = models.get("sixel")(24, 32, dither="adaptive")
+    s2 = m2.render_batch(a)
+    assert s2[0].split(b"#")[1:257] != s2[1].split(b"#")[1:257]

@@ -40,9 +40,23 @@ class _PixelModel:
 
 
 class SixelModel(_PixelModel):
-    def __init__(self, *args, dither: str = "adaptive", **kw):
+    def __init__(self, *args, dither: str = "adaptive",
+                 adaptive_reuse: bool = False, **kw):
+        """``adaptive_reuse``: build the median-cut palette once from
+        the first frame seen and reuse it across frames and batches --
+        the CLI video path's semantics (ref sixel-canvas analog:
+        palette per animation, not per frame), and the right mode for
+        video-rate serving where a fresh 6-gather tree per frame costs
+        more than it buys."""
         super().__init__(*args, **kw)
         self.dither = dither  # "adaptive" | "cube"
+        self.adaptive_reuse = adaptive_reuse
+        self._quantizer = None
+
+    def reset_palette(self) -> None:
+        """Drop the reused adaptive palette (e.g. at a scene cut or a
+        new animation start, like the CLI does)."""
+        self._quantizer = None
 
     def render_batch(self, frames: np.ndarray) -> List[bytes]:
         return self._render_resized(self._resized(frames))
@@ -63,6 +77,13 @@ class SixelModel(_PixelModel):
         if self.dither == "cube":
             palette = sixel_op.cube_palette()
             indices = np.asarray(sixel_op.fs_dither_cube(x[..., :3]))
+            return [encode_sixel_stream(idx, palette) for idx in indices]
+        if self.adaptive_reuse:
+            if self._quantizer is None:
+                self._quantizer = sixel_op.median_cut_tree(x[0, ..., :3])
+            palette, levels, leaves = self._quantizer
+            indices = np.asarray(sixel_op.fs_dither_tree(
+                x[..., :3], levels, leaves))      # one batched dispatch
             return [encode_sixel_stream(idx, palette) for idx in indices]
         out = []
         for frame in x:
