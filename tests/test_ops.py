@@ -458,3 +458,49 @@ def test_pallas_tiled_resize_pad_rows_zero():
         words, 135, 240, interpret=True))
     assert np.array_equal(out[:, :135, :240], plain)
     assert (out[:, 135:, :] == 0).all()
+
+
+def test_resize_nearest_matches_gm_sample_model():
+    """-a nearest resampling: device == numpy == a scalar model of
+    GraphicsMagick SampleImage (floor((i+0.5)*in/out) source index,
+    ref graphics-magick-source.cc:248-254)."""
+    import numpy as np
+
+    from timg_tpu.ops.resize import resize_nearest
+    from timg_tpu.ops.resize_np import resize_nearest_np
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 255, (2, 13, 29, 4), dtype=np.uint8)
+    for oh, ow in [(7, 11), (26, 58), (13, 29), (1, 1)]:
+        got_np = resize_nearest_np(frames, oh, ow)
+        got_dev = np.asarray(resize_nearest(frames, oh, ow))
+        np.testing.assert_array_equal(got_np, got_dev)
+        # scalar model
+        want = np.empty((2, oh, ow, 4), np.uint8)
+        for y in range(oh):
+            sy = min(int((y + 0.5) * 13 / oh), 12)
+            for x in range(ow):
+                sx = min(int((x + 0.5) * 29 / ow), 28)
+                want[:, y, x] = frames[:, sy, sx]
+        np.testing.assert_array_equal(got_np, want)
+
+
+def test_cli_no_antialias_flag(tmp_path):
+    """-a produces nearest-resampled output (differs from the default
+    filtered path, same geometry)."""
+    import numpy as np
+    from PIL import Image
+
+    from tests.test_golden import run_ours
+
+    rng = np.random.default_rng(3)
+    p = tmp_path / "img.png"
+    Image.fromarray(rng.integers(0, 255, (64, 96, 3),
+                                 dtype=np.uint8)).save(p)
+    base = run_ours(["-g40x20", "-pq", "-b", "black",
+                     "--debug-no-frame-delay"], [str(p)])
+    sampled = run_ours(["-g40x20", "-pq", "-b", "black", "-a",
+                        "--debug-no-frame-delay"], [str(p)])
+    assert base and sampled and base != sampled
+    # same cell geometry: same number of lines
+    assert base.count(b"\n") == sampled.count(b"\n")

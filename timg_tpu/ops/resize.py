@@ -340,6 +340,18 @@ def resize_video_words(frames: jax.Array, out_h: int, out_w: int,
     return out
 
 
+def resize_nearest(frames, out_h: int, out_w: int):
+    """Nearest-neighbor resample on device (no antialias, ``-a``):
+    GM SampleImage source indexing (see resize_np.nearest_indices),
+    pure integer gathers so every backend produces identical bytes."""
+    from timg_tpu.ops.resize_np import nearest_indices
+
+    frames = jnp.asarray(frames)
+    ys = jnp.asarray(nearest_indices(frames.shape[1], out_h))
+    xs = jnp.asarray(nearest_indices(frames.shape[2], out_w))
+    return jnp.take(jnp.take(frames, ys, axis=1), xs, axis=2)
+
+
 def resize_batch_video(frames, out_h: int, out_w: int):
     """Opaque-video resize: [B,H,W,>=3] u8 -> [B,out_h,out_w,4] u8."""
     frames = jnp.asarray(frames)

@@ -267,3 +267,21 @@ def resize_batch_np(
         x = np.concatenate([rgb, alpha], axis=-1)
     out = np.clip(x * np.float32(255.0) + np.float32(0.5), 0.0, 255.0)
     return out.astype(np.uint8)
+
+
+def nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """GraphicsMagick SampleImage pixel mapping (the reference's
+    no-antialias path, ref graphics-magick-source.cc:248-254 ->
+    Magick::Image::sample): source index floor((i + 0.5) * in / out),
+    clamped."""
+    idx = ((np.arange(out_size) + 0.5) * in_size / out_size).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_nearest_np(frames: np.ndarray, out_h: int,
+                      out_w: int) -> np.ndarray:
+    """[B, H, W, C] nearest-neighbor resample (no antialias; exact
+    integer indexing, identical on every backend)."""
+    ys = nearest_indices(frames.shape[1], out_h)
+    xs = nearest_indices(frames.shape[2], out_w)
+    return frames[:, ys][:, :, xs]

@@ -182,7 +182,19 @@ def _process_frames(
     out: List[np.ndarray] = []
     for batch in batches:
         needs_resize = (batch.shape[1], batch.shape[2]) != (target_h, target_w)
-        if numpy_mode:
+        if not options.antialias and needs_resize:
+            # -a: nearest-neighbor sampling (the reference's GM
+            # sample() path, graphics-magick-source.cc:248-254; its
+            # minimal stb build ignores -a, ROADMAP documents the
+            # deviation). Integer indexing: identical on every backend.
+            if numpy_mode:
+                from timg_tpu.ops.resize_np import resize_nearest_np
+                result = resize_nearest_np(batch, target_h, target_w)
+            else:
+                from timg_tpu.ops.resize import resize_nearest
+                result = np.asarray(
+                    resize_nearest(batch, target_h, target_w))
+        elif numpy_mode:
             result = (resize_batch_np(batch, target_h, target_w)
                       if needs_resize else batch)
         else:
