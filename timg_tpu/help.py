@@ -75,7 +75,8 @@ OPTIONS
 
   TIMG-TPU EXTENSIONS
     --dither=<mode>     Sixel dithering: adaptive (median-cut palette,
-                        default) or cube (fixed 6x7x6, fastest video).
+                        default), cube (fixed 6x7x6, fastest video), or
+                        libsixel (faithful libsixel quant.c pipeline).
 
 ENVIRONMENT
     TIMG_PIXELATION             Default pixelation mode.
@@ -86,7 +87,11 @@ ENVIRONMENT
     TIMG_SIXEL_NEWLINE_WORKAROUND  2-bit sixel cursor quirk mask.
     TIMG_TPU_COMPILE_CACHE      XLA compile cache dir (timg-tpu; empty
                                 disables; ~/.cache/timg-tpu/jax).
-    TIMG_TPU_FORCE_NUMPY        Force the strict CPU mirrors (timg-tpu).
+    TIMG_TPU_FORCE_NUMPY        Force the strict CPU mirrors and pin
+                                jax to the cpu backend (timg-tpu).
+    TIMG_TPU_VIDEO_RGBA         Disable the raw YUV 4:2:0 video
+                                transport; convert on host via sws
+                                like the reference (timg-tpu).
 
 EXIT CODES
     0 success; 1 image read error; 2 parameter error; 3 not a terminal;
