@@ -37,6 +37,79 @@ def _run_ref(args, files):
         os.unlink(out)
 
 
+# 80x24 cells, 640x384 px -> 8x16 px cells (a plausible terminal)
+_PTY_WINSIZE = (24, 80, 640, 384)
+
+
+def _with_scripted_pty(fn, answers, winsize=_PTY_WINSIZE):
+    """Run fn(slave_fd) with a pty whose master answers escape queries:
+    answers = {trigger_bytes: reply_bytes} (shared scaffolding for the
+    reference-vs-ours parity tests below)."""
+    import fcntl
+    import pty
+    import struct
+    import termios
+    import threading
+
+    master, slave = pty.openpty()
+    if winsize is not None:
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", *winsize))
+
+    def pump():
+        try:
+            while True:
+                data = os.read(master, 4096)
+                if not data:
+                    return
+                for trigger, reply in answers.items():
+                    if trigger in data:
+                        os.write(master, reply)
+        except OSError:
+            return
+
+    threading.Thread(target=pump, daemon=True).start()
+    try:
+        return fn(slave)
+    finally:
+        os.close(slave)
+        os.close(master)
+
+
+def _pty_ref(args, files, answers, tmp_path, winsize=_PTY_WINSIZE,
+             env=None):
+    """Reference binary under a scripted pty -> output bytes."""
+    out_path = str(tmp_path / "ref.out")
+
+    def run(slave):
+        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
+                       env=env or _CLEAN_ENV, stdin=slave, stdout=slave,
+                       stderr=slave, timeout=120)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+    return _with_scripted_pty(run, answers, winsize)
+
+
+def _pty_ours(args, files, answers, winsize=_PTY_WINSIZE):
+    """Our CLI (in-process) with stdout on a scripted pty -> bytes."""
+
+    def run(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            return run_ours(args, files)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+    return _with_scripted_pty(run, answers, winsize)
+
+
+_KITTY_TTY = {b"\033[>q": b"\033P>|kitty(0.26.5)\033\\\033[0n",
+              b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"}
+
+
 @needs_reference
 @pytest.mark.parametrize("image,extra", [
     ("noise_64x48.png", []),
@@ -340,44 +413,18 @@ def test_kitty_tmux_placeholders_match_reference(corpus, tmp_path,
     byte -- all normalized on both sides.  This is the test class that
     catches placeholder-codepoint mistakes (the spec char is U+10EEEE;
     the reference's comment says otherwise but its bytes agree)."""
-    import pty
-    import subprocess
-    import threading
-
     stub = tmp_path / "tmux"
     stub.write_text("#!/bin/sh\nexit 0\n")
     stub.chmod(0o755)
 
     args = ["--debug-no-frame-delay", "-g40x20", "-pk", "-b", "black"]
     files = [corpus["noise_64x48.png"]]
-    out_path = str(tmp_path / "ref.out")
+    answers = {b"\033[>q": b"\033P>|tmux 3.3a\033\\\033[0n"}
 
-    master, slave = pty.openpty()
-
-    def pump():
-        try:
-            while True:
-                data = os.read(master, 4096)
-                if not data:
-                    return
-                if b"\033[>q" in data:
-                    os.write(master,
-                             b"\033P>|tmux 3.3a\033\\\033[0n")
-        except OSError:
-            return
-
-    t = threading.Thread(target=pump, daemon=True)
-    t.start()
     env = {**_CLEAN_ENV,
            "PATH": f"{tmp_path}:{os.environ.get('PATH', '')}"}
     env.pop("TMUX", None)
-    subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
-                   env=env, stdin=slave, stdout=slave, stderr=slave,
-                   timeout=120)
-    os.close(slave)
-    os.close(master)
-    with open(out_path, "rb") as f:
-        ref = f.read()
+    ref = _pty_ref(args, files, answers, tmp_path, winsize=None, env=env)
     assert b"Ptmux;" in ref, "reference did not enter tmux mode"
 
     monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ.get('PATH', '')}")
@@ -403,60 +450,14 @@ def test_bg_auto_matches_reference_via_pty(corpus, tmp_path):
     answer.  Both the reference binary and our CLI run under a
     scripted pty answering rgb:8000/4000/c000; the quarter-block
     streams must be byte-identical."""
-    import pty
-    import subprocess
-    import threading
-
     args = ["--debug-no-frame-delay", "-g40x20", "-pq", "-b", "auto"]
     files = [corpus["alpha_80x100.png"]]
+    answers = {b"\033]11;?": b"\033]11;rgb:8000/4000/c000\033\\",
+               b"\033[>q": b"\033[0n"}
 
-    def scripted(cmd_env_fn):
-        master, slave = pty.openpty()
-
-        def pump():
-            try:
-                while True:
-                    data = os.read(master, 4096)
-                    if not data:
-                        return
-                    if b"\033]11;?" in data:
-                        os.write(master,
-                                 b"\033]11;rgb:8000/4000/c000\033\\")
-                    if b"\033[>q" in data:
-                        os.write(master, b"\033[0n")
-            except OSError:
-                return
-
-        threading.Thread(target=pump, daemon=True).start()
-        try:
-            return cmd_env_fn(slave)
-        finally:
-            os.close(slave)
-            os.close(master)
-
-    ref_out = str(tmp_path / "ref.out")
-
-    def run_ref(slave):
-        subprocess.run([REFERENCE_BINARY, *args, "-o", ref_out, *files],
-                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
-                       stderr=slave, timeout=120)
-        with open(ref_out, "rb") as f:
-            return f.read()
-
-    ref = scripted(run_ref)
-
-    def run_us(slave):
-        saved = os.dup(1)
-        try:
-            os.dup2(slave, 1)
-            return run_ours(args, files)
-        finally:
-            os.dup2(saved, 1)
-            os.close(saved)
-
-    ours = scripted(run_us)
-    assert b"\033[48;2;128;64;192m" in ref or \
-        b"\033[38;2;" in ref  # sanity: the queried bg landed in SGRs
+    ref = _pty_ref(args, files, answers, tmp_path, winsize=None)
+    ours = _pty_ours(args, files, answers, winsize=None)
+    assert b"\033[38;2;" in ref  # sanity: SGR colors present
     assert ref == ours
 
 
@@ -474,64 +475,13 @@ def test_auto_pixelation_sieve_matches_reference(corpus, tmp_path,
     the scripted CSI >q answer, geometry default rows-2.  Both binaries
     see the same scripted terminal; streams must match (modulo the
     time-seeded kitty image id)."""
-    import fcntl
-    import pty
-    import struct
-    import subprocess
-    import termios
-    import threading
-
     args = ["--debug-no-frame-delay", "-b", "black"]
     files = [corpus["gradient_320x200.png"]]
+    answers = {b"\033[>q": term_answer,
+               b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"}
 
-    def scripted(fn):
-        master, slave = pty.openpty()
-        # 80x24 cells, 640x384 px -> 8x16 px cells (plausible size)
-        fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                    struct.pack("HHHH", 24, 80, 640, 384))
-
-        def pump():
-            try:
-                while True:
-                    data = os.read(master, 4096)
-                    if not data:
-                        return
-                    if b"\033[>q" in data:
-                        os.write(master, term_answer)
-                    if b"\033]11;?" in data:
-                        os.write(master,
-                                 b"\033]11;rgb:0000/0000/0000\033\\")
-            except OSError:
-                return
-
-        threading.Thread(target=pump, daemon=True).start()
-        try:
-            return fn(slave)
-        finally:
-            os.close(slave)
-            os.close(master)
-
-    out_path = str(tmp_path / "ref.out")
-
-    def run_ref(slave):
-        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
-                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
-                       stderr=slave, timeout=120)
-        with open(out_path, "rb") as f:
-            return f.read()
-
-    ref = scripted(run_ref)
-
-    def run_us(slave):
-        saved = os.dup(1)
-        try:
-            os.dup2(slave, 1)
-            return run_ours(args, files)
-        finally:
-            os.dup2(saved, 1)
-            os.close(saved)
-
-    ours = scripted(run_us)
+    ref = _pty_ref(args, files, answers, tmp_path)
+    ours = _pty_ours(args, files, answers)
     if norm_id:
         ref = re.sub(rb"i=\d+", b"i=ID", ref)
         ours = re.sub(rb"i=\d+", b"i=ID", ours)
@@ -548,65 +498,12 @@ def test_kitty_flows_match_reference(corpus, tmp_path, extra_args, image):
     between frames, ref kitty-canvas.cc:143-172) and kitty grid+title
     layout vs the reference binary under the same scripted kitty
     terminal, modulo the time-seeded ids."""
-    import fcntl
-    import pty
-    import struct
-    import subprocess
-    import termios
-    import threading
-
     args = ["--debug-no-frame-delay", "-b", "black", *extra_args]
     files = [corpus[image], corpus[image]] if "grid" in extra_args[0] \
         else [corpus[image]]
 
-    def scripted(fn):
-        master, slave = pty.openpty()
-        fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                    struct.pack("HHHH", 24, 80, 640, 384))
-
-        def pump():
-            try:
-                while True:
-                    data = os.read(master, 4096)
-                    if not data:
-                        return
-                    if b"\033[>q" in data:
-                        os.write(master,
-                                 b"\033P>|kitty(0.26.5)\033\\\033[0n")
-                    if b"\033]11;?" in data:
-                        os.write(master,
-                                 b"\033]11;rgb:0000/0000/0000\033\\")
-            except OSError:
-                return
-
-        threading.Thread(target=pump, daemon=True).start()
-        try:
-            return fn(slave)
-        finally:
-            os.close(slave)
-            os.close(master)
-
-    out_path = str(tmp_path / "ref.out")
-
-    def run_ref(slave):
-        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
-                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
-                       stderr=slave, timeout=120)
-        with open(out_path, "rb") as f:
-            return f.read()
-
-    ref = scripted(run_ref)
-
-    def run_us(slave):
-        saved = os.dup(1)
-        try:
-            os.dup2(slave, 1)
-            return run_ours(args, files)
-        finally:
-            os.dup2(saved, 1)
-            os.close(saved)
-
-    ours = scripted(run_us)
+    ref = _pty_ref(args, files, _KITTY_TTY, tmp_path)
+    ours = _pty_ours(args, files, _KITTY_TTY)
 
     def norm(raw):
         # normalize ids but keep their equality structure (flip-flop
@@ -628,68 +525,15 @@ def test_cell_size_fallback_query_matches_reference(corpus, tmp_path):
     """Winsize reports 0x0 pixels -> both sides fall back to the
     CSI 16t cell-size query (ref term-query.cc:347-366,399) before the
     auto sieve; with the scripted 8x16 answer the kitty streams must
-    match the plausible-winsize case byte-for-byte (modulo id)."""
-    import fcntl
-    import pty
-    import struct
-    import subprocess
-    import termios
-    import threading
-
+    match byte-for-byte (modulo id)."""
     args = ["--debug-no-frame-delay", "-b", "black"]
     files = [corpus["gradient_320x200.png"]]
+    answers = {**_KITTY_TTY, b"\033[16t": b"\033[6;16;8t"}
 
-    def scripted(fn):
-        master, slave = pty.openpty()
-        # pixel dims ZERO: forces the CSI 16t fallback
-        fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                    struct.pack("HHHH", 24, 80, 0, 0))
-
-        def pump():
-            try:
-                while True:
-                    data = os.read(master, 4096)
-                    if not data:
-                        return
-                    if b"\033[16t" in data:
-                        os.write(master, b"\033[6;16;8t")
-                    if b"\033[>q" in data:
-                        os.write(master,
-                                 b"\033P>|kitty(0.26.5)\033\\\033[0n")
-                    if b"\033]11;?" in data:
-                        os.write(master,
-                                 b"\033]11;rgb:0000/0000/0000\033\\")
-            except OSError:
-                return
-
-        threading.Thread(target=pump, daemon=True).start()
-        try:
-            return fn(slave)
-        finally:
-            os.close(slave)
-            os.close(master)
-
-    out_path = str(tmp_path / "ref.out")
-
-    def run_ref(slave):
-        subprocess.run([REFERENCE_BINARY, *args, "-o", out_path, *files],
-                       env=_CLEAN_ENV, stdin=slave, stdout=slave,
-                       stderr=slave, timeout=120)
-        with open(out_path, "rb") as f:
-            return f.read()
-
-    ref = scripted(run_ref)
-
-    def run_us(slave):
-        saved = os.dup(1)
-        try:
-            os.dup2(slave, 1)
-            return run_ours(args, files)
-        finally:
-            os.dup2(saved, 1)
-            os.close(saved)
-
-    ours = scripted(run_us)
+    # pixel dims ZERO: forces the CSI 16t fallback
+    winsize = (24, 80, 0, 0)
+    ref = _pty_ref(args, files, answers, tmp_path, winsize=winsize)
+    ours = _pty_ours(args, files, answers, winsize=winsize)
     ref = re.sub(rb"i=\d+", b"i=ID", ref)
     ours = re.sub(rb"i=\d+", b"i=ID", ours)
     assert ref and ref == ours
