@@ -53,6 +53,13 @@ def build_corpus(directory: str) -> dict:
     # Grayscale png.
     save("gray_50x40.png",
          rng.integers(0, 256, (40, 50), dtype=np.uint8), mode="L")
+    # 16-bit grayscale png (stb reduces to the high byte; PIL's naive
+    # convert() clips -- regression corpus for the _to_rgba path).
+    p16 = os.path.join(directory, "gray16_48x32.png")
+    if not os.path.exists(p16):
+        g16 = rng.integers(0, 65536, (32, 48)).astype(np.uint16)
+        Image.frombytes("I;16", (48, 32), g16.tobytes()).save(p16)
+    out["gray16_48x32.png"] = p16
     # Animated GIF, 4 frames.
     gif_path = os.path.join(directory, "anim_32x24.gif")
     if not os.path.exists(gif_path):

@@ -161,3 +161,13 @@ def test_exit_code_unwritable_output(tmp_path, corpus):
     rc = main(["-g20x10", "-o", str(tmp_path / "no" / "dir" / "x.bin"),
                corpus["noise_64x48.png"]])
     assert rc == 4
+
+
+def test_gray16_png_parity(corpus):
+    """16-bit grayscale PNG: stb reduces 16->8 with v>>8
+    (stbi__convert_16_to_8); PIL's convert() would clip at 255 and
+    white out the image -- _to_rgba mirrors stb."""
+    from tests.test_golden import assert_parity
+
+    assert_parity(["--debug-no-frame-delay", "-g40x20", "-pq",
+                   "-b", "black"], [corpus["gray16_48x32.png"]])

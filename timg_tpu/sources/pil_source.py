@@ -19,6 +19,27 @@ from timg_tpu.options import DisplayOptions
 from timg_tpu.sources.base import ImageSource, PreprocessedFrame
 
 
+def _to_rgba(img) -> np.ndarray:
+    """PIL image -> RGBA uint8 array.
+
+    High-bit-depth grayscale needs care: PIL loads 16-bit gray PNGs as
+    mode "I"/"I;16" and its convert() CLIPS the 16-bit values at 255
+    (the image comes out white).  The reference's stb reduces 16->8 by
+    taking the high byte (stb_image stbi__convert_16_to_8, v >> 8) --
+    do the same."""
+    if img.mode in ("I", "I;16", "I;16L", "I;16B", "I;16N"):
+        arr = np.asarray(img, dtype=np.int64)
+        # I;16* is always 16-bit; bare "I" is a 32-bit container that
+        # PNG 16-bit grayscale loads into.  Decide by mode/format, not
+        # by the data (stb shifts even an all-dark 16-bit image).
+        if img.mode != "I" or img.format == "PNG":
+            arr = arr >> 8
+        g = np.clip(arr, 0, 255).astype(np.uint8)
+        a = np.full_like(g, 255)
+        return np.dstack([g, g, g, a])
+    return np.asarray(img.convert("RGBA"))
+
+
 class PILSource(ImageSource):
     def __init__(self, filename: str):
         super().__init__(filename)
@@ -64,7 +85,7 @@ class PILSource(ImageSource):
                     # the reference applies the EXIF op per frame
                     # (ref graphics-magick-source.cc:225-227)
                     frame = ImageOps.exif_transpose(frame)
-                raw_frames.append(np.asarray(frame.convert("RGBA")))
+                raw_frames.append(_to_rgba(frame))
         else:
             true_size = img.size
             orientation = 1
@@ -95,7 +116,7 @@ class PILSource(ImageSource):
                         self._true_orig = true_size
             if options.exif_rotate and orientation != 1:
                 img = ImageOps.exif_transpose(img)
-            raw_frames.append(np.asarray(img.convert("RGBA")))
+            raw_frames.append(_to_rgba(img))
             delays.append(0.0)
 
         if frame_offset > 0 and is_animation:
