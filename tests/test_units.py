@@ -355,3 +355,48 @@ class TestExifJpeg:
         src = PILSource(path)
         assert src.load_and_scale(self._opts(), 0, -1)
         assert (src.orig_width, src.orig_height) == (640, 320)
+
+
+class TestTextSource:
+    """Plain-text rendering (role of the full-GM reference's TXT coder;
+    the minimal stb build errors on .txt)."""
+
+    def _opts(self):
+        from timg_tpu.options import DisplayOptions
+
+        opts = DisplayOptions()
+        opts.width, opts.height = 80, 48
+        opts.cell_x_px = opts.cell_y_px = 2
+        opts.bgcolor_getter = lambda: (255, 255, 255, 255)
+        return opts
+
+    def test_renders_text_file(self, tmp_path):
+        from timg_tpu.sources.text_source import TextSource
+
+        p = tmp_path / "notes.txt"
+        p.write_text("hello timg\nsecond line\n")
+        src = TextSource(str(p))
+        assert src.load_and_scale(self._opts(), 0, -1)
+        frame = src.frames[0].frame
+        assert frame.ndim == 3 and frame.shape[2] == 4
+        # dark glyph pixels on the white page
+        assert (frame[..., :3] < 128).any()
+
+    def test_suffix_gate_and_binary_reject(self, tmp_path):
+        from timg_tpu.sources.text_source import TextSource
+
+        img = tmp_path / "x.png"
+        img.write_bytes(b"\x89PNG\r\n")
+        assert not TextSource(str(img)).load_and_scale(self._opts(), 0, -1)
+        binf = tmp_path / "x.txt"
+        binf.write_bytes(b"ab\0cd")
+        assert not TextSource(str(binf)).load_and_scale(self._opts(), 0, -1)
+
+    def test_cli_end_to_end(self, tmp_path):
+        from tests.test_golden import run_ours
+
+        p = tmp_path / "cli.txt"
+        p.write_text("end to end\n")
+        out = run_ours(["-g40x20", "-pq", "-b", "white",
+                        "--debug-no-frame-delay"], [str(p)])
+        assert out and b"\033[" in out

@@ -173,6 +173,11 @@ def create_source(
             candidates.append(VideoSource)
         except Exception:  # native helper unavailable
             pass
+    if attempt_image_loading:
+        # last resort, suffix-gated: .txt rendering (role of the
+        # full-GM reference's TXT coder; see sources/text_source.py)
+        from timg_tpu.sources.text_source import TextSource
+        candidates.append(TextSource)
 
     count = -1 if frame_count == NOT_INITIALIZED else frame_count
     hint = ""
