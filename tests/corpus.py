@@ -60,6 +60,15 @@ def build_corpus(directory: str) -> dict:
         g16 = rng.integers(0, 65536, (32, 48)).astype(np.uint16)
         Image.frombytes("I;16", (48, 32), g16.tobytes()).save(p16)
     out["gray16_48x32.png"] = p16
+    # 32-bit BMP with a real alpha plane (stb reads the 4th byte as
+    # alpha; PIL's default raw mode drops it -- regression corpus).
+    pbmp = os.path.join(directory, "alpha_40x30.bmp")
+    if not os.path.exists(pbmp):
+        rgba = np.dstack([
+            rng.integers(0, 256, (30, 40, 3), dtype=np.uint8),
+            rng.integers(0, 256, (30, 40), dtype=np.uint8)])
+        Image.fromarray(rgba, "RGBA").save(pbmp)
+    out["alpha_40x30.bmp"] = pbmp
     # Animated GIF, 4 frames.
     gif_path = os.path.join(directory, "anim_32x24.gif")
     if not os.path.exists(gif_path):

@@ -171,3 +171,16 @@ def test_gray16_png_parity(corpus):
 
     assert_parity(["--debug-no-frame-delay", "-g40x20", "-pq",
                    "-b", "black"], [corpus["gray16_48x32.png"]])
+
+
+def test_bmp_alpha_parity(corpus):
+    """32-bit BMP: stb reads the 4th byte as alpha (opaque only when
+    the whole plane is zero); PIL's BGRX raw mode would drop it.
+    _to_rgba re-wires the decoder to BGRA -- byte parity with the
+    reference binary proves it."""
+    from tests.test_golden import assert_parity
+
+    assert_parity(["--debug-no-frame-delay", "-g40x20", "-pq",
+                   "-b", "black"], [corpus["alpha_40x30.bmp"]])
+    assert_parity(["--debug-no-frame-delay", "-g40x20", "-pq",
+                   "-b", "#204060"], [corpus["alpha_40x30.bmp"]])

@@ -26,7 +26,27 @@ def _to_rgba(img) -> np.ndarray:
     mode "I"/"I;16" and its convert() CLIPS the 16-bit values at 255
     (the image comes out white).  The reference's stb reduces 16->8 by
     taking the high byte (stb_image stbi__convert_16_to_8, v >> 8) --
-    do the same."""
+    do the same.
+
+    32-bit BI_RGB BMPs: stb reads the 4th byte as alpha and falls back
+    to opaque only when the whole alpha plane is zero; PIL drops the
+    byte entirely (raw mode BGRX).  Re-wire the raw decoder to BGRA
+    before the lazy load so the golden BMP-with-alpha case matches the
+    reference byte-for-byte."""
+    if getattr(img, "format", None) == "BMP" and img.mode == "RGB" \
+            and getattr(img, "tile", None):
+        try:
+            decoder, extents, offset, args = img.tile[0]
+            if decoder == "raw" and args and args[0] == "BGRX":
+                img.tile = [(decoder, extents, offset,
+                             ("BGRA",) + tuple(args[1:]))]
+                img._mode = "RGBA"
+                arr = np.asarray(img).copy()
+                if not arr[..., 3].any():
+                    arr[..., 3] = 255    # stb: all-zero alpha -> opaque
+                return arr
+        except Exception:  # pragma: no cover - fall back to convert()
+            pass
     if img.mode in ("I", "I;16", "I;16L", "I;16B", "I;16N"):
         arr = np.asarray(img, dtype=np.int64)
         # I;16* is always 16-bit; bare "I" is a 32-bit container that
