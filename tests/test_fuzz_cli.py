@@ -20,7 +20,8 @@ FLAG_POOL = [
     ["--rotate", "exif"], ["--rotate", "off"], ["--frames", "2"],
     ["--frame-offset", "1"], ["--loops", "2"], ["--compress", "5"],
     ["--threads", "2"], ["--clear"], ["-F"], ["-E"], ["--fit-width"],
-    ["--dither", "cube"],
+    ["--dither", "cube"], ["--dither", "libsixel"], ["--scroll"],
+    ["--delta-move", "2:1"], ["-a"], ["-w", "0"],
 ]
 
 
@@ -39,7 +40,18 @@ def media(tmp_path_factory):
         for _ in range(3)]
     frames[0].save(gif, save_all=True, append_images=frames[1:],
                    duration=30, loop=0)
-    return [img1, gif]
+    txt = str(tmp / "d.txt")
+    with open(txt, "w") as f:
+        f.write("fuzz text\nsecond line\n")
+    y4m = str(tmp / "e.y4m")
+    with open(y4m, "wb") as f:
+        f.write(b"YUV4MPEG2 W32 H24 F25:1 Ip A1:1 C420jpeg\n")
+        for i in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(0, 256, (24, 32), dtype=np.uint8).tobytes())
+            f.write(rng.integers(0, 256, (12, 16), dtype=np.uint8).tobytes())
+            f.write(rng.integers(0, 256, (12, 16), dtype=np.uint8).tobytes())
+    return [img1, gif, txt, y4m]
 
 
 def test_cli_flag_combination_sweep(media, tmp_path):
