@@ -211,5 +211,10 @@ def create_source(
             error = (f"{filename}: looks like a video file, but the native "
                      "video helper is not built (make -C timg_tpu/native)")
     if not error:
-        error = hint or f"{filename}: couldn't load"
+        # gated-feature diagnosis (ours) or nothing: the reference is
+        # deliberately silent for a readable-but-undecodable file (its
+        # generic "couldn't load" is commented out,
+        # ref image-source.cc:238, and timg.cc:963 only queues
+        # non-empty errors) -- exit code 1 still reports the failure
+        error = hint
     return None, error
