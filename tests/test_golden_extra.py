@@ -131,6 +131,22 @@ def test_exit_code_missing_file():
                  "/nonexistent/file.png"]) == 1
 
 
+def test_exit_code_mixed_good_and_undecodable(tmp_path, corpus):
+    """A readable-but-undecodable file is a read error (exit 1) even
+    when another file succeeds and the failure is silent — the
+    reference sets kImageReadError on every null Create result and
+    only *queues* non-empty messages (timg.cc:960-963)."""
+    from timg_tpu.cli import main
+
+    junk = tmp_path / "junk.dat"
+    junk.write_bytes(b"not an image at all" * 10)
+    with tempfile.NamedTemporaryFile() as tf:
+        rc = main(["--debug-no-frame-delay", "-g20x10", "-pq",
+                   "-b", "black", "-o", tf.name,
+                   corpus["noise_64x48.png"], str(junk)])
+    assert rc == 1
+
+
 def test_exit_code_bad_geometry():
     from timg_tpu.cli import main
 

@@ -400,3 +400,23 @@ class TestTextSource:
         out = run_ours(["-g40x20", "-pq", "-b", "white",
                         "--debug-no-frame-delay"], [str(p)])
         assert out and b"\033[" in out
+
+    def test_scroll_pans_text_page(self, tmp_path):
+        """--scroll pans a rendered text page like any other image
+        (reference TXT pages go through GM SendFrames -> Scroll,
+        gm-source.cc:288-291); regression: TextSource used to fall
+        through to the static base send_frames."""
+        from timg_tpu.sources.text_source import TextSource
+
+        p = tmp_path / "scroll.txt"
+        p.write_text("pan me\n" * 4)
+        opts = self._opts()
+        opts.scroll_animation = True
+        opts.scroll_dx, opts.scroll_dy = 1, 0
+        src = TextSource(str(p))
+        assert src.load_and_scale(opts, 0, -1)
+        sent = []
+        src.send_frames(400.0, 1,
+                        lambda: False,
+                        lambda *a: sent.append(a))
+        assert len(sent) > 1  # panning frames, not one static page

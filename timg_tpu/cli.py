@@ -479,8 +479,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_workers=max(1, min(thread_count, len(filelist) + 1)))
     errors: List[str] = []
     exit_code = EXIT_SUCCESS
+    load_failed = False
 
     def load(filename: str):
+        nonlocal load_failed
         if interrupt_received:
             return None
         src, err = create_source(
@@ -488,8 +490,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             attempt_image_loading=not args.video_only,
             attempt_video_loading=not args.image_only,
         )
-        if src is None and err:
-            errors.append(err)
+        if src is None:
+            # Every factory failure is a read error even when the
+            # message is empty (silently-undecodable file): the
+            # reference sets kImageReadError on any null Create result
+            # and only *queues* non-empty messages (timg.cc:960-963).
+            load_failed = True
+            if err:
+                errors.append(err)
         return src
 
     loaded = [pool.submit(load, f) for f in filelist]
@@ -519,7 +527,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.stop_trace()
         print(f"JAX profile written to {profile_dir}", file=sys.stderr)
 
-    if successful == 0 or errors:
+    if successful == 0 or errors or load_failed:
         exit_code = EXIT_IMAGE_READ_ERROR
     for err in errors[:4]:
         print(err, file=sys.stderr)

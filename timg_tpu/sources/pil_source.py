@@ -35,6 +35,14 @@ def _to_rgba(img) -> np.ndarray:
     reference byte-for-byte."""
     if getattr(img, "format", None) == "BMP" and img.mode == "RGB" \
             and getattr(img, "tile", None):
+        # The rewire mutates img.tile and the Pillow-internal _mode
+        # before the lazy load; roll both back on any failure so the
+        # convert() fallback below never re-loads a poisoned tile
+        # (Pillow releases where mode is not backed by _mode would
+        # otherwise raise outside this try).
+        orig_tile = list(img.tile)
+        had_mode_attr = "_mode" in vars(img)
+        orig_mode_attr = getattr(img, "_mode", None)
         try:
             decoder, extents, offset, args = img.tile[0]
             if decoder == "raw" and args and args[0] == "BGRX":
@@ -46,7 +54,11 @@ def _to_rgba(img) -> np.ndarray:
                     arr[..., 3] = 255    # stb: all-zero alpha -> opaque
                 return arr
         except Exception:  # pragma: no cover - fall back to convert()
-            pass
+            img.tile = orig_tile
+            if had_mode_attr:
+                img._mode = orig_mode_attr
+            elif "_mode" in vars(img):
+                del img._mode
     if img.mode in ("I", "I;16", "I;16L", "I;16B", "I;16N"):
         arr = np.asarray(img, dtype=np.int64)
         # I;16* is always 16-bit; bare "I" is a 32-bit container that

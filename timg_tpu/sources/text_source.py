@@ -18,7 +18,8 @@ import numpy as np
 
 from timg_tpu.geometry import calc_scale_to_fit
 from timg_tpu.options import DisplayOptions
-from timg_tpu.sources.base import ImageSource, PreprocessedFrame
+from timg_tpu.sources.base import PreprocessedFrame
+from timg_tpu.sources.pil_source import PILSource
 
 _TEXT_SUFFIXES = (".txt", ".text", ".log")
 _MAX_LINES = 400
@@ -26,7 +27,11 @@ _MAX_COLS = 120
 _MARGIN = 8
 
 
-class TextSource(ImageSource):
+class TextSource(PILSource):
+    """Subclasses PILSource for its send_frames: --scroll pans the
+    rendered page exactly like any other single-frame image (the
+    reference's TXT pages go through GraphicsMagickSource::SendFrames,
+    which owns Scroll(), gm-source.cc:288-291)."""
     def __init__(self, filename: str):
         super().__init__(filename)
         self.decoder_name = "text"
