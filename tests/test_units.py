@@ -357,6 +357,87 @@ class TestExifJpeg:
         assert (src.orig_width, src.orig_height) == (640, 320)
 
 
+class TestIcoMultiImage:
+    """Multi-resolution .ico containers show every contained image,
+    stacked and independently scaled, never as an animation (ref
+    graphics-magick-source.cc:193-214 blacklist + per-image loop)."""
+
+    def _opts(self, center=False):
+        from timg_tpu.options import DisplayOptions
+
+        opts = DisplayOptions()
+        opts.width, opts.height = 80, 48
+        opts.cell_x_px = opts.cell_y_px = 2
+        opts.center_horizontally = center
+        opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+        return opts
+
+    def _ico(self, tmp_path, sizes=((16, 16), (32, 32), (64, 64))):
+        from PIL import Image
+
+        p = tmp_path / "multi.ico"
+        Image.new("RGB", (64, 64), (200, 30, 30)).save(
+            p, format="ICO", sizes=list(sizes))
+        return str(p)
+
+    def test_every_contained_image_shown(self, tmp_path):
+        from timg_tpu.render.sequencer import SeqType
+        from timg_tpu.sources.pil_source import PILSource
+
+        src = PILSource(self._ico(tmp_path))
+        assert src.load_and_scale(self._opts(), 0, -1)
+        assert len(src.frames) == 3 and src.multi_image
+        assert not src.is_animation_before_frame_limit()
+        # each image scaled to fit independently -> distinct sizes
+        assert len({f.frame.shape for f in src.frames}) == 3
+        sent = []
+        src.send_frames(1e9, -1, lambda: False,
+                        lambda *a: sent.append(a))
+        # immediate stacked frames: dy stays 0, no animation seq types
+        assert len(sent) == 3
+        assert all(a[1] == 0 and a[3] == SeqType.FRAME_IMMEDIATE
+                   for a in sent)
+
+    def test_frame_offset_and_count(self, tmp_path):
+        from timg_tpu.sources.pil_source import PILSource
+
+        path = self._ico(tmp_path)
+        src = PILSource(path)
+        assert src.load_and_scale(self._opts(), 1, -1)
+        assert len(src.frames) == 2  # offset drops the first image
+        # offset beyond the end keeps the last image (gm-source.cc:221)
+        src = PILSource(path)
+        assert src.load_and_scale(self._opts(), 99, -1)
+        assert len(src.frames) == 1
+        # count truncates before the offset erase (gm-source.cc:204-207)
+        src = PILSource(path)
+        assert src.load_and_scale(self._opts(), 0, 2)
+        assert len(src.frames) == 2 and src.max_frames == 2
+
+    def test_per_frame_centering(self, tmp_path):
+        from timg_tpu.sources.pil_source import PILSource
+
+        src = PILSource(self._ico(tmp_path))
+        assert src.load_and_scale(self._opts(center=True), 0, -1)
+        indents = [f.indentation for f in src.frames]
+        # different widths -> different centering indents per frame
+        assert len(set(indents)) > 1
+        sent = []
+        src.send_frames(1e9, -1, lambda: False,
+                        lambda *a: sent.append(a[0]))
+        assert sent == indents
+
+    def test_cli_end_to_end(self, tmp_path):
+        from tests.test_golden import run_ours
+
+        path = self._ico(tmp_path)
+        out = run_ours(["-g40x20", "-pq", "-b", "black",
+                        "--debug-no-frame-delay"], [path])
+        single = run_ours(["-g40x20", "-pq", "-b", "black",
+                           "--debug-no-frame-delay", "--frames=1"], [path])
+        assert out and single and len(out) > len(single)
+
+
 class TestTextSource:
     """Plain-text rendering (role of the full-GM reference's TXT coder;
     the minimal stb build errors on .txt)."""

@@ -25,10 +25,15 @@ FrameSink = Callable[[int, int, np.ndarray, SeqType, float], None]
 @dataclass
 class PreprocessedFrame:
     """A device-processed RGBA frame ready for emission
-    (ref stb-image-source.cc:42-68)."""
+    (ref stb-image-source.cc:42-68).
+
+    ``indentation`` overrides the source-level centering indent for
+    sources whose frames have different widths (multi-image .ico: the
+    reference centers per frame, gm-source.cc:310 IndentationIfCentered)."""
 
     frame: np.ndarray  # [H, W, 4] uint8
     delay_ms: float = 0.0
+    indentation: Optional[int] = None
 
 
 class ImageSource:
@@ -40,6 +45,10 @@ class ImageSource:
         self.indentation = 0
         self.max_frames = 0
         self.decoder_name = "image"
+        # Multiple independent images in one container (.ico) -- shown
+        # stacked as immediate frames, never looped as an animation
+        # (ref gm-source.cc:193-214 could_be_animation blacklist).
+        self.multi_image = False
 
     # -- interface --
     def load_and_scale(self, options: DisplayOptions, frame_offset: int,
@@ -47,7 +56,7 @@ class ImageSource:
         raise NotImplementedError
 
     def is_animation_before_frame_limit(self) -> bool:
-        return len(self.frames) > 1
+        return len(self.frames) > 1 and not self.multi_image
 
     def format_title(self, fmt: str) -> str:
         return format_from_parameters(
@@ -59,7 +68,7 @@ class ImageSource:
         """Stream frames with animation timing
         (ref stb-image-source.cc:172-207)."""
         last_height = -1
-        is_animation = len(self.frames) > 1
+        is_animation = len(self.frames) > 1 and not self.multi_image
         if not is_animation:
             loops = 1
         loop_forever = loops < 0 or loops == NOT_INITIALIZED
@@ -74,7 +83,8 @@ class ImageSource:
                     break
                 frame = self.frames[f]
                 time_from_first_frame += frame.delay_ms
-                dx = self.indentation
+                dx = (frame.indentation if frame.indentation is not None
+                      else self.indentation)
                 dy = -last_height if (is_animation and last_height > 0) else 0
                 if is_animation:
                     seq = (SeqType.START_OF_ANIMATION if is_first

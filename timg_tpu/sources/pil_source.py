@@ -72,6 +72,29 @@ def _to_rgba(img) -> np.ndarray:
     return np.asarray(img.convert("RGBA"))
 
 
+def _ico_contained_images(img) -> list:
+    """All images inside a .ico container, in file order.
+
+    The reference's GM build reads an .ico as multiple independent
+    images and shows every one (graphics-magick-source.cc:193-200
+    blacklists .ico from animation treatment, so each renders as its
+    own immediate frame).  Pillow sorts its entry table by size, so
+    container order is recovered through the stored entry offsets."""
+    ico = getattr(img, "ico", None)
+    if ico is None:
+        return []
+    try:
+        entries = ico.entry
+
+        def offset(e):
+            return e.offset if hasattr(e, "offset") else e["offset"]
+
+        order = sorted(range(len(entries)), key=lambda i: offset(entries[i]))
+        return [ico.frame(i) for i in order]
+    except Exception:
+        return []
+
+
 class PILSource(ImageSource):
     def __init__(self, filename: str):
         super().__init__(filename)
@@ -99,6 +122,12 @@ class PILSource(ImageSource):
             img = Image.open(io.BytesIO(sys.stdin.buffer.read()))
         else:
             img = Image.open(self.filename)
+
+        if img.format == "ICO":
+            contained = _ico_contained_images(img)
+            if len(contained) > 1:
+                return self._load_multi_images(
+                    contained, options, frame_offset, frame_count)
 
         raw_frames: List[np.ndarray] = []
         delays: List[float] = []
@@ -187,6 +216,44 @@ class PILSource(ImageSource):
             len(self.frames) if frame_count < 0
             else min(frame_count, len(self.frames))
         )
+        self._options = options
+        return bool(self.frames)
+
+    def _load_multi_images(self, images, options: DisplayOptions,
+                           frame_offset: int, frame_count: int) -> bool:
+        """Multi-image container (.ico): every contained image shown
+        stacked, each scaled to fit independently, never treated as an
+        animation (ref graphics-magick-source.cc:193-214; per-image
+        trim/scale loop :225-267; per-frame centering :310)."""
+        raw = [_to_rgba(im) for im in images]
+        self.orig_width = raw[0].shape[1]
+        self.orig_height = raw[0].shape[0]
+        # Frame range like the reference: truncate to offset+count,
+        # then drop the offset clamped to keep at least the last image
+        # (gm-source.cc:204-207, 220-223).
+        if frame_count > 0 and frame_offset + frame_count < len(raw):
+            raw = raw[:frame_offset + frame_count]
+        if frame_offset > 0:
+            raw = raw[min(frame_offset, len(raw) - 1):]
+
+        from timg_tpu.ops.autocrop import auto_crop
+        self.frames = []
+        for arr in raw:
+            if options.auto_crop:
+                arr = auto_crop(arr, options.crop_border)
+            tw, th, _ = calc_scale_to_fit(arr.shape[1], arr.shape[0], options)
+            processed = _process_frames([arr], tw, th, options)[0]
+            indent = (int((options.width - tw) / 2)
+                      if options.center_horizontally else 0)
+            # delay: GM images without a delay attribute get the
+            # <1-centisecond -> 100 ms rule (gm-source.cc:79-82); it
+            # only feeds the duration cutoff for immediate frames.
+            self.frames.append(PreprocessedFrame(
+                frame=processed, delay_ms=100.0, indentation=indent))
+        self.multi_image = True
+        self.max_frames = (
+            len(self.frames) if frame_count < 0
+            else min(frame_count, len(self.frames)))
         self._options = options
         return bool(self.frames)
 
