@@ -129,7 +129,7 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         """Pooled C sixel assembly of one batch (the CLI architecture:
         per-frame assembly futures in the compression pool, thread-local
         output buffers reused across frames)."""
-        from timg_tpu.render.sixel_render import _tls_buffers
+        from timg_tpu.render.sixel_render import _tls_buffer
 
         pitch = planes_host.strides[1]
         n_bands = (OUT_H + 5) // 6
@@ -137,10 +137,10 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
 
         def one(i):
             frame = planes_host[i]
-            buf, scratch = _tls_buffers(cap, OUT_W)
+            buf = _tls_buffer(cap)
             n = lib.timg_sixel_encode(frame.ctypes.data, OUT_H, OUT_W,
                                       pitch, palette.ctypes.data,
-                                      len(palette), buf, scratch)
+                                      len(palette), buf)
             return ctypes.string_at(buf, n)
         for fut in [pool_exec.submit(one, i) for i in range(E2E_BATCH)]:
             devnull.write(fut.result())

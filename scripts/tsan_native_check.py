@@ -40,10 +40,9 @@ def main() -> int:
             r.integers(0, 256, (256, 3), dtype=np.uint8))
         buf = ctypes.create_string_buffer((h // 6 + 1) * 256 * (w + 12)
                                           + 256 * 20 + 256)
-        scratch = ctypes.create_string_buffer(w)
         for _ in range(50):
-            n = lib.timg_sixel_encode(idx.ctypes.data, h, w,
-                                      pal.ctypes.data, 256, buf, scratch)
+            n = lib.timg_sixel_encode(idx.ctypes.data, h, w, w,
+                                      pal.ctypes.data, 256, buf)
             if n <= 0:
                 errors.append("sixel encode failed")
 

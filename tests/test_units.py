@@ -5,6 +5,7 @@ from __future__ import annotations
 import io
 import os
 import struct
+import threading
 import time
 import zlib
 
@@ -192,6 +193,43 @@ class TestSequencer:
         elapsed = time.monotonic() - start
         assert elapsed >= 0.055  # at least ~2 frame delays honored
 
+    def test_broken_pipe_does_not_deadlock(self):
+        """`timg ... | head` closes the read end mid-stream: os.write
+        raises where the reference's write() returns -1 and its loop
+        just stops (buffered-write-sequencer.cc:58-68). The writer
+        thread must survive, keep draining past the 4-slot bound, and
+        shutdown() must return (regression: it deadlocked)."""
+        from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+        r, w = os.pipe()
+        os.close(r)  # every write now raises BrokenPipeError
+        seq = BufferedWriteSequencer(w, debug_no_frame_delay=True)
+        for i in range(12):  # 3x the queue bound
+            seq.write_buffer(b"x" * 64, SeqType.FRAME_IMMEDIATE)
+        done = threading.Event()
+        threading.Thread(target=lambda: (seq.shutdown(), done.set()),
+                         daemon=True).start()
+        assert done.wait(timeout=10.0), "shutdown() deadlocked"
+        os.close(w)
+
+    def test_failed_encode_future_is_dropped(self, tmp_path):
+        """An exception inside an async encode future must drop that
+        frame, not kill the writer thread."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
+
+        out = tmp_path / "z"
+        fd = os.open(out, os.O_WRONLY | os.O_CREAT, 0o644)
+        seq = BufferedWriteSequencer(fd, debug_no_frame_delay=True)
+        with ThreadPoolExecutor(1) as pool:
+            boom = pool.submit(lambda: (_ for _ in ()).throw(RuntimeError()))
+            seq.write_buffer(boom, SeqType.FRAME_IMMEDIATE)
+            seq.write_buffer(b"after", SeqType.FRAME_IMMEDIATE)
+            seq.shutdown()
+        os.close(fd)
+        assert out.read_bytes() == b"after"
+
     def test_control_write_after_interrupt(self, tmp_path):
         from timg_tpu.render.sequencer import BufferedWriteSequencer, SeqType
 
@@ -231,6 +269,55 @@ class TestNativeEmitter:
                 want = canvas._emit_frame_py(glyph, fg, bg, eq, indent=3)
                 got = _emit_frame_native(lib, glyph, fg, bg, eq, 3, use_256)
                 assert got == want, (use_256, trial)
+
+
+class TestPrimedDiffMasks:
+    """The device-computed window diff masks must actually reach the
+    canvas: its validity gate is an identity check on the prev-frame
+    plane, so the cache must store ONE view object per row (regression:
+    two separate `batch[i]` indexing expressions are distinct objects
+    and silently disabled every cached mask on the video hot path)."""
+
+    def _prime(self):
+        from timg_tpu.options import DisplayOptions
+        from timg_tpu.render.plane_cache import (BLOCK_PLANES,
+                                                 prime_block_planes)
+
+        rng = np.random.default_rng(5)
+        f0 = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+        f1 = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+        opts = DisplayOptions()
+        opts.cell_x_px = opts.cell_y_px = 2
+        prime_block_planes([f0, f1], opts)
+        return BLOCK_PLANES, f0, f1
+
+    def test_prev_slot_is_the_same_object(self):
+        cache, f0, f1 = self._prime()
+        e0, e1 = cache.pop(f0), cache.pop(f1)
+        assert e1[4] is e0[0]       # the identity ansi.py checks
+        assert e1[5] is not None    # a mask was computed for frame 1
+
+    def test_cached_mask_is_consumed_not_recomputed(self):
+        from timg_tpu.render.ansi import UnicodeBlockCanvas
+        from timg_tpu.render.sequencer import SeqType
+
+        cache, f0, f1 = self._prime()
+        # Poison frame 1's mask to all-equal: if the canvas consumes the
+        # cached mask it emits an empty diff; if it recomputes on host
+        # (frames differ everywhere) it emits a full frame.
+        e1 = cache.pop(f1)
+        cache.put(f1, e1[:5] + (np.ones_like(np.asarray(e1[5]), bool),))
+
+        writes = []
+
+        class FakeSeq:
+            def write_buffer(self, data, *a, **k):
+                writes.append(bytes(data))
+
+        canvas = UnicodeBlockCanvas(FakeSeq(), use_quarter=True)
+        canvas.send(0, 0, f0, SeqType.START_OF_ANIMATION)
+        canvas.send(0, -8, f1, SeqType.ANIMATION_FRAME)
+        assert writes[-1] == b""
 
 
 class TestOpenSlideSource:
@@ -281,29 +368,27 @@ class TestOpenSlideSource:
 
 
 class TestTlsBuffers:
-    """Thread-local C-assembler buffer reuse (sixel_render._tls_buffers)."""
+    """Thread-local C-assembler buffer reuse (sixel_render._tls_buffer)."""
 
     def test_reuse_and_growth(self):
         import ctypes
 
-        from timg_tpu.render.sixel_render import _tls_buffers
+        from timg_tpu.render.sixel_render import _tls_buffer
 
-        b1, s1 = _tls_buffers(1024, 64)
-        b2, s2 = _tls_buffers(512, 32)     # smaller: same objects back
-        assert b1 is b2 and s1 is s2
-        b3, _ = _tls_buffers(ctypes.sizeof(b1) + 1, 16)  # grows
+        b1 = _tls_buffer(1024)
+        b2 = _tls_buffer(512)     # smaller: same object back
+        assert b1 is b2
+        b3 = _tls_buffer(ctypes.sizeof(b1) + 1)  # grows
         assert ctypes.sizeof(b3) > ctypes.sizeof(b1)
 
     def test_threads_are_isolated(self):
-        import threading
+        from timg_tpu.render.sixel_render import _tls_buffer
 
-        from timg_tpu.render.sixel_render import _tls_buffers
-
-        main_buf, _ = _tls_buffers(2048, 8)
+        main_buf = _tls_buffer(2048)
         seen = {}
 
         def worker():
-            seen["buf"], _ = _tls_buffers(2048, 8)
+            seen["buf"] = _tls_buffer(2048)
 
         t = threading.Thread(target=worker)
         t.start()

@@ -86,7 +86,7 @@ def _open_and_bind() -> Optional[ctypes.CDLL]:
     lib.timg_sixel_encode.restype = ctypes.c_long
     lib.timg_sixel_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
     if hasattr(lib, "timg_png_sub_filter"):  # absent in older .so
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

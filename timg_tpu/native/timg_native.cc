@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstring>
 #include <algorithm>
+#include <mutex>
 #include <thread>
 #include <cstdlib>
 #include <dlfcn.h>
@@ -51,12 +52,16 @@ struct VideoHandle {
     bool draining = false;
 };
 
-// Context converting pixel format `fmt_in` to RGBA at the stream size,
-// cached on the handle and rebuilt on mid-stream format changes.
-// Applies the YUVJ -> YUV range fix (behavior of ref
-// video-source.cc:59-89: deprecated J formats carry full range) and
-// honors an explicit AVCOL_RANGE_JPEG tag on non-J formats.
-SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range) {
+// Context converting pixel format `fmt_in` at `src_w x src_h` to RGBA
+// at the open-time stream size, cached on the handle and rebuilt on
+// mid-stream format OR resolution changes (a new SPS can resize the
+// stream mid-play; output buffers are sized at open, so changed frames
+// are rescaled to the open dims instead of over-reading).  Applies the
+// YUVJ -> YUV range fix (behavior of ref video-source.cc:59-89:
+// deprecated J formats carry full range) and honors an explicit
+// AVCOL_RANGE_JPEG tag on non-J formats.
+SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range,
+                           int src_w, int src_h) {
     AVPixelFormat pix = (AVPixelFormat)fmt_in;
     bool full_range = color_range == AVCOL_RANGE_JPEG;
     switch (pix) {
@@ -67,7 +72,7 @@ SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range) {
     default: break;
     }
     // Returns the existing context unchanged when parameters match.
-    v->sws = sws_getCachedContext(v->sws, v->width, v->height, pix,
+    v->sws = sws_getCachedContext(v->sws, src_w, src_h, pix,
                                   v->width, v->height, AV_PIX_FMT_RGBA,
                                   SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!v->sws) return nullptr;
@@ -85,8 +90,37 @@ SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range) {
 }
 
 bool init_sws(VideoHandle *v) {
-    return sws_for_format(v, v->codec->pix_fmt,
-                          v->codec->color_range) != nullptr;
+    return sws_for_format(v, v->codec->pix_fmt, v->codec->color_range,
+                          v->width, v->height) != nullptr;
+}
+
+// Shared read/drain state machine (ref video-source.cc:313-365),
+// identical for the RGBA and raw-plane read paths.  Returns
+// avcodec_receive_frame's status: 0 = decoded frame in v->frame,
+// AVERROR_EOF = end of stream, other negative = error.
+int decode_next_frame(VideoHandle *v) {
+    for (;;) {
+        int ret = avcodec_receive_frame(v->codec, v->frame);
+        if (ret != AVERROR(EAGAIN)) return ret;  // frame, EOF, or error
+        if (v->draining) return AVERROR_EOF;
+
+        // feed more packets
+        for (;;) {
+            ret = av_read_frame(v->format, v->packet);
+            if (ret < 0) {
+                v->draining = true;
+                avcodec_send_packet(v->codec, nullptr);  // start drain
+                break;
+            }
+            if (v->packet->stream_index == v->stream_index) {
+                ret = avcodec_send_packet(v->codec, v->packet);
+                av_packet_unref(v->packet);
+                if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+                break;
+            }
+            av_packet_unref(v->packet);
+        }
+    }
 }
 
 }  // namespace
@@ -100,10 +134,7 @@ extern "C" {
 // demuxer so `timg-tpu /dev/video0` opens like any input), silently
 // absent otherwise -- the same graceful degradation as a build
 // without the define.  Returns 1 when device capture is available.
-static int register_avdevice() {
-    static int available = -1;
-    if (available >= 0) return available;
-    available = 0;
+static int probe_avdevice() {
     const char *names[] = {"libavdevice.so.61", "libavdevice.so.60",
                            "libavdevice.so.59", "libavdevice.so.58",
                            "libavdevice.so"};
@@ -113,23 +144,31 @@ static int register_avdevice() {
         void (*reg)() = (void (*)())dlsym(lib, "avdevice_register_all");
         if (reg) {
             reg();
-            available = 1;
+            return 1;
         }
         break;
     }
+    return 0;
+}
+
+static int register_avdevice() {
+    // Magic static: thread-safe one-time probe (the CLI's loader pool
+    // opens several videos concurrently through ctypes without the GIL).
+    static const int available = probe_avdevice();
     return available;
 }
 
 int timg_video_device_capture_available() { return register_avdevice(); }
 
 void *timg_video_open(const char *filename) {
-    static bool initialized = false;
-    if (!initialized) {
+    // One-time global libav init, safe under concurrent opens from the
+    // CLI's loader pool (a plain static bool was a data race).
+    static std::once_flag init_once;
+    std::call_once(init_once, [] {
         register_avdevice();
         avformat_network_init();
         av_log_set_callback(dummy_log);
-        initialized = true;
-    }
+    });
     VideoHandle *v = new VideoHandle();
     if (avformat_open_input(&v->format, filename, nullptr, nullptr) != 0) {
         delete v;
@@ -194,45 +233,25 @@ void timg_video_info(void *handle, int *width, int *height, double *fps) {
 // (behavior of ref video-source.cc:313-365).
 int timg_video_read_frame(void *handle, uint8_t *rgba_out) {
     VideoHandle *v = (VideoHandle *)handle;
-    for (;;) {
-        int ret = avcodec_receive_frame(v->codec, v->frame);
-        if (ret == 0) {
-            // keyed on the actual frame format: a mid-stream pixel
-            // format change must not feed the old context
-            SwsContext *sws = sws_for_format(v, v->frame->format,
-                                             v->frame->color_range);
-            if (!sws) {
-                av_frame_unref(v->frame);
-                return -1;
-            }
-            uint8_t *dst[1] = {rgba_out};
-            int dst_stride[1] = {v->width * 4};
-            sws_scale(sws, v->frame->data, v->frame->linesize, 0,
-                      v->height, dst, dst_stride);
-            av_frame_unref(v->frame);
-            return 1;
-        }
-        if (ret == AVERROR_EOF) return 0;
-        if (ret != AVERROR(EAGAIN)) return -1;
-        if (v->draining) return 0;
-
-        // feed more packets
-        for (;;) {
-            ret = av_read_frame(v->format, v->packet);
-            if (ret < 0) {
-                v->draining = true;
-                avcodec_send_packet(v->codec, nullptr);  // start drain
-                break;
-            }
-            if (v->packet->stream_index == v->stream_index) {
-                ret = avcodec_send_packet(v->codec, v->packet);
-                av_packet_unref(v->packet);
-                if (ret < 0 && ret != AVERROR(EAGAIN)) return -1;
-                break;
-            }
-            av_packet_unref(v->packet);
-        }
+    int ret = decode_next_frame(v);
+    if (ret == AVERROR_EOF) return 0;
+    if (ret < 0) return -1;
+    // Keyed on the actual frame format AND dimensions: a mid-stream
+    // pixel-format or resolution change (new SPS) must not feed the
+    // old context or read past the decoded frame's buffers.
+    SwsContext *sws =
+        sws_for_format(v, v->frame->format, v->frame->color_range,
+                       v->frame->width, v->frame->height);
+    if (!sws) {
+        av_frame_unref(v->frame);
+        return -1;
     }
+    uint8_t *dst[1] = {rgba_out};
+    int dst_stride[1] = {v->width * 4};
+    sws_scale(sws, v->frame->data, v->frame->linesize, 0, v->frame->height,
+              dst, dst_stride);
+    av_frame_unref(v->frame);
+    return 1;
 }
 
 // Pixel-format info for the raw-plane fast path.  Bit 0: the decoded
@@ -264,65 +283,46 @@ int timg_video_pix_info(void *handle) {
 int timg_video_read_frame_yuv(void *handle, uint8_t *y_out, uint8_t *u_out,
                               uint8_t *v_out, uint8_t *rgba_fallback) {
     VideoHandle *v = (VideoHandle *)handle;
-    for (;;) {
-        int ret = avcodec_receive_frame(v->codec, v->frame);
-        if (ret == 0) {
-            const int fmt = v->frame->format;
-            if (fmt == AV_PIX_FMT_YUV420P || fmt == AV_PIX_FMT_YUVJ420P) {
-                const int w = v->width, h = v->height;
-                const int cw = (w + 1) / 2, ch = (h + 1) / 2;
-                for (int r = 0; r < h; ++r)
-                    memcpy(y_out + (size_t)r * w,
-                           v->frame->data[0] + (size_t)r * v->frame->linesize[0],
-                           w);
-                for (int r = 0; r < ch; ++r) {
-                    memcpy(u_out + (size_t)r * cw,
-                           v->frame->data[1] + (size_t)r * v->frame->linesize[1],
-                           cw);
-                    memcpy(v_out + (size_t)r * cw,
-                           v->frame->data[2] + (size_t)r * v->frame->linesize[2],
-                           cw);
-                }
-                av_frame_unref(v->frame);
-                return 1;
-            }
-            // Mid-stream format change: the stream opened as 4:2:0 but
-            // this frame is something else -- convert via the shared
-            // helper, which rebuilds the cached context keyed on the
-            // actual frame format incl. the J/range handling.
-            SwsContext *sws = sws_for_format(v, fmt,
-                                             v->frame->color_range);
-            if (!sws) {
-                av_frame_unref(v->frame);
-                return -1;
-            }
-            uint8_t *dst[1] = {rgba_fallback};
-            int dst_stride[1] = {v->width * 4};
-            sws_scale(sws, v->frame->data, v->frame->linesize, 0,
-                      v->height, dst, dst_stride);
-            av_frame_unref(v->frame);
-            return 2;
+    int ret = decode_next_frame(v);
+    if (ret == AVERROR_EOF) return 0;
+    if (ret < 0) return -1;
+    const int fmt = v->frame->format;
+    if ((fmt == AV_PIX_FMT_YUV420P || fmt == AV_PIX_FMT_YUVJ420P) &&
+        v->frame->width == v->width && v->frame->height == v->height) {
+        const int w = v->width, h = v->height;
+        const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+        for (int r = 0; r < h; ++r)
+            memcpy(y_out + (size_t)r * w,
+                   v->frame->data[0] + (size_t)r * v->frame->linesize[0],
+                   w);
+        for (int r = 0; r < ch; ++r) {
+            memcpy(u_out + (size_t)r * cw,
+                   v->frame->data[1] + (size_t)r * v->frame->linesize[1],
+                   cw);
+            memcpy(v_out + (size_t)r * cw,
+                   v->frame->data[2] + (size_t)r * v->frame->linesize[2],
+                   cw);
         }
-        if (ret == AVERROR_EOF) return 0;
-        if (ret != AVERROR(EAGAIN)) return -1;
-        if (v->draining) return 0;
-
-        for (;;) {
-            ret = av_read_frame(v->format, v->packet);
-            if (ret < 0) {
-                v->draining = true;
-                avcodec_send_packet(v->codec, nullptr);  // start drain
-                break;
-            }
-            if (v->packet->stream_index == v->stream_index) {
-                ret = avcodec_send_packet(v->codec, v->packet);
-                av_packet_unref(v->packet);
-                if (ret < 0 && ret != AVERROR(EAGAIN)) return -1;
-                break;
-            }
-            av_packet_unref(v->packet);
-        }
+        av_frame_unref(v->frame);
+        return 1;
     }
+    // Mid-stream change: the stream opened as 4:2:0 but this frame is
+    // a different format OR a different resolution (new SPS) -- the
+    // raw copy above would read past the decoded buffers.  Convert and
+    // rescale via the shared helper, keyed on the actual frame format
+    // and dims incl. the J/range handling.
+    SwsContext *sws = sws_for_format(v, fmt, v->frame->color_range,
+                                     v->frame->width, v->frame->height);
+    if (!sws) {
+        av_frame_unref(v->frame);
+        return -1;
+    }
+    uint8_t *dst[1] = {rgba_fallback};
+    int dst_stride[1] = {v->width * 4};
+    sws_scale(sws, v->frame->data, v->frame->linesize, 0, v->frame->height,
+              dst, dst_stride);
+    av_frame_unref(v->frame);
+    return 2;
 }
 
 // Rewind for looping (ref video-source.cc:302-307).
@@ -485,10 +485,10 @@ inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
 // indices: uint8[h x w] rows at ``pitch`` bytes apart (pitch >= w:
 // device kernels emit 128-aligned padded planes; passing the pitch
 // avoids a host repack). palette: uint8[n*3]. out must hold a
-// generous upper bound (~h*w*4 + n*16 + 64). Returns bytes written.
+// generous upper bound (~h*w*4 + n*16 + 64). Returns bytes written,
+// -1 on allocation failure.
 long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
-                       const uint8_t *palette, int n_colors, char *out,
-                       uint8_t *scratch /* w bytes */) {
+                       const uint8_t *palette, int n_colors, char *out) {
     char *pos = out;
     pos += sprintf(pos, "\033Pq\"1;1;%d;%d", w, h);
     for (int i = 0; i < n_colors; ++i) {
@@ -504,8 +504,20 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
     }
     const int n_bands = (h + 5) / 6;
     // Per-band scatter: one pass over the band fills the per-color
-    // column bitmasks, then runs are emitted per present color.
-    uint8_t *masks = (uint8_t *)calloc(256, (size_t)w);
+    // column bitmasks, then runs are emitted per present color.  The
+    // arena lives per thread (compression-pool workers encode frames
+    // concurrently) and stays zeroed between calls: every used color
+    // slice is re-zeroed after its runs are emitted, so only a growth
+    // reallocation pays the zeroing cost -- not every video frame.
+    static thread_local uint8_t *masks = nullptr;
+    static thread_local size_t masks_cap = 0;
+    const size_t masks_need = 256 * (size_t)w;
+    if (masks_cap < masks_need) {
+        free(masks);
+        masks = (uint8_t *)calloc(1, masks_need);
+        masks_cap = masks ? masks_need : 0;
+        if (!masks) return -1;
+    }
     bool color_present[256];
     for (int band = 0; band < n_bands; ++band) {
         const int y0 = band * 6;
@@ -531,7 +543,6 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
         }
         if (band != n_bands - 1) *pos++ = '-';
     }
-    free(masks);
     *pos++ = '\033';
     *pos++ = '\\';
     return pos - out;

@@ -48,9 +48,9 @@ def _emit_frame_native(lib, glyph, fg, bg, eq, indent: int,
          if eq is not None else None)
     cap = hcells * (wcells * 48 + 24) + 64
     # thread-local reuse: zeroing a fresh buffer every frame is
-    # measurable at video rate (see sixel_render._tls_buffers)
-    from timg_tpu.render.sixel_render import _tls_buffers
-    buf, _ = _tls_buffers(cap, 1)
+    # measurable at video rate (see sixel_render._tls_buffer)
+    from timg_tpu.render.sixel_render import _tls_buffer
+    buf = _tls_buffer(cap)
     n = lib.timg_ansi_emit(
         g.ctypes.data, f.ctypes.data, b.ctypes.data,
         e.ctypes.data if e is not None else None,

@@ -165,7 +165,14 @@ def prime_block_planes(frames: list, options) -> None:
             eq_batch = np.asarray(window_cell_diff(batch, options.cell_x_px))
         eqs += list(eq_batch)
 
-    prev = [None] + [batch[i] for i in range(len(frames) - 1)]
+    # One view object per row, shared between frame i's "padded" slot
+    # and frame i+1's "prev" slot: the canvas validates the cached diff
+    # mask with an identity check (`cached_prev is self._prev_padded`,
+    # ansi.py), and numpy basic indexing creates a NEW view object each
+    # time -- two separate `batch[i]` expressions would never compare
+    # identical and the device-computed masks would be dead weight.
+    views = [batch[i] for i in range(len(frames))]
+    prev = [None] + views[:-1]
     for i, frame in enumerate(frames):
         BLOCK_PLANES.put(
-            frame, (batch[i], glyph[i], fg[i], bg[i], prev[i], eqs[i]))
+            frame, (views[i], glyph[i], fg[i], bg[i], prev[i], eqs[i]))

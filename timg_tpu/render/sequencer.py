@@ -78,7 +78,14 @@ class BufferedWriteSequencer:
                     return
                 block, seq_type, end_of_frame_ms = item
                 if isinstance(block, Future):
-                    block = block.result()
+                    try:
+                        block = block.result()
+                    except Exception:
+                        # A failed async encode must not kill the
+                        # writer thread: the bounded queue would then
+                        # deadlock every producer.  Drop the frame and
+                        # keep draining.
+                        continue
                 if block is None:  # flush sentinel
                     continue
 
@@ -125,10 +132,19 @@ class BufferedWriteSequencer:
 
 
 def _reliable_write(fd: int, buffer: bytes) -> None:
-    """Partial-write retry loop (ref buffered-write-sequencer.cc:58-68)."""
+    """Partial-write retry loop (ref buffered-write-sequencer.cc:58-68).
+
+    The reference's loop silently stops on write() <= 0; Python's
+    os.write raises instead (e.g. BrokenPipeError when the reader of a
+    `timg ... | head` pipe exits).  Match the C semantics: stop writing
+    but keep the writer thread alive so the queue keeps draining and
+    shutdown() completes instead of deadlocking."""
     view = memoryview(buffer)
     while view:
-        written = os.write(fd, view)
+        try:
+            written = os.write(fd, view)
+        except OSError:
+            return
         if written <= 0:
             return
         view = view[written:]

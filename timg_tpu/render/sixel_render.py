@@ -27,13 +27,14 @@ CSI = b"\033["
 _tls = None
 
 
-def _tls_buffers(cap: int, w: int):
-    """Thread-local (buf, scratch) for the C assembler, grown on
+def _tls_buffer(cap: int):
+    """Thread-local output buffer for the C assembler, grown on
     demand.  The capacity bound is the no-runs worst case (~tens of MB
     at video sizes); ctypes.create_string_buffer zeroes its memory, so
     allocating per frame would cost more than the assembly itself
     (~40 MB memset vs ~10 ms of encoding at 720p).  Compression-pool
-    threads each keep their own pair."""
+    threads each keep their own buffer (the C side keeps its mask
+    arena thread-local too)."""
     import ctypes
     import threading
 
@@ -44,11 +45,7 @@ def _tls_buffers(cap: int, w: int):
     if buf is None or ctypes.sizeof(buf) < cap:
         buf = ctypes.create_string_buffer(cap)
         _tls.buf = buf
-    scratch = getattr(_tls, "scratch", None)
-    if scratch is None or ctypes.sizeof(scratch) < w:
-        scratch = ctypes.create_string_buffer(w)
-        _tls.scratch = scratch
-    return buf, scratch
+    return buf
 
 
 def _pct(v: int) -> int:
@@ -77,10 +74,11 @@ def encode_sixel_stream(indices: np.ndarray, palette: np.ndarray) -> bytes:
         # worst case: every color present in every band with no runs
         n_bands = (h + 5) // 6
         cap = n_bands * len(pal) * (w + 12) + len(pal) * 20 + 256
-        buf, scratch = _tls_buffers(cap, w)
+        buf = _tls_buffer(cap)
         n = lib.timg_sixel_encode(idx.ctypes.data, h, w, pitch,
-                                  pal.ctypes.data, len(pal), buf,
-                                  scratch)
+                                  pal.ctypes.data, len(pal), buf)
+        if n < 0:
+            return encode_sixel_stream_py(indices, palette)
         return ctypes.string_at(buf, n)
     return encode_sixel_stream_py(indices, palette)
 
