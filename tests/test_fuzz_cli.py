@@ -43,6 +43,10 @@ def media(tmp_path_factory):
     txt = str(tmp / "d.txt")
     with open(txt, "w") as f:
         f.write("fuzz text\nsecond line\n")
+    ico = str(tmp / "f.ico")
+    Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
+                    "RGB").save(ico, format="ICO",
+                                sizes=[(16, 16), (32, 32), (48, 48)])
     y4m = str(tmp / "e.y4m")
     with open(y4m, "wb") as f:
         f.write(b"YUV4MPEG2 W32 H24 F25:1 Ip A1:1 C420jpeg\n")
@@ -51,7 +55,7 @@ def media(tmp_path_factory):
             f.write(rng.integers(0, 256, (24, 32), dtype=np.uint8).tobytes())
             f.write(rng.integers(0, 256, (12, 16), dtype=np.uint8).tobytes())
             f.write(rng.integers(0, 256, (12, 16), dtype=np.uint8).tobytes())
-    return [img1, gif, txt, y4m]
+    return [img1, gif, txt, y4m, ico]
 
 
 def test_cli_flag_combination_sweep(media, tmp_path):
