@@ -115,6 +115,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--color8", action="store_true")
     p.add_argument("--version", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    # `-v` sits in the reference's optstring (timg.cc:523) but no
+    # switch case handles it: accepted and silently ignored.
+    p.add_argument("-v", action="store_true", dest="_v_ignored",
+                   help=argparse.SUPPRESS)
     p.add_argument("-h", dest="short_help", action="store_true")
     p.add_argument("--help", dest="long_help", action="store_true")
     p.add_argument("--scroll", nargs="?", const=-1, type=int, default=None)
