@@ -105,12 +105,26 @@ def test_cell_size_query():
 
 
 def test_sixel_quirk_env(monkeypatch):
+    """TIMG_SIXEL_NEWLINE_WORKAROUND seeds the INITIAL quirk values
+    (ref term-query.cc:229-231) -- terminal detection can still turn
+    quirks on afterwards (:310-316)."""
     from timg_tpu import term
 
     monkeypatch.setenv("TIMG_SIXEL_NEWLINE_WORKAROUND", "3")
-    monkeypatch.setenv("TERM", "mlterm")
+    monkeypatch.setenv("TERM", "xterm-256color")
+    monkeypatch.delenv("TERM_PROGRAM", raising=False)
+    monkeypatch.setattr(term, "query_terminal", lambda *a, **k: b"")
     info = term.query_supported_graphics_protocol()
-    assert info.preferred_graphics == "sixel"
+    assert info.sixel.known_broken_cursor_placement
+    assert info.sixel.full_cell_jump
+
+    # An explicit 0 must not veto detection: WindowsTerminal still
+    # gets both quirks from its CSI >q response.
+    monkeypatch.setenv("TIMG_SIXEL_NEWLINE_WORKAROUND", "0")
+    monkeypatch.setattr(
+        term, "query_terminal",
+        lambda *a, **k: b"\033P>|WindowsTerminal\033\\\033[0n")
+    info = term.query_supported_graphics_protocol()
     assert info.sixel.known_broken_cursor_placement
     assert info.sixel.full_cell_jump
 
@@ -189,22 +203,25 @@ def test_da1_sixel_fallback_without_xterm_version():
     assert not info.sixel.known_broken_cursor_placement
 
 
-def test_xterm_quirk_applies_with_env_sixel_hint():
-    """TERM=xterm-sixel sets the protocol from the env, but the XTerm
-    version response must still flag the cursor-placement quirk (the
-    reference sets it unconditionally in the >q handler,
-    ref term-query.cc:300-303)."""
+def test_xterm_quirk_applies_with_da1_sixel():
+    """An XTerm version response flags the cursor-placement quirk
+    unconditionally (ref term-query.cc:300-303) while the protocol
+    stays undecided until the DA1 ';4' capability probe answers
+    (ref :320-343).  (There is no TERM=xterm-sixel env hint: the
+    reference only trusts very specific env values, :239-260.)"""
     from timg_tpu import term
 
     def responder(buf):
         if b"\033[>q" in buf:
             return b"\033P>|XTerm(370)\033\\\033[0n"
+        if b"\033[c" in buf:
+            return b"\033[?63;4;22c"
         return b""
 
     env_backup = {k: os.environ.pop(k, None)
                   for k in ("TERM", "TERM_PROGRAM", "TMUX")}
     try:
-        os.environ["TERM"] = "xterm-sixel"
+        os.environ["TERM"] = "xterm-256color"
         info = _run_with_pty(responder,
                              term.query_supported_graphics_protocol)
     finally:

@@ -100,10 +100,16 @@ EXIT CODES
 
 
 def invoke_help_pager() -> int:
-    pager = os.environ.get("PAGER", "less")
+    # Shell expansion like the reference's popen("${PAGER:-less}")
+    # (ref timg-help.cc:41): PAGER values with arguments ("less -FRX")
+    # must work.  A pager the shell can't find exits 127; dump the
+    # manpage plainly then.
+    pager = os.environ.get("PAGER") or "less"
     try:
-        proc = subprocess.Popen([pager], stdin=subprocess.PIPE)
+        proc = subprocess.Popen(pager, shell=True, stdin=subprocess.PIPE)
         proc.communicate(MANPAGE.encode())
+        if proc.returncode == 127:
+            sys.stdout.write(MANPAGE)
     except (OSError, BrokenPipeError):
         sys.stdout.write(MANPAGE)
     return 0

@@ -87,12 +87,14 @@ def _create_id() -> int:
 
 
 def _enable_tmux_passthrough() -> None:
-    """ref kitty-canvas.cc:83-111."""
+    """ref kitty-canvas.cc:83-111.  The reference's system() returns a
+    waitstatus, so a tmux exiting 1 gives 256 and its `case 1` branch
+    never matches an exit code: in practice ANY failure lands in the
+    default branch, which stays silent unless $TMUX is set (a host
+    without tmux, or a dead inherited session, must not spam stderr)."""
     ret = subprocess.call(
         "tmux set -p allow-passthrough on > /dev/null 2>&1", shell=True)
-    if ret == 1:
-        print("Can't set passthrough; need tmux >= 3.3.", file=sys.stderr)
-    elif ret != 0 and os.environ.get("TMUX"):
+    if ret != 0 and os.environ.get("TMUX"):
         print(f"Can't set passthrough, tmux set exit-code={ret}",
               file=sys.stderr)
 

@@ -63,9 +63,15 @@ def _find_tty_fd() -> Optional[int]:
 
 
 def query_terminal(query: bytes, timeout_s: float,
-                   terminator: bytes = b"") -> bytes:
+                   response_found=None) -> bytes:
     """Raw-mode escape-sequence round trip with deadline
-    (ref term-query.cc:77-153)."""
+    (ref term-query.cc:77-153).
+
+    ``response_found`` is the reference's incremental-parse callback:
+    called with the accumulated buffer after every read; truthy return
+    ends the read early.  Reads otherwise continue to the deadline (the
+    terminal 'types' its answer, so spurious user keystrokes can arrive
+    interleaved and must not truncate detection)."""
     fd = _find_tty_fd()
     if fd is None:
         return b""
@@ -75,7 +81,17 @@ def query_terminal(query: bytes, timeout_s: float,
         return b""
     buf = b""
     try:
-        tty.setraw(fd, termios.TCSANOW)
+        # The reference's raw mode (term-query.cc:99-106): VMIN/VTIME 0,
+        # iflag cleared, ICANON|ECHO off -- but OPOST and ISIG stay ON,
+        # unlike tty.setraw's full cfmakeraw: the query may run
+        # concurrently with frame output (the async OSC 11 bg query),
+        # which must not staircase, and Ctrl-C must keep working.
+        raw = termios.tcgetattr(fd)
+        raw[0] = 0                                   # c_iflag
+        raw[3] &= ~(termios.ICANON | termios.ECHO)   # c_lflag
+        raw[6][termios.VMIN] = 0
+        raw[6][termios.VTIME] = 0
+        termios.tcsetattr(fd, termios.TCSANOW, raw)
         os.write(fd, query)
         import time
         deadline = time.monotonic() + timeout_s
@@ -90,10 +106,13 @@ def query_terminal(query: bytes, timeout_s: float,
             if not chunk:
                 break
             buf += chunk
-            if terminator and terminator in buf:
+            if response_found is not None and response_found(buf):
                 break
     finally:
-        termios.tcsetattr(fd, termios.TCSANOW, old)
+        # TCSAFLUSH like the reference's clean_up_terminal (:40-45):
+        # drop reply bytes that arrive after the deadline instead of
+        # leaking them to the shell prompt or into the image stream.
+        termios.tcsetattr(fd, termios.TCSAFLUSH, old)
     return buf
 
 
@@ -117,7 +136,9 @@ def determine_term_size() -> TermSizeResult:
         result.font_height_px = ypixel // rows
     else:
         # Fallback: cell size query CSI 16t, 50ms budget (ref :347-366).
-        resp = query_terminal(b"\033[16t", 0.05, b"t")
+        resp = query_terminal(
+            b"\033[16t", 0.05,
+            lambda b: re.search(rb"\033\[6;\d+;\d+t", b))
         m = re.search(rb"\033\[6;(\d+);(\d+)t", resp)
         if m:
             result.font_height_px = int(m.group(1))
@@ -126,8 +147,16 @@ def determine_term_size() -> TermSizeResult:
 
 
 def query_background_color() -> Optional[str]:
-    """OSC 11 background query; 1.5s budget (ref term-query.cc:165-224)."""
-    resp = query_terminal(b"\033]11;?\033\\", 1.5, b"\\")
+    """OSC 11 background query; 1.5s budget (ref term-query.cc:165-224).
+
+    The finder mirrors the reference's (:201-206): done once "rgb:"
+    has appeared AND a terminating backslash follows it -- a lone
+    user-typed backslash before the response must not end the read."""
+    def found(buf: bytes) -> bool:
+        i = buf.find(b"rgb:")
+        return i >= 0 and buf.find(b"\\", i) >= 0
+
+    resp = query_terminal(b"\033]11;?\033\\", 1.5, found)
     m = re.search(
         rb"\033\]11;rgb:([0-9a-fA-F]+)/([0-9a-fA-F]+)/([0-9a-fA-F]+)", resp)
     if not m:
@@ -151,67 +180,75 @@ def query_supported_graphics_protocol() -> GraphicsInfo:
     info = GraphicsInfo()
     term = os.environ.get("TERM", "")
     term_program = os.environ.get("TERM_PROGRAM", "")
+    # Quirk env override seeds the INITIAL values (ref :229-231);
+    # terminal detection below can still turn the quirks on.
+    quirk = get_int_env("TIMG_SIXEL_NEWLINE_WORKAROUND", 0)
+    info.sixel.known_broken_cursor_placement = bool(quirk & 1)
+    info.sixel.full_cell_jump = bool(quirk & 2)
     # Deviation from the reference (documented): the reference learns
     # about tmux ONLY from the CSI >q response (ref :308), so output
     # redirected to a file while inside tmux misses the passthrough
     # wrapping.  The TMUX / TERM env guess is a strictly-additive
     # signal that keeps `timg-tpu -o file` + `cat` working in tmux.
-    info.in_tmux = bool(os.environ.get("TMUX")) or term.startswith(("screen", "tmux"))
+    # (TERM=screen* alone is NOT a signal: that is GNU screen, which
+    # has no passthrough -- tmux sets $TMUX and/or TERM=tmux-*.)
+    info.in_tmux = bool(os.environ.get("TMUX")) or term.startswith("tmux")
 
-    # Environment-variable hints first (ref :239-260).
-    if "kitty" in term or "ghostty" in term:
+    # Environment-variable hints, exact matches only (ref :239-260:
+    # "Only testing environment variables with very specific content").
+    if term in ("xterm-kitty", "xterm-ghostty"):
         info.preferred_graphics = "kitty"
-    elif term_program in ("iTerm.app", "WezTerm", "WarpTerminal"):
-        info.preferred_graphics = "iterm2"
-    elif term_program == "vscode":
+        # Fall through: still have to determine if we're in tmux.
+    if term_program == "vscode":
         info.preferred_graphics = "iterm2"
         # in case the user chooses sixel (ref :250-254)
         info.sixel.known_broken_cursor_placement = True
-    elif term in ("mlterm", "yaft-256color", "foot", "xterm-sixel"):
-        info.preferred_graphics = "sixel"
+    elif term_program == "WarpTerminal":
+        info.preferred_graphics = "iterm2"
 
     # CSI >q term version query (ref :277-318).  Like the reference,
     # this runs even when an env hint already picked a protocol: the
-    # response is also how a tmux pane is detected ("Fall through, as
-    # we still have to determine if we're in tmux", ref :243), and a
-    # response match overrides the env guess.
-    resp = query_terminal(b"\033[>q\033[5n", 0.25, b"n")
+    # response is also how a tmux pane is detected, and a response
+    # match overrides the env guess.  The read ends on the DSR-5 reply
+    # "CSI 0" (ref :317), never on a mid-response byte.
+    resp = query_terminal(b"\033[>q\033[5n", 0.25,
+                          lambda b: b"\033[0" in b)
     txt = resp.decode("latin-1", "replace")
-    low = txt.lower()
-    if "kitty" in low or "ghostty" in low:
-        info.preferred_graphics = "kitty"
-    elif "iterm2" in low or "konsole 2" in low:
-        info.preferred_graphics = "iterm2"   # ref :283-285
-    elif "wezterm" in low:
+    # Sequential case-sensitive matchers in the reference's order
+    # (ref :283-316): a response naming several terminals resolves
+    # exactly as the reference resolves it.
+    if "iTerm2" in txt or "Konsole 2" in txt:
+        info.preferred_graphics = "iterm2"
+    if "WezTerm" in txt:
         info.preferred_graphics = "iterm2"
         info.sixel.known_broken_cursor_placement = True
-    elif "mlterm" in low:
+    if "kitty" in txt:
+        info.preferred_graphics = "kitty"
+    if "ghostty" in txt:
+        info.preferred_graphics = "kitty"
+    if "mlterm" in txt:
         info.preferred_graphics = "sixel"
-    elif "foot" in low:
-        info.preferred_graphics = "sixel"
-        info.sixel.known_broken_cursor_placement = True
-    if "xterm" in low:
+    if "XTerm" in txt:
         # don't know yet if it supports sixel (DA1 below decides), but
         # the cursor-placement quirk applies regardless (ref :300-303)
         info.sixel.known_broken_cursor_placement = True
-    if "windowsterminal" in low:             # ref :310-316
+    if "foot" in txt:
+        info.preferred_graphics = "sixel"
+        info.sixel.known_broken_cursor_placement = True
+    if "tmux" in txt:
+        info.in_tmux = True
+    if "WindowsTerminal" in txt:             # ref :310-316
         info.sixel.known_broken_cursor_placement = True
         info.sixel.full_cell_jump = True
-    if "tmux" in low:
-        info.in_tmux = True
     # DA1 sixel capability fallback whenever the protocol is still
     # unknown -- the reference probes unconditionally, also covering
     # terminals that answer nothing recognizable to CSI >q
-    # (ref :320-343; the ";4" must follow the "CSI ?" response intro).
+    # (ref :320-343; the ";4" must follow the "CSI ?" response intro;
+    # the read ends once "CSI ?" has appeared, like the reference's
+    # finder).
     if info.preferred_graphics == "none":
-        da1 = query_terminal(b"\033[c", 0.25, b"c")
+        da1 = query_terminal(b"\033[c", 0.25,
+                             lambda b: b"\033[?" in b)
         if re.search(rb"\033\[\?[0-9;]*?;4[;c]", da1):
             info.preferred_graphics = "sixel"
-
-    # Per-terminal sixel quirks and env override
-    # (TIMG_SIXEL_NEWLINE_WORKAROUND 2-bit mask, ref term-query.cc:229-231).
-    quirk = get_int_env("TIMG_SIXEL_NEWLINE_WORKAROUND", -1)
-    if quirk >= 0:
-        info.sixel.known_broken_cursor_placement = bool(quirk & 1)
-        info.sixel.full_cell_jump = bool(quirk & 2)
     return info
