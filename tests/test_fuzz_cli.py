@@ -18,7 +18,7 @@ FLAG_POOL = [
     ["--title"], ["--title=%b %wx%h"], ["-W"], ["--center"], ["-U"],
     ["--upscale=i"], ["--auto-crop"], ["--auto-crop=3"],
     ["--rotate", "exif"], ["--rotate", "off"], ["--frames", "2"],
-    ["--frame-offset", "1"], ["--loops", "2"], ["--compress", "5"],
+    ["--frame-offset", "1"], ["--loops=2"], ["--compress=5"],
     ["--threads", "2"], ["--clear"], ["-F"], ["-E"], ["--fit-width"],
     ["--dither", "cube"], ["--dither", "libsixel"], ["--scroll"],
     ["--delta-move", "2:1"], ["-a"], ["-w", "0"],

@@ -197,3 +197,23 @@ def test_half_upper_block_env(corpus):
         del os.environ["TIMG_USE_UPPER_BLOCK"]
         os.unlink(out)
     assert ref == ours
+
+
+@pytest.mark.parametrize("extra", [
+    ["-U"],                  # plain toggle: must not eat the filename
+    ["--title"],             # bare optional_argument before a filename
+    ["--title", "--title"],  # --title toggles (timg.cc:667-670)
+    ["-U", "-U"],            # -U toggles too (timg.cc:641-650)
+    ["--upscale=i"],
+    ["--auto-crop"],
+    ["--compress"],          # bare --compress means level 1
+    ["--loops"],             # bare --loops: next token stays a filename
+    ["-w", "abc"],           # atof semantics: garbage wait parses as 0
+], ids=lambda e: " ".join(e))
+def test_getopt_optional_argument_semantics(corpus, extra):
+    """getopt optional_argument parity (ref timg.cc:495-519): these
+    flags take a value only when '='-attached; a separate following
+    token is a filename.  Byte-compared against the reference binary
+    parsing the identical argv."""
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black", *extra],
+                  [corpus["noise_64x48.png"]])

@@ -61,6 +61,20 @@ def _parse_pixelation(text: Optional[str]) -> Optional[Pixelation]:
     return _PIXELATION_BY_CHAR.get(text[0].lower())
 
 
+def _atof(text: str) -> float:
+    """C atof: parse a leading float, 0.0 when nothing parses."""
+    import re
+    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", text)
+    return float(m.group(0)) if m else 0.0
+
+
+def _atoi(text: str) -> int:
+    """C atoi: parse a leading integer, 0 when nothing parses."""
+    import re
+    m = re.match(r"\s*[+-]?\d+", text)
+    return int(m.group(0)) if m else 0
+
+
 def _default_thread_count() -> int:
     return max(1, 3 * (os.cpu_count() or 1) // 4)  # ref timg.cc:153-154
 
@@ -85,24 +99,50 @@ def append_to_filelist(filelist_file: str, relative_to_filelist: bool,
     return True
 
 
+#: Marker value for a getopt optional_argument flag given bare.
+_BARE = "\x00"
+
+#: Long flags that are optional_argument in the reference's getopt
+#: table (timg.cc:495-519): they take a value ONLY when attached with
+#: '='; a separate following token is never consumed (it stays a
+#: filename -- `timg --title photo.png` shows photo.png with a title).
+_OPTIONAL_ATTACHED = ("--auto-crop", "--clear", "--compress", "--loops",
+                      "--scroll", "--title", "--upscale")
+
+
+def _getopt_optional_args(argv):
+    """Rewrite bare optional_argument flags to an attached marker so
+    argparse's nargs='?' cannot consume the next positional."""
+    return [a + "=" + _BARE if a in _OPTIONAL_ATTACHED else a
+            for a in argv]
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="timg-tpu", add_help=False,
         description="A TPU-accelerated terminal image and video viewer.")
+    # optional_argument flags collect every occurrence (action=append)
+    # so order-dependent getopt semantics (e.g. --title toggling) work.
+    _opt = dict(nargs="?", const=_BARE, type=str, default=None,
+                action="append")
     p.add_argument("-p", "--pixelation", type=str, default=None)
     p.add_argument("--grid", type=str, default=None)
     p.add_argument("-C", "--center", action="store_true")
-    p.add_argument("--title", nargs="?", const=True, default=None)
+    p.add_argument("--title", **_opt)
     p.add_argument("-f", dest="filelist", action="append", default=[])
     p.add_argument("-F", dest="filelist_rel", action="append", default=[])
     p.add_argument("-b", dest="bg_color", type=str, default="auto")
     p.add_argument("-B", dest="bg_pattern_color", type=str, default=None)
     p.add_argument("--pattern-size", type=int, default=1)
-    p.add_argument("--auto-crop", nargs="?", const=-1, type=int, default=None)
+    p.add_argument("--auto-crop", **_opt)
     p.add_argument("--rotate", type=str, default="exif")
     p.add_argument("-W", "--fit-width", action="store_true")
-    p.add_argument("-U", "--upscale", nargs="?", const=True, default=False)
-    p.add_argument("--clear", nargs="?", const=True, default=None)
+    # -U is a plain no-argument toggle in the reference optstring
+    # (timg.cc:523 'U', :641-650: each occurrence flips upscale);
+    # only --upscale[=i] carries a value.
+    p.add_argument("-U", dest="upscale_short", action="count", default=0)
+    p.add_argument("--upscale", **_opt)
+    p.add_argument("--clear", **_opt)
     p.add_argument("-V", dest="video_only", action="store_true")
     p.add_argument("-I", dest="image_only", action="store_true")
     p.add_argument("-w", dest="wait", type=str, default=None)
@@ -110,7 +150,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", dest="geometry", type=str, default=None)
     p.add_argument("-o", dest="outfile", type=str, default=None)
     p.add_argument("-E", dest="no_hide_cursor", action="store_true")
-    p.add_argument("--compress", nargs="?", const=1, type=int, default=None)
+    p.add_argument("--compress", **_opt)
     p.add_argument("--threads", type=int, default=None)
     p.add_argument("--color8", action="store_true")
     p.add_argument("--version", action="store_true")
@@ -121,10 +161,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help=argparse.SUPPRESS)
     p.add_argument("-h", dest="short_help", action="store_true")
     p.add_argument("--help", dest="long_help", action="store_true")
-    p.add_argument("--scroll", nargs="?", const=-1, type=int, default=None)
+    p.add_argument("--scroll", **_opt)
     p.add_argument("-d", "--delta-move", type=str, default=None)
-    p.add_argument("--loops", "-c", nargs="?", const=-1, type=int,
-                   default=NOT_INITIALIZED)
+    # -c is required_argument in the optstring ('c:'); argparse's
+    # nargs='?' consumes the separate token for the short form, which
+    # matches, while the long form is pre-rewritten when bare.
+    p.add_argument("--loops", "-c", **_opt)
     p.add_argument("--frames", type=int, default=NOT_INITIALIZED)
     p.add_argument("--frame-offset", type=int, default=0)
     p.add_argument("-t", dest="duration", type=float, default=None)
@@ -201,7 +243,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     parser = build_arg_parser()
     try:
-        args = parser.parse_args(argv)
+        args = parser.parse_args(_getopt_optional_args(argv))
     except SystemExit:
         return EXIT_PARAMETER_ERROR
 
@@ -246,24 +288,31 @@ def main(argv: Optional[List[str]] = None) -> int:
             return EXIT_PARAMETER_ERROR
 
     if args.wait:
+        # C atof semantics like the reference (timg.cc:536-543):
+        # garbage parses as 0.0 and the run proceeds, never a crash.
         if args.wait.startswith("r"):
-            present.duration_for_row_ms = round(float(args.wait[1:]) * 1000.0)
+            present.duration_for_row_ms = round(_atof(args.wait[1:]) * 1000.0)
         else:
-            present.duration_between_images_ms = round(float(args.wait) * 1000.0)
+            present.duration_between_images_ms = round(
+                _atof(args.wait) * 1000.0)
 
     if args.duration is not None:
         present.duration_per_image_ms = round(args.duration * 1000.0)
 
-    if args.loops != NOT_INITIALIZED:
-        present.loops = args.loops if args.loops is not None else -1
+    if args.loops:
+        # bare --loops defaults to loop forever (ref timg.cc:555-558)
+        v = args.loops[-1]
+        present.loops = -1 if v == _BARE else _atoi(v)
 
-    if args.clear is not None:
-        if args.clear is True:
+    for v in args.clear or ():
+        if v == _BARE:
             present.clear_screen = ClearScreen.BEFORE_FIRST_IMAGE
-        elif "every".startswith(str(args.clear).lower()):
+        elif len(v) <= 5 and "every".startswith(v.lower()):
+            # prefix-insensitive match like the reference's
+            # strncasecmp(optarg, "every", optlen) (timg.cc:560-563)
             present.clear_screen = ClearScreen.BEFORE_EACH_IMAGE
         else:
-            print(f"Parameter for --clear can be 'every', got {args.clear}",
+            print(f"Parameter for --clear can be 'every', got {v}",
                   file=sys.stderr)
             return EXIT_PARAMETER_ERROR
 
@@ -272,10 +321,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     display.antialias = not args.no_antialias
     bg_color = args.bg_color
     display.pattern_size = args.pattern_size
-    if args.scroll is not None:
+    if args.scroll:
         display.scroll_animation = True
-        if args.scroll >= 0:  # ref timg.cc:583-588: delay only if given
-            display.scroll_delay_ms = float(args.scroll)
+        for v in args.scroll:
+            if v != _BARE:  # ref timg.cc:583-588: delay only if given
+                display.scroll_delay_ms = float(_atoi(v))
     if args.delta_move:
         parts = args.delta_move.split(":")
         try:
@@ -286,14 +336,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"--delta-move={args.delta_move}: invalid", file=sys.stderr)
             return EXIT_PARAMETER_ERROR
     display.center_horizontally = args.center
-    if args.upscale:
-        display.upscale = True
-        if isinstance(args.upscale, str) and args.upscale.lower().startswith("i"):
-            display.upscale_integer = True
-    if args.auto_crop is not None:
+    # Every -U / --upscale occurrence TOGGLES upscale (ref timg.cc:
+    # 641-650); an 'i'-prefixed value additionally selects integer
+    # steps, any other value warns but proceeds.
+    for v in list(args.upscale or []) + [_BARE] * args.upscale_short:
+        display.upscale = not display.upscale
+        if v != _BARE:
+            if v[:1].lower() == "i":
+                display.upscale_integer = True
+            else:
+                print("Invalid parameter to --upscale", file=sys.stderr)
+    if args.auto_crop:
         display.auto_crop = True
-        if args.auto_crop >= 0:
-            display.crop_border = args.auto_crop
+        for v in args.auto_crop:
+            if v != _BARE:  # ref timg.cc:652-657: atoi verbatim
+                display.crop_border = _atoi(v)
     display.exif_rotate = args.rotate.lower() != "off"
     if args.rotate.lower() not in ("exif", "off"):
         print(f"--rotate={args.rotate}: expected 'exif' or 'off'",
@@ -309,10 +366,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"Invalid grid spec '{args.grid}'", file=sys.stderr)
             return EXIT_PARAMETER_ERROR
 
-    if args.title is not None:
-        display.show_title = True
-        if isinstance(args.title, str):
-            display.title_format = args.title
+    # Every --title occurrence TOGGLES the title (ref timg.cc:667-670);
+    # a value also sets the format.
+    for v in args.title or ():
+        display.show_title = not display.show_title
+        if v != _BARE:
+            display.title_format = v
 
     try:
         output_fd = sys.stdout.fileno()
@@ -334,10 +393,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"Unknown --pixelation/-p parameter '{args.pixelation}'",
                   file=sys.stderr)
 
-    if args.compress is not None:
-        level = args.compress
+    for v in args.compress or ():
+        level = 1 if v == _BARE else _atoi(v)
         # out-of-range silently falls back to 1, exactly like the
-        # reference (ref timg.cc:696-698)
+        # reference (ref timg.cc:694-701; bare --compress means 1)
         display.compress_pixel_level = level if 0 <= level <= 9 else 1
     present.use_256_color = args.color8
     present.hide_cursor = not args.no_hide_cursor
@@ -398,11 +457,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if bg_color.lower() == "none":
         display.local_alpha_handling = False  # ref timg.cc:818-820
 
-    stretch_correct = (
-        1.0 if is_pixel_direct(present.pixelation)
-        else 0.5 * tsize.font_height_px / tsize.font_width_px
-        if tsize.font_width_px > 0 and tsize.font_height_px > 0 else 1.0
-    )
+    if is_pixel_direct(present.pixelation):
+        stretch_correct = 1.0
+    else:
+        # Plain C float math like the reference (timg.cc:825-828);
+        # the unknown-cell-size case yields 0.5*(-2)/(-1) = 1.0 via
+        # the TermSizeResult defaults (term-query.h:29-30).
+        fw, fh = tsize.font_width_px, tsize.font_height_px
+        stretch_correct = 0.5 * fh / fw if fw != 0 else float("inf")
     display.width_stretch = utils.get_float_env(
         "TIMG_FONT_WIDTH_CORRECT", stretch_correct)
 

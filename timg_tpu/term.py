@@ -31,12 +31,16 @@ def enable_query_logging(on: bool) -> None:
 
 @dataclass
 class TermSizeResult:
-    """ref term-query.h / term-query.cc:369-406."""
+    """ref term-query.h / term-query.cc:369-406.
+
+    The font defaults are the reference's exact trick (term-query.h:
+    29-30): negative when unavailable, but -2/-1 keeps the 1:2 cell
+    ratio so the width-stretch formula 0.5*h/w still yields 1.0."""
 
     cols: int = -1
     rows: int = -1
     font_width_px: int = -1
-    font_height_px: int = -1
+    font_height_px: int = -2
 
 
 @dataclass
