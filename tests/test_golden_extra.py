@@ -147,6 +147,47 @@ def test_exit_code_mixed_good_and_undecodable(tmp_path, corpus):
     assert rc == 1
 
 
+def test_error_summary_at_exactly_four(tmp_path, capsys):
+    """The reference prints '... total of N errors' already when its
+    show-budget of 4 is exhausted, i.e. at exactly 4 (timg.cc:993-999)."""
+    from timg_tpu.cli import main
+
+    missing = [str(tmp_path / f"nope{i}.png") for i in range(4)]
+    rc = main(["--debug-no-frame-delay", "-g20x10", "-o", "/dev/null",
+               *missing])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "total of 4 errors" in err
+    # three errors: all shown, no summary line
+    rc = main(["--debug-no-frame-delay", "-g20x10", "-o", "/dev/null",
+               *missing[:3]])
+    assert rc == 1
+    assert "total of" not in capsys.readouterr().err
+
+
+def test_cell_size_warning_for_animation(tmp_path, capsys, corpus):
+    """Unknown cell size + pixel protocol + animation: the reference
+    warns at the end of the run (timg.cc:742-767, 1105-1116)."""
+    from PIL import Image
+
+    from timg_tpu.cli import main
+
+    gif = tmp_path / "a.gif"
+    frames = [Image.new("RGB", (16, 12), (i * 60, 0, 0)) for i in range(3)]
+    frames[0].save(gif, save_all=True, append_images=frames[1:],
+                   duration=30, loop=0)
+    rc = main(["--debug-no-frame-delay", "-g20x10", "-pk", "-b", "black",
+               "--loops=1", "-o", "/dev/null", str(gif)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Terminal does not support pixel size query" in err
+    assert "kitty graphics" in err
+    # still image: no warning
+    main(["--debug-no-frame-delay", "-g20x10", "-pk", "-b", "black",
+          "-o", "/dev/null", corpus["noise_64x48.png"]])
+    assert "pixel size query" not in capsys.readouterr().err
+
+
 def test_exit_code_bad_geometry():
     from timg_tpu.cli import main
 

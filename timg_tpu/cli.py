@@ -75,6 +75,17 @@ def _atoi(text: str) -> int:
     return int(m.group(0)) if m else 0
 
 
+def _pixelation_name(p: Pixelation) -> str:
+    """ref timg.cc:412-424 PixelationToString."""
+    return {
+        Pixelation.HALF_BLOCK: "half block",
+        Pixelation.QUARTER_BLOCK: "quarter block",
+        Pixelation.KITTY: "kitty graphics",
+        Pixelation.ITERM2: "iterm2 graphics",
+        Pixelation.SIXEL: "sixel graphics",
+    }.get(p, "(none)")
+
+
 def _default_thread_count() -> int:
     return max(1, 3 * (os.cpu_count() or 1) // 4)  # ref timg.cc:153-154
 
@@ -424,7 +435,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         (tsize.font_width_px < 0 or tsize.font_height_px < 0)
         and is_pixel_direct(present.pixelation)
     )
+    cell_size_warning_needed = False
     if cell_size_unknown_in_pixel_mode:  # ref timg.cc:742-767
+        cell_size_warning_needed = present.grid_cols > 1
         max_frames = 1
         display.cell_x_px = 9
         display.cell_y_px = 18
@@ -585,7 +598,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.start_trace(profile_dir)
 
     start_show = time.monotonic()
-    successful = _present_images(loaded, display, present, sequencer)
+    successful, any_animations = _present_images(
+        loaded, display, present, sequencer)
     duration = time.monotonic() - start_show
     sequencer.shutdown()
 
@@ -593,11 +607,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.stop_trace()
         print(f"JAX profile written to {profile_dir}", file=sys.stderr)
 
-    if successful == 0 or errors or load_failed:
+    if cell_size_unknown_in_pixel_mode \
+            and (cell_size_warning_needed or any_animations):
+        # ref timg.cc:1105-1116, verbatim message
+        print(
+            "Terminal does not support pixel size query, "
+            f"but with {_pixelation_name(present.pixelation)} this is "
+            "needed to show animations or columns.\n"
+            "File an issue with your terminal implementation to implement "
+            "ws_xpixel, ws_ypixel on TIOCGWINSZ or \"\\033[16t\" query.\n"
+            "Can't show animations or have columns in grid.\n(Suggestion: "
+            "switch back to --pixelation=quarter for now)",
+            file=sys.stderr)
+
+    # Only factory failures set the read-error code (ref timg.cc:962):
+    # an early Ctrl-C with zero images presented still exits 0.
+    if errors or load_failed:
         exit_code = EXIT_IMAGE_READ_ERROR
     for err in errors[:4]:
         print(err, file=sys.stderr)
-    if len(errors) > 4:
+    if len(errors) >= 4:
+        # the reference prints the summary once its show-budget of 4
+        # is exhausted, i.e. already at exactly 4 (timg.cc:993-999)
         print(f"... total of {len(errors)} errors", file=sys.stderr)
 
     if interrupt_received:
@@ -614,8 +645,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
-def _present_images(loaded, display, present, sequencer) -> int:
-    """ref timg.cc:311-396."""
+def _present_images(loaded, display, present, sequencer):
+    """ref timg.cc:311-396.  Returns (valid_images, any_animations):
+    the animation flag feeds the end-of-run cell-size warning
+    (ref timg.cc:384, :1105-1116)."""
     from timg_tpu.render.renderer import Renderer
 
     canvas = _make_canvas(sequencer, display, present)
@@ -625,6 +658,7 @@ def _present_images(loaded, display, present, sequencer) -> int:
 
     is_first = True
     valid = 0
+    any_animations = False
     for future in loaded:
         if interrupt_received:
             break
@@ -632,6 +666,7 @@ def _present_images(loaded, display, present, sequencer) -> int:
         if source is None:
             continue
         valid += 1
+        any_animations |= source.is_animation_before_frame_limit()
         signal.signal(signal.SIGINT, _interrupt_handler)
         signal.signal(signal.SIGTERM, _interrupt_handler)
         if present.hide_cursor:
@@ -653,7 +688,7 @@ def _present_images(loaded, display, present, sequencer) -> int:
     renderer.finish()
     canvas.close()
     sequencer.flush()
-    return valid
+    return valid, any_animations
 
 
 def _make_canvas(sequencer, display, present):

@@ -71,8 +71,22 @@ def _load() -> Optional[Tuple[ctypes.CDLL, ctypes.CDLL]]:
     cairo.cairo_surface_flush.argtypes = [ctypes.c_void_p]
     cairo.cairo_destroy.argtypes = [ctypes.c_void_p]
     cairo.cairo_surface_destroy.argtypes = [ctypes.c_void_p]
+    # GObject unref to free parsed handles (the reference unrefs after
+    # rendering, svg-image-source.cc:122); librsvg links gobject, so
+    # the symbol resolves through the rsvg handle.
+    try:
+        rsvg.g_object_unref.argtypes = [ctypes.c_void_p]
+        _ = rsvg.g_object_unref
+    except AttributeError:
+        rsvg.g_object_unref = None  # type: ignore[attr-defined]
     _libs = (rsvg, cairo)
     return _libs
+
+
+def _unref(rsvg, handle) -> None:
+    fn = getattr(rsvg, "g_object_unref", None)
+    if fn is not None and handle:
+        fn(handle)
 
 
 def render_svg(filename: str, width: int, height: int,
@@ -91,6 +105,9 @@ def render_svg(filename: str, width: int, height: int,
     if not handle:
         return None
     iw, ih = intrinsic or (width, height)
+    if iw <= 0 or ih <= 0:
+        _unref(rsvg, handle)
+        return None
     with _render_lock:
         surface = cairo.cairo_image_surface_create(
             _CAIRO_FORMAT_ARGB32, width, height)
@@ -105,11 +122,13 @@ def render_svg(filename: str, width: int, height: int,
         if not ok or not data:
             cairo.cairo_destroy(cr)
             cairo.cairo_surface_destroy(surface)
+            _unref(rsvg, handle)
             return None
         raw = np.ctypeslib.as_array(data, shape=(height, stride))
         buf = raw[:, : width * 4].reshape(height, width, 4).copy()
         cairo.cairo_destroy(cr)
         cairo.cairo_surface_destroy(surface)
+        _unref(rsvg, handle)
 
     # Cairo ARGB32 is premultiplied BGRA (little endian). Un-premultiply
     # and reorder to RGBA.
@@ -132,8 +151,13 @@ def svg_intrinsic_size(filename: str) -> Optional[Tuple[int, int]]:
         return None
     w = ctypes.c_double()
     h = ctypes.c_double()
-    if not rsvg.rsvg_handle_get_intrinsic_size_in_pixels(
-            handle, ctypes.byref(w), ctypes.byref(h)) or w.value <= 0:
+    got = rsvg.rsvg_handle_get_intrinsic_size_in_pixels(
+        handle, ctypes.byref(w), ctypes.byref(h))
+    _unref(rsvg, handle)
+    # Suspicious dimensions on EITHER axis take the fallback, like the
+    # reference's guard (svg-image-source.cc:78-83) -- a 0 height would
+    # otherwise divide by zero in render_svg.
+    if not got or w.value <= 0 or h.value <= 0:
         return (512, 512)  # fallback like viewbox-less SVGs
     return (int(round(w.value)), int(round(h.value)))
 
