@@ -210,7 +210,7 @@ def resize_video_words_pallas(words: jax.Array, out_h: int, out_w: int,
         num_scalar_prefetch=1,
         grid=(b, kq),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),         # words in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # words in HBM
             pl.BlockSpec((rt, 128, win_v), lambda j, q, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win_w, 256), lambda j, q, s: (q, 0, 0),
@@ -357,7 +357,7 @@ def resize_video_words_pallas_tiled(words: jax.Array, out_h: int,
         num_scalar_prefetch=2,
         grid=(b, kq, rt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 128, win_v), lambda j, q, r, sw, sv:
                          (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win_w, 256), lambda j, q, r, sw, sv:
