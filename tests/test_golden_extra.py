@@ -241,3 +241,20 @@ def test_bmp_alpha_parity(corpus):
                    "-b", "black"], [corpus["alpha_40x30.bmp"]])
     assert_parity(["--debug-no-frame-delay", "-g40x20", "-pq",
                    "-b", "#204060"], [corpus["alpha_40x30.bmp"]])
+
+
+def test_stb_longtail_formats_parity(tmp_path):
+    """TGA / binary PNM decode byte-identically to the reference's stb
+    fallback (stb_image.h tga/pnm loaders); lossless raw formats, so
+    PIL and stb must agree exactly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+    files = []
+    for name, img, mode in [("t.tga", a, "RGB"), ("t.ppm", a, "RGB"),
+                            ("t.pgm", a[:, :, 0], "L")]:
+        p = str(tmp_path / name)
+        Image.fromarray(img, mode).save(p)
+        files.append(p)
+    assert_parity([*BASE, "-g40x20", "-pq", "-b", "black"], files)

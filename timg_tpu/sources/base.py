@@ -172,8 +172,12 @@ def create_source(
         # OpenSlide first, like the reference factory priority
         # (ref image-source.cc:161-221)
         from timg_tpu.sources.openslide_source import OpenSlideSource
+        from timg_tpu.sources.hdr_source import HDRSource
         candidates.append(OpenSlideSource)
         candidates.append(QOISource)
+        # HDR fills part of the reference's stb-fallback role
+        # (stb_image.h hdr loader); signature-gated, cheap to probe.
+        candidates.append(HDRSource)
         candidates.append(SVGSource)
         candidates.append(PDFSource)
         candidates.append(PILSource)
