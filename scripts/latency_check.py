@@ -94,7 +94,8 @@ def main() -> int:
     else:
         out["numpy_path_error"] = err
 
-    times, err = measure([os.path.join(REPO, "timg-tpu"), *args], base_env,
+    tpu_env = dict(base_env, TIMG_TPU_FORCE_DEVICE="1")
+    times, err = measure([os.path.join(REPO, "timg-tpu"), *args], tpu_env,
                          warmup=2)
     if times:
         out["tpu_warm_cache_ms"] = {

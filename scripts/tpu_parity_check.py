@@ -46,6 +46,10 @@ def main() -> int:
               "alpha_80x100.png"]
     env = {k: v for k, v in os.environ.items() if not k.startswith("TIMG_")}
 
+    # the point of this check is the DEVICE path: disable the one-shot
+    # host-routing heuristic (ops/backend.py prefer_host)
+    os.environ["TIMG_TPU_FORCE_DEVICE"] = "1"
+
     from timg_tpu.cli import main as cli_main
 
     failures = 0

@@ -586,3 +586,80 @@ class TestTextSource:
                         lambda: False,
                         lambda *a: sent.append(a))
         assert len(sent) > 1  # panning frames, not one static page
+
+
+class TestSixelNumpyMirror:
+    """ops/sixel_np.py wavefront mirrors are bit-identical to the jax
+    scan formulation (which the Pallas TPU kernels are in turn asserted
+    bit-identical to), and the one-shot routing heuristic behaves."""
+
+    def test_cube_mirror_matches_scan(self):
+        import numpy as np
+
+        from timg_tpu.ops import sixel as sixel_op
+        from timg_tpu.ops import sixel_np
+
+        rng = np.random.default_rng(1)
+        for (b, h, w) in [(1, 30, 40), (2, 17, 23), (3, 7, 5)]:
+            fb = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+            assert np.array_equal(np.asarray(sixel_op.fs_dither_cube(fb)),
+                                  sixel_np.fs_dither_cube_np(fb))
+
+    def test_tree_mirror_matches_scan(self):
+        import numpy as np
+
+        from timg_tpu.ops import sixel as sixel_op
+        from timg_tpu.ops import sixel_np
+
+        rng = np.random.default_rng(2)
+        fb = rng.integers(0, 256, (2, 24, 31, 3), dtype=np.uint8)
+        _, levels, leaves = sixel_np.median_cut_tree(fb[0])
+        assert np.array_equal(
+            np.asarray(sixel_op.fs_dither_tree(fb, levels, leaves)),
+            sixel_np.fs_dither_tree_np(fb, levels, leaves))
+
+    def test_gradient_mirror_matches_scan(self):
+        import numpy as np
+
+        from timg_tpu.ops import sixel as sixel_op
+        from timg_tpu.ops import sixel_np
+
+        gx = np.linspace(0, 255, 80)[None, :].repeat(54, 0)
+        gy = np.linspace(0, 255, 54)[:, None].repeat(80, 1)
+        fb = np.stack([gx, gy, gx[:, ::-1]], -1).astype(np.uint8)[None]
+        assert np.array_equal(np.asarray(sixel_op.fs_dither_cube(fb)),
+                              sixel_np.fs_dither_cube_np(fb))
+
+    def test_prefer_host_heuristic(self, monkeypatch):
+        from timg_tpu.ops.backend import prefer_host
+
+        monkeypatch.delenv("TIMG_TPU_FORCE_DEVICE", raising=False)
+        monkeypatch.delenv("TIMG_TPU_DEVICE_MIN_BATCH", raising=False)
+        assert prefer_host(1)
+        assert prefer_host(63)
+        assert not prefer_host(64)
+        assert not prefer_host(1, sustained=True)
+        monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+        assert not prefer_host(1)
+        monkeypatch.delenv("TIMG_TPU_FORCE_DEVICE")
+        monkeypatch.setenv("TIMG_TPU_DEVICE_MIN_BATCH", "4")
+        assert prefer_host(3)
+        assert not prefer_host(4)
+        monkeypatch.setenv("TIMG_TPU_DEVICE_MIN_BATCH", "junk")
+        assert prefer_host(1)
+
+    def test_trim_bounds_mirror(self):
+        import numpy as np
+
+        from timg_tpu.ops.autocrop import _trim_bounds, _trim_bounds_np
+
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            f = np.zeros((12, 15, 4), np.uint8)
+            y0, y1 = sorted(rng.integers(0, 12, 2))
+            x0, x1 = sorted(rng.integers(0, 15, 2))
+            f[y0:y1 + 1, x0:x1 + 1] = rng.integers(1, 255)
+            dev = tuple(int(v) for v in np.asarray(_trim_bounds(f)))
+            assert dev == _trim_bounds_np(f)
+        uniform = np.full((6, 7, 4), 9, np.uint8)
+        assert _trim_bounds_np(uniform) == (0, 6, 0, 7)

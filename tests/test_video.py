@@ -152,7 +152,7 @@ def test_video_sixel_primed_batch_identical(y4m_file, dither):
 
     import unittest.mock as mock
 
-    from timg_tpu.ops import sixel as sixel_op
+    from timg_tpu.ops import sixel_np as sixel_mirror
 
     def run(batched):
         sent = []
@@ -170,10 +170,13 @@ def test_video_sixel_primed_batch_identical(y4m_file, dither):
         opts.bgcolor_getter = lambda: (0, 0, 0, 255)
         canvas = SixelCanvas(FakeSequencer(), SixelOptions(), opts,
                              dither=dither)
-        name = ("fs_dither_tree" if dither == "adaptive"
-                else "fs_dither_cube")
-        with mock.patch.object(sixel_op, name,
-                               side_effect=getattr(sixel_op, name)) as spy:
+        # On this CPU test backend both paths route to the numpy
+        # wavefront mirrors (ops/backend.py prefer_host/use_numpy).
+        name = ("fs_dither_tree_np" if dither == "adaptive"
+                else "fs_dither_cube_np")
+        with mock.patch.object(sixel_mirror, name,
+                               side_effect=getattr(sixel_mirror,
+                                                   name)) as spy:
             src.send_frames(float("inf"), 1, lambda: False,
                             lambda dx, dy, fb, seq, t: canvas.send(
                                 dx, dy, fb, seq, t))

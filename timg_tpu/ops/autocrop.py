@@ -13,15 +13,26 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+_trim_bounds_jit = None
 
-@jax.jit
-def _trim_bounds(frame: jax.Array) -> jax.Array:
+
+def _trim_bounds(frame):
     """[H, W, 4] uint8 -> int32[4] (y0, y1, x0, x1) exclusive bounds.
-    Keeps everything when the frame is fully uniform."""
+    Keeps everything when the frame is fully uniform.  jax import is
+    lazy: the one-shot host path must not pay it."""
+    global _trim_bounds_jit
+    if _trim_bounds_jit is None:
+        import jax
+
+        _trim_bounds_jit = jax.jit(_trim_bounds_impl)
+    return _trim_bounds_jit(frame)
+
+
+def _trim_bounds_impl(frame):
+    import jax.numpy as jnp
+
     corner = frame[0, 0]
     same = jnp.all(frame == corner, axis=-1)          # [H, W]
     row_keep = ~jnp.all(same, axis=1)                 # [H]
@@ -40,8 +51,29 @@ def _trim_bounds(frame: jax.Array) -> jax.Array:
     return jnp.stack([y0, y1, x0, x1]).astype(jnp.int32)
 
 
+def _trim_bounds_np(frame: np.ndarray) -> Tuple[int, int, int, int]:
+    """Numpy mirror of _trim_bounds (pure integer/boolean reductions,
+    so trivially identical)."""
+    corner = frame[0, 0]
+    same = (frame == corner).all(axis=-1)
+    row_keep = ~same.all(axis=1)
+    col_keep = ~same.all(axis=0)
+    h, w = frame.shape[:2]
+    if not row_keep.any() or not col_keep.any():
+        return 0, h, 0, w
+    (ys,) = np.nonzero(row_keep)
+    (xs,) = np.nonzero(col_keep)
+    return int(ys[0]), int(ys[-1]) + 1, int(xs[0]), int(xs[-1]) + 1
+
+
 def trim_rect(frame: np.ndarray) -> Tuple[int, int, int, int]:
     """Crop rectangle (y0, y1, x0, x1) of the non-uniform-border content."""
+    from timg_tpu.ops.backend import prefer_host, use_numpy
+
+    # per-still one-shot reduction: host unless the device is forced
+    # (a fresh per-shape XLA compile dwarfs the reduction cost)
+    if prefer_host(1) or use_numpy():
+        return _trim_bounds_np(frame)
     y0, y1, x0, x1 = (int(v) for v in np.asarray(_trim_bounds(frame)))
     return y0, y1, x0, x1
 

@@ -260,14 +260,9 @@ def _fs_dither_np(frames_rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
 _CUBE_LEVELS = (6, 7, 6)
 
 
-def cube_palette() -> np.ndarray:
-    """[252, 3] uint8 palette of the 6x7x6 cube."""
-    lr, lg, lb = _CUBE_LEVELS
-    r = np.round(np.arange(lr) * 255.0 / (lr - 1))
-    g = np.round(np.arange(lg) * 255.0 / (lg - 1))
-    b = np.round(np.arange(lb) * 255.0 / (lb - 1))
-    grid = np.stack(np.meshgrid(r, g, b, indexing="ij"), axis=-1)
-    return grid.reshape(-1, 3).astype(np.uint8)
+# cube_palette lives in ops/sixel_np.py (pure numpy, no jax import for
+# the one-shot host path); re-exported here for API continuity.
+from timg_tpu.ops.sixel_np import cube_palette  # noqa: E402,F401
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -321,88 +316,8 @@ def fs_dither_cube(frames_rgb) -> jax.Array:
 TREE_DEPTH = 8
 
 
-def median_cut_tree(pixels: np.ndarray):
-    """Balanced depth-8 median-cut tree quantizer.
-
-    Returns (palette [256,3] u8, levels [8,128] i32, leaves [256] i32):
-    * levels[d, node] packs (axis << 8 | thr): descend left iff
-      round(v[axis]) <= thr;
-    * leaves[node] packs (idx << 24 | r << 16 | g << 8 | b) for the
-      leaf's palette entry.
-    Nodes at level d occupy [0, 2^d) (level tables padded to 128; the
-    last level's 256 nodes live in the leaf table).
-    """
-    flat = np.asarray(pixels).reshape(-1, 3)
-    if len(flat) > _SAMPLE_LIMIT:
-        stride = int(np.ceil(len(flat) / _SAMPLE_LIMIT))
-        flat = flat[::stride]
-    packed = (flat[:, 0].astype(np.int64) << 16 |
-              flat[:, 1].astype(np.int64) << 8 | flat[:, 2])
-    keys, counts = np.unique(packed, return_counts=True)
-    colors = np.stack([(keys >> 16) & 0xFF, (keys >> 8) & 0xFF,
-                       keys & 0xFF], axis=1).astype(np.int64)
-
-    n_leaves = 1 << TREE_DEPTH
-    levels = np.zeros((TREE_DEPTH, 128), np.int32)
-    palette = np.zeros((n_leaves, 3), np.uint8)
-
-    # boxes[node] at the current level: index array into colors
-    boxes = {0: np.arange(len(colors))}
-    for d in range(TREE_DEPTH):
-        nxt = {}
-        for node in range(1 << d):
-            box = boxes.get(node)
-            if box is None or len(box) == 0:
-                # empty: descend everything left into another empty box
-                levels[d, node] = (0 << 8) | 255
-                nxt[node * 2] = box if box is not None else None
-                continue
-            if len(np.unique(colors[box], axis=0)) <= 1:
-                levels[d, node] = (0 << 8) | 255   # all left
-                nxt[node * 2] = box
-                continue
-            spreads = (colors[box].max(axis=0)
-                       - colors[box].min(axis=0)) * _LUM
-            dim = int(np.argmax(spreads))
-            srt = box[np.argsort(colors[box, dim], kind="stable")]
-            csum = np.cumsum(counts[srt])
-            half = csum[-1] / 2.0
-            cut = int(np.searchsorted(csum, half)) + 1
-            cut = min(max(cut, 1), len(srt) - 1)
-            # threshold: descend-left iff value <= colors[srt[cut-1]].
-            # Equal values may straddle the frequency cut; move the cut
-            # to the value boundary so the rule is a pure comparison.
-            thr = int(colors[srt[cut - 1], dim])
-            if int(colors[srt[cut], dim]) == thr:
-                below = colors[srt, dim] <= thr
-                cut2 = int(below.sum())
-                if cut2 >= len(srt):      # all values equal the max
-                    thr -= 1
-                    below = colors[srt, dim] <= thr
-                    cut2 = int(below.sum())
-                cut = cut2
-            levels[d, node] = (dim << 8) | (thr & 0xFF)
-            nxt[node * 2] = srt[:cut]
-            nxt[node * 2 + 1] = srt[cut:]
-        boxes = nxt
-
-    parent_avg = (colors.sum(axis=0) / max(len(colors), 1) + 0.5
-                  ).astype(np.uint8) if len(colors) else np.zeros(3,
-                                                                  np.uint8)
-    for node in range(n_leaves):
-        box = boxes.get(node)
-        if box is None or len(box) == 0:
-            palette[node] = parent_avg
-        else:
-            palette[node] = (colors[box].sum(axis=0) / len(box)
-                             + 0.5).astype(np.uint8)
-    # empty leaves carry the global average color so unused indices
-    # still map to something sane
-    leaves = ((np.arange(n_leaves, dtype=np.int64) << 24)
-              | (palette[:, 0].astype(np.int64) << 16)
-              | (palette[:, 1].astype(np.int64) << 8)
-              | palette[:, 2].astype(np.int64)).astype(np.int32)
-    return palette, levels, leaves
+# median_cut_tree lives in ops/sixel_np.py (pure numpy, jax-free).
+from timg_tpu.ops.sixel_np import median_cut_tree  # noqa: E402,F401
 
 
 def tree_descend_np(rgb: np.ndarray, levels: np.ndarray) -> np.ndarray:

@@ -100,8 +100,9 @@ class UnicodeBlockCanvas(TerminalCanvas):
     def send(self, x: int, dy: int, frame: np.ndarray, seq_type: SeqType,
              end_of_frame_ms: float = 0.0) -> None:
         """frame: [H, W, 4] uint8 numpy array (post resize/compose)."""
-        from timg_tpu.ops.backend import use_numpy
-        if use_numpy():
+        from timg_tpu.ops.backend import prefer_host, use_numpy
+        # single-frame fallback dispatch: one-shot, so host unless forced
+        if prefer_host(1) or use_numpy():
             from timg_tpu.ops import cpu_mirror as blocks_op
             quarter_fn = blocks_op.quarter_blocks_np
             half_fn = blocks_op.half_blocks_np

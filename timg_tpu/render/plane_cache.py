@@ -61,7 +61,8 @@ def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool
     return np.concatenate([frames, empty], axis=1)
 
 
-def prime_sixel_planes(frames: list, options, state: dict) -> None:
+def prime_sixel_planes(frames: list, options, state: dict,
+                       sustained: bool = False) -> None:
     """Batched sixel dither for an animation/video window: one device
     dispatch computes the index planes the canvas would otherwise
     produce frame-by-frame (bit-identical -- same strip padding, same
@@ -74,9 +75,14 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
     mode = getattr(options, "sixel_batch_dither", None)
     if not frames or mode not in ("cube", "adaptive"):
         return
-    import jax
+    from timg_tpu.ops.backend import prefer_host, use_numpy
 
-    from timg_tpu.ops import sixel as sixel_op
+    # One-shot windows (short animations) run the bit-exact numpy
+    # wavefront mirrors; sustained callers (video/scroll: fixed window
+    # geometry reused stream-long) amortize the compile on device.
+    host_mode = prefer_host(len(frames) or use_numpy(), sustained)
+    if not host_mode:
+        import jax
 
     h, w = frames[0].shape[:2]
     padded_h = h + 5 - (h + 5) % 6                 # round up to sixel 6
@@ -91,7 +97,10 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
     quantizer = None
     if mode == "cube":
         palette = None
-        if jax.default_backend() == "tpu":
+        if host_mode:
+            from timg_tpu.ops.sixel_np import fs_dither_cube_np
+            indices = fs_dither_cube_np(batch).astype(np.uint8)
+        elif jax.default_backend() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
             words = jax.numpy.asarray(
                 batch.view(np.int32).reshape(batch.shape[:3]))
@@ -101,15 +110,21 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
             # assembler takes a row pitch, so no repack is needed
             indices = full[:len(frames), :padded_h, :w]
         else:
+            from timg_tpu.ops import sixel as sixel_op
             indices = np.asarray(
                 sixel_op.fs_dither_cube(batch)).astype(np.uint8)
     else:
         quantizer = state.get("quantizer")
         if quantizer is None:
-            quantizer = sixel_op.median_cut_tree(batch[0, ..., :3])
+            from timg_tpu.ops.sixel_np import median_cut_tree
+            quantizer = median_cut_tree(batch[0, ..., :3])
             state["quantizer"] = quantizer
         palette, levels, leaves = quantizer
-        if jax.default_backend() == "tpu":
+        if host_mode:
+            from timg_tpu.ops.sixel_np import fs_dither_tree_np
+            indices = fs_dither_tree_np(
+                batch[..., :3], levels, leaves).astype(np.uint8)
+        elif jax.default_backend() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
             words = jax.numpy.asarray(
                 batch.view(np.int32).reshape(batch.shape[:3]))
@@ -119,6 +134,7 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
                 out_padded=True))
             indices = full[:len(frames), :padded_h, :w]
         else:
+            from timg_tpu.ops import sixel as sixel_op
             indices = np.asarray(sixel_op.fs_dither_tree(
                 batch[..., :3], levels, leaves)).astype(np.uint8)
 
@@ -126,15 +142,16 @@ def prime_sixel_planes(frames: list, options, state: dict) -> None:
         SIXEL_PLANES.put(frame, (indices[i], palette, quantizer))
 
 
-def prime_block_planes(frames: list, options) -> None:
+def prime_block_planes(frames: list, options,
+                       sustained: bool = False) -> None:
     """If the session renders block modes (cell geometry 1x2 / 2x2),
     precompute glyph planes for a frame window in one device dispatch and
     park them for the canvas."""
     if not frames or options.cell_x_px > 2 or options.cell_y_px != 2:
         return
-    from timg_tpu.ops.backend import use_numpy
+    from timg_tpu.ops.backend import prefer_host, use_numpy
 
-    numpy_mode = use_numpy()
+    numpy_mode = prefer_host(len(frames) or use_numpy(), sustained)
     use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK")
     batch = pad_odd_height(np.stack(frames), use_upper)
     if options.cell_x_px == 2 and batch.shape[2] % 2:

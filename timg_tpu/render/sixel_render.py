@@ -281,9 +281,18 @@ class SixelCanvas(TerminalCanvas):
             # in the pool per frame (ref sixel-canvas.cc:128-154).
             self._enqueue_libsixel(fb, seq_type, end_of_frame_ms)
             return
+        from timg_tpu.ops.backend import prefer_host, use_numpy
+
+        # single-frame fallback dispatch: one-shot, so the bit-exact
+        # numpy wavefront mirror unless the device is forced
+        host_mode = prefer_host(1) or use_numpy()
         if self._dither == "cube":
             palette = sixel_op.cube_palette()
-            indices = np.asarray(sixel_op.fs_dither_cube(fb[None]))[0]
+            if host_mode:
+                from timg_tpu.ops.sixel_np import fs_dither_cube_np
+                indices = fs_dither_cube_np(fb[None])[0]
+            else:
+                indices = np.asarray(sixel_op.fs_dither_cube(fb[None]))[0]
         else:
             # Adaptive palettes are rebuilt per still image but reused
             # across animation frames (the reference rebuilds per frame
@@ -298,8 +307,13 @@ class SixelCanvas(TerminalCanvas):
                 palette, levels, leaves = sixel_op.median_cut_tree(
                     fb[..., :3])
                 self._quantizer = (palette, levels, leaves)
-            indices = sixel_op.fs_dither_tree(
-                fb[None, ..., :3], levels, leaves)[0]
+            if host_mode:
+                from timg_tpu.ops.sixel_np import fs_dither_tree_np
+                indices = fs_dither_tree_np(
+                    fb[None, ..., :3], levels, leaves)[0]
+            else:
+                indices = sixel_op.fs_dither_tree(
+                    fb[None, ..., :3], levels, leaves)[0]
 
         self._enqueue(indices, palette, seq_type, end_of_frame_ms)
 

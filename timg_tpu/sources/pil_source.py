@@ -281,9 +281,11 @@ def _process_frames(
     On the CPU backend the strict numpy mirrors run instead (bit-exact,
     and the one-shot CLI path never imports jax; see ops/cpu_mirror.py).
     """
-    from timg_tpu.ops.backend import use_numpy
+    from timg_tpu.ops.backend import prefer_host, use_numpy
 
-    numpy_mode = use_numpy()
+    # Small one-shot workloads run the bit-exact host mirrors: a fresh
+    # XLA compile dwarfs the pixel work (ops/backend.py prefer_host).
+    numpy_mode = prefer_host(len(raw_frames) or use_numpy())
     if numpy_mode:
         from timg_tpu.ops.cpu_mirror import alpha_compose_background_np
         from timg_tpu.ops.resize_np import resize_batch_np

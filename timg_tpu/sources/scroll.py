@@ -88,8 +88,11 @@ def send_scroll_frames(
                                         pos, count))
             from timg_tpu.render.plane_cache import (prime_block_planes,
                                                      prime_sixel_planes)
-            prime_block_planes(window, options)
-            prime_sixel_planes(window, options, sixel_state)
+            # sustained: scroll windows share one geometry for the
+            # whole cycle, so the device compile amortizes
+            prime_block_planes(window, options, sustained=True)
+            prime_sixel_planes(window, options, sixel_state,
+                               sustained=True)
             for frame in window:
                 if interrupt() or time_ms > duration_ms:
                     break

@@ -197,8 +197,11 @@ class VideoSource(ImageSource):
         frames = list(result)
         from timg_tpu.render.plane_cache import (prime_block_planes,
                                                  prime_sixel_planes)
-        prime_block_planes(frames, opts)
-        prime_sixel_planes(frames, opts, self._sixel_state)
+        # sustained: the same window geometry repeats for the whole
+        # stream, so the device compile amortizes (ops/backend.py)
+        prime_block_planes(frames, opts, sustained=True)
+        prime_sixel_planes(frames, opts, self._sixel_state,
+                           sustained=True)
         return frames
 
     def send_frames(self, duration_ms: float, loops: int,
