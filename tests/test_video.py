@@ -188,7 +188,7 @@ def test_video_sixel_primed_batch_identical(y4m_file, dither):
     assert plain == primed
     # per-frame dither calls collapse into batched window dispatches
     assert n_plain == 10
-    assert n_primed <= 2  # 10 frames / window of 8
+    assert 1 <= n_primed <= 2  # 10 frames / window of 8 (batched, not zero)
 
 
 def test_video_from_stdin_dash_V(y4m_file):

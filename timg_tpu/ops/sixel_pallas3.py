@@ -1,7 +1,8 @@
 """All-Pallas FS dither pipeline (cube palette): skew, wavefront and
 transposes without any XLA relayout pass.
 
-The v2 kernel (sixel_pallas2.py) is fast (~4.5 ms/128x720p on v5e) but
+The superseded v2 kernel (removed; see git history) was fast
+(~4.5 ms/128x720p on v5e) but
 its *surroundings* are not: producing its [T, B, Hp] wavefront input
 from [B, Hp, W] frames costs an XLA pad/reshape skew (~56 ms) plus an
 HBM transpose, an order of magnitude more than the dither itself. Here

@@ -101,8 +101,13 @@ class UnicodeBlockCanvas(TerminalCanvas):
              end_of_frame_ms: float = 0.0) -> None:
         """frame: [H, W, 4] uint8 numpy array (post resize/compose)."""
         from timg_tpu.ops.backend import prefer_host, use_numpy
-        # single-frame fallback dispatch: one-shot, so host unless forced
-        if prefer_host(1) or use_numpy():
+        # single-frame fallback dispatch: one-shot frames go to the host
+        # mirror; animation/video continuation frames are a sustained
+        # stream (fixed geometry reused frame after frame), so they
+        # amortize the compile on device even when the primed-plane
+        # cache missed.
+        sustained = seq_type == SeqType.ANIMATION_FRAME
+        if prefer_host(1, sustained) or use_numpy():
             from timg_tpu.ops import cpu_mirror as blocks_op
             quarter_fn = blocks_op.quarter_blocks_np
             half_fn = blocks_op.half_blocks_np

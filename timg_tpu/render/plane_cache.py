@@ -80,7 +80,7 @@ def prime_sixel_planes(frames: list, options, state: dict,
     # One-shot windows (short animations) run the bit-exact numpy
     # wavefront mirrors; sustained callers (video/scroll: fixed window
     # geometry reused stream-long) amortize the compile on device.
-    host_mode = prefer_host(len(frames) or use_numpy(), sustained)
+    host_mode = prefer_host(len(frames), sustained) or use_numpy()
     if not host_mode:
         import jax
 
@@ -151,7 +151,7 @@ def prime_block_planes(frames: list, options,
         return
     from timg_tpu.ops.backend import prefer_host, use_numpy
 
-    numpy_mode = prefer_host(len(frames) or use_numpy(), sustained)
+    numpy_mode = prefer_host(len(frames), sustained) or use_numpy()
     use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK")
     batch = pad_odd_height(np.stack(frames), use_upper)
     if options.cell_x_px == 2 and batch.shape[2] % 2:

@@ -283,9 +283,12 @@ class SixelCanvas(TerminalCanvas):
             return
         from timg_tpu.ops.backend import prefer_host, use_numpy
 
-        # single-frame fallback dispatch: one-shot, so the bit-exact
-        # numpy wavefront mirror unless the device is forced
-        host_mode = prefer_host(1) or use_numpy()
+        # single-frame fallback dispatch: one-shot stills run the
+        # bit-exact numpy wavefront mirror; animation/video continuation
+        # frames are sustained (fixed geometry stream) and amortize the
+        # compiled device kernel even when the primed-plane cache missed.
+        sustained = seq_type == SeqType.ANIMATION_FRAME
+        host_mode = prefer_host(1, sustained) or use_numpy()
         if self._dither == "cube":
             palette = sixel_op.cube_palette()
             if host_mode:

@@ -88,7 +88,11 @@ def _decode_flat(data: bytes, pos: int, width: int, height: int,
     body = body[: (len(body) // 4) * 4].reshape(-1, 4)
     rgbe = np.concatenate([lead, body], axis=0)
     if len(rgbe) < npx:
-        # stb reads through stbi__getn which zero-fills at EOF
+        # Deliberate deviation on truncated files: stb's stbi__getn does
+        # NOT zero-fill at EOF (it leaves the tail of a stack buffer
+        # uninitialized and the hdr loader ignores the short read), so
+        # the reference's bytes here are unreproducible garbage. We
+        # zero-pad instead, which is deterministic.
         pad = np.zeros((npx - len(rgbe), 4), dtype=np.uint8)
         rgbe = np.concatenate([rgbe, pad], axis=0)
     return rgbe.reshape(height, width, 4)

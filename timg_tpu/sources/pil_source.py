@@ -285,7 +285,7 @@ def _process_frames(
 
     # Small one-shot workloads run the bit-exact host mirrors: a fresh
     # XLA compile dwarfs the pixel work (ops/backend.py prefer_host).
-    numpy_mode = prefer_host(len(raw_frames) or use_numpy())
+    numpy_mode = prefer_host(len(raw_frames)) or use_numpy()
     if numpy_mode:
         from timg_tpu.ops.cpu_mirror import alpha_compose_background_np
         from timg_tpu.ops.resize_np import resize_batch_np
