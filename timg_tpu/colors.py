@@ -2,8 +2,9 @@
 
 Behavioral spec: ref src/framebuffer.h:26-60 (rgba_t, As256TermColor) and
 src/framebuffer.cc:27-50 (ParseColor with the HTML/X11 name table from
-src/html-colors.inc). We source the standard CSS3/X11 name table from
-Pillow's colormap instead of carrying our own .inc file.
+src/html-colors.inc). The standard CSS3/X11 name table is vendored in
+_css3_colors.py (a PIL module-level import here would put ~150 ms of
+PIL on the one-shot CLI's cold-start path).
 """
 
 from __future__ import annotations
@@ -11,12 +12,8 @@ from __future__ import annotations
 import re
 import sys
 
+from timg_tpu._css3_colors import CSS3_COLORS as _css3_names
 from timg_tpu.options import RGBA, TRANSPARENT
-
-try:  # The CSS3 names; same standard table the reference embeds.
-    from PIL.ImageColor import colormap as _css3_names
-except ImportError:  # pragma: no cover
-    _css3_names = {}
 
 # sscanf("#%02x%02x%02x") semantics: exactly-2-digit fields, trailing
 # characters ignored.

@@ -104,6 +104,37 @@ def _open_and_bind() -> Optional[ctypes.CDLL]:
         lib.timg_libsixel_quant.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "timg_png_decode"):  # still pipeline (timg_still.cc)
+        c_int_p = ctypes.POINTER(ctypes.c_int)
+        lib.timg_png_decode.restype = ctypes.c_long
+        lib.timg_png_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_void_p), c_int_p, c_int_p, c_int_p]
+        lib.timg_buf_free.argtypes = [ctypes.c_void_p]
+        lib.timg_calc_scale.restype = ctypes.c_int
+        lib.timg_calc_scale.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_int_p, c_int_p]
+        lib.timg_build_taps.restype = ctypes.c_int
+        lib.timg_build_taps.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
+        lib.timg_plan_passes.restype = ctypes.c_int
+        lib.timg_plan_passes.argtypes = [ctypes.c_int] * 5
+        lib.timg_has_translucency.restype = ctypes.c_long
+        lib.timg_has_translucency.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.timg_alpha_over_bg.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        for fn in (lib.timg_quarter_blocks, lib.timg_half_blocks):
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.timg_resize_nearest.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
     return lib
 
 
