@@ -85,6 +85,18 @@ def main() -> int:
         "median": round(statistics.median(inproc), 1),
         "min": round(min(inproc), 1)}
 
+    # The shipped one-shot path: ./timg-tpu boots `python -S` (no
+    # sitecustomize) and renders through the native still pipeline
+    # (fast.py + timg_still.cc) -- the honest full-process number to
+    # compare against the reference binary's 9.5 ms.
+    times, err = measure([os.path.join(REPO, "timg-tpu"), *args], base_env)
+    if times:
+        out["fastpath_ms"] = {
+            "median": round(statistics.median(times), 1),
+            "min": round(min(times), 1)}
+    else:
+        out["fastpath_error"] = err
+
     env = dict(base_env, TIMG_TPU_FORCE_NUMPY="1")
     times, err = measure([os.path.join(REPO, "timg-tpu"), *args], env)
     if times:

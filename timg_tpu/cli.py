@@ -9,7 +9,6 @@ codes 0..5 (ref timg.cc:98-106).
 
 from __future__ import annotations
 
-import argparse
 import math
 import os
 import signal
@@ -110,87 +109,10 @@ def append_to_filelist(filelist_file: str, relative_to_filelist: bool,
     return True
 
 
-#: Marker value for a getopt optional_argument flag given bare.
-_BARE = "\x00"
-
-#: Long flags that are optional_argument in the reference's getopt
-#: table (timg.cc:495-519): they take a value ONLY when attached with
-#: '='; a separate following token is never consumed (it stays a
-#: filename -- `timg --title photo.png` shows photo.png with a title).
-_OPTIONAL_ATTACHED = ("--auto-crop", "--clear", "--compress", "--loops",
-                      "--scroll", "--title", "--upscale")
-
-
-def _getopt_optional_args(argv):
-    """Rewrite bare optional_argument flags to an attached marker so
-    argparse's nargs='?' cannot consume the next positional."""
-    return [a + "=" + _BARE if a in _OPTIONAL_ATTACHED else a
-            for a in argv]
-
-
-def build_arg_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
-        prog="timg-tpu", add_help=False,
-        description="A TPU-accelerated terminal image and video viewer.")
-    # optional_argument flags collect every occurrence (action=append)
-    # so order-dependent getopt semantics (e.g. --title toggling) work.
-    _opt = dict(nargs="?", const=_BARE, type=str, default=None,
-                action="append")
-    p.add_argument("-p", "--pixelation", type=str, default=None)
-    p.add_argument("--grid", type=str, default=None)
-    p.add_argument("-C", "--center", action="store_true")
-    p.add_argument("--title", **_opt)
-    p.add_argument("-f", dest="filelist", action="append", default=[])
-    p.add_argument("-F", dest="filelist_rel", action="append", default=[])
-    p.add_argument("-b", dest="bg_color", type=str, default="auto")
-    p.add_argument("-B", dest="bg_pattern_color", type=str, default=None)
-    p.add_argument("--pattern-size", type=int, default=1)
-    p.add_argument("--auto-crop", **_opt)
-    p.add_argument("--rotate", type=str, default="exif")
-    p.add_argument("-W", "--fit-width", action="store_true")
-    # -U is a plain no-argument toggle in the reference optstring
-    # (timg.cc:523 'U', :641-650: each occurrence flips upscale);
-    # only --upscale[=i] carries a value.
-    p.add_argument("-U", dest="upscale_short", action="count", default=0)
-    p.add_argument("--upscale", **_opt)
-    p.add_argument("--clear", **_opt)
-    p.add_argument("-V", dest="video_only", action="store_true")
-    p.add_argument("-I", dest="image_only", action="store_true")
-    p.add_argument("-w", dest="wait", type=str, default=None)
-    p.add_argument("-a", dest="no_antialias", action="store_true")
-    p.add_argument("-g", dest="geometry", type=str, default=None)
-    p.add_argument("-o", dest="outfile", type=str, default=None)
-    p.add_argument("-E", dest="no_hide_cursor", action="store_true")
-    p.add_argument("--compress", **_opt)
-    p.add_argument("--threads", type=int, default=None)
-    p.add_argument("--color8", action="store_true")
-    p.add_argument("--version", action="store_true")
-    p.add_argument("--verbose", action="store_true")
-    # `-v` sits in the reference's optstring (timg.cc:523) but no
-    # switch case handles it: accepted and silently ignored.
-    p.add_argument("-v", action="store_true", dest="_v_ignored",
-                   help=argparse.SUPPRESS)
-    p.add_argument("-h", dest="short_help", action="store_true")
-    p.add_argument("--help", dest="long_help", action="store_true")
-    p.add_argument("--scroll", **_opt)
-    p.add_argument("-d", "--delta-move", type=str, default=None)
-    # -c is required_argument in the optstring ('c:'); argparse's
-    # nargs='?' consumes the separate token for the short form, which
-    # matches, while the long form is pre-rewritten when bare.
-    p.add_argument("--loops", "-c", **_opt)
-    p.add_argument("--frames", type=int, default=NOT_INITIALIZED)
-    p.add_argument("--frame-offset", type=int, default=0)
-    p.add_argument("-t", dest="duration", type=float, default=None)
-    p.add_argument("--debug-no-frame-delay", action="store_true")
-    # timg-tpu extension: sixel quantization strategy. "adaptive" = per
-    # frame median-cut palette (reference behavior class); "cube" =
-    # fixed 6x7x6 palette, arithmetic quantizer (fast video path);
-    # "libsixel" = faithful reimplementation of libsixel's quant.c on
-    # host, the reference-exact pipeline (ref sixel-canvas.cc:134-148).
-    p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
-                   default="adaptive")
-    p.add_argument("files", nargs="*")
-    return p
+# Flag table lives in args.py (shared with the one-shot fastpath);
+# re-exported here for existing callers/tests.
+from timg_tpu.args import (_BARE, _OPTIONAL_ATTACHED,  # noqa: F401
+                           _getopt_optional_args, build_arg_parser)
 
 
 def _setup_compile_cache() -> None:

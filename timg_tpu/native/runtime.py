@@ -44,40 +44,81 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def load_still() -> Optional[ctypes.CDLL]:
+    """Load the libav-free still library (libtimg_still.so).
+
+    The one-shot fastpath (fast.py) uses this: dlopen of the full
+    runtime pulls libav's ~130-library dependency chain (~50 ms), which
+    would dominate the interactive latency budget (BASELINE.md #1).
+    Falls back to the full library when the still build is absent."""
+    global _still_lib, _still_tried
+    if _still_tried:
+        return _still_lib if _still_lib is not None else load()
+    with _load_lock:
+        if not _still_tried:
+            so = os.path.join(_DIR, "libtimg_still.so")
+            lib = None
+            if not os.path.exists(so) and "TIMG_NATIVE_LIB" not in os.environ:
+                _make()
+            if os.path.exists(so):
+                try:
+                    lib = _bind(ctypes.CDLL(so))
+                except OSError:
+                    lib = None
+            _still_lib = lib
+            _still_tried = True
+    return _still_lib if _still_lib is not None else load()
+
+
+_still_lib: Optional[ctypes.CDLL] = None
+_still_tried = False
+
+
+def _make() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s", "all"], check=True,
+                       capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
 def _open_and_bind() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO):
         if "TIMG_NATIVE_LIB" in os.environ:
             # custom lib (e.g. the tsan build) must already exist;
             # building the default target would not produce it
             return None
-        try:
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+        if not _make():
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    return _bind(lib)
 
-    lib.timg_video_open.restype = ctypes.c_void_p
-    lib.timg_video_open.argtypes = [ctypes.c_char_p]
-    lib.timg_video_info.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double)]
-    lib.timg_video_read_frame.restype = ctypes.c_int
-    lib.timg_video_read_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    lib.timg_video_rewind.restype = ctypes.c_int
-    lib.timg_video_rewind.argtypes = [ctypes.c_void_p]
-    if hasattr(lib, "timg_video_read_frame_yuv"):  # absent in older .so
-        lib.timg_video_pix_info.restype = ctypes.c_int
-        lib.timg_video_pix_info.argtypes = [ctypes.c_void_p]
-        lib.timg_video_read_frame_yuv.restype = ctypes.c_int
-        lib.timg_video_read_frame_yuv.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_char_p]
-    lib.timg_video_close.argtypes = [ctypes.c_void_p]
-    lib.timg_video_version.restype = ctypes.c_char_p
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    if hasattr(lib, "timg_video_open"):  # absent in libtimg_still.so
+        lib.timg_video_open.restype = ctypes.c_void_p
+        lib.timg_video_open.argtypes = [ctypes.c_char_p]
+        lib.timg_video_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double)]
+        lib.timg_video_read_frame.restype = ctypes.c_int
+        lib.timg_video_read_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p]
+        lib.timg_video_rewind.restype = ctypes.c_int
+        lib.timg_video_rewind.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "timg_video_read_frame_yuv"):  # older .so
+            lib.timg_video_pix_info.restype = ctypes.c_int
+            lib.timg_video_pix_info.argtypes = [ctypes.c_void_p]
+            lib.timg_video_read_frame_yuv.restype = ctypes.c_int
+            lib.timg_video_read_frame_yuv.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_char_p]
+        lib.timg_video_close.argtypes = [ctypes.c_void_p]
+        lib.timg_video_version.restype = ctypes.c_char_p
     lib.timg_ansi_emit.restype = ctypes.c_long
     lib.timg_ansi_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

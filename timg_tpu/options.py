@@ -4,21 +4,24 @@ Behavioral contract follows the reference's two plain config structs:
 ``DisplayOptions`` (per-image processing; ref: src/display-options.h:34-105)
 and ``PresentationOptions`` (session arrangement; ref: src/timg.cc:127-146).
 Config flows as plain data; no registry, no config files.
+
+Plain classes (not dataclasses): this module sits on the one-shot CLI's
+cold-import path and dataclasses pulls ~17 ms of inspect machinery; the
+reference's equivalents are plain C structs too.
 """
 
 from __future__ import annotations
 
 import enum
 import os
-from dataclasses import dataclass, field
-from typing import Callable, Optional, Tuple
 
 # Sentinel for a not-initialized command-line value
 # (ref: src/display-options.h:30).
 NOT_INITIALIZED = -(2**31)
 
-RGBA = Tuple[int, int, int, int]  # r, g, b, a in 0..255; a: 0=transparent
-TRANSPARENT: RGBA = (0, 0, 0, 0)
+# RGBA: tuple of r, g, b, a in 0..255; a: 0=transparent.
+RGBA = tuple
+TRANSPARENT = (0, 0, 0, 0)
 
 
 class Pixelation(enum.Enum):
@@ -50,15 +53,14 @@ def is_pixel_direct_with_alpha(p: Pixelation) -> bool:
     return p in (Pixelation.KITTY, Pixelation.ITERM2)
 
 
-@dataclass
 class SixelOptions:
     """Per-terminal sixel quirks (ref: src/term-query.h:46-49)."""
 
-    known_broken_cursor_placement: bool = False
-    full_cell_jump: bool = False
+    def __init__(self) -> None:
+        self.known_broken_cursor_placement = False
+        self.full_cell_jump = False
 
 
-@dataclass
 class DisplayOptions:
     """Options influencing per-image processing.
 
@@ -66,76 +68,72 @@ class DisplayOptions:
     ``bgcolor_getter`` is a callable for asynchronous background queries.
     """
 
-    width: int = -1   # Output size in *pixels* (not cells).
-    height: int = -1
+    def __init__(self) -> None:
+        self.width = -1   # Output size in *pixels* (not cells).
+        self.height = -1
 
-    cell_x_px: int = 1  # Pixels shown in one character cell.
-    cell_y_px: int = 2
+        self.cell_x_px = 1  # Pixels shown in one character cell.
+        self.cell_y_px = 2
 
-    compress_pixel_level: int = 1  # PNG deflate level for kitty/iterm2.
+        self.compress_pixel_level = 1  # PNG deflate level, kitty/iterm2.
 
-    width_stretch: float = 1.0  # Font aspect-ratio correction.
+        self.width_stretch = 1.0  # Font aspect-ratio correction.
 
-    upscale: bool = False
-    upscale_integer: bool = False
-    fill_width: bool = False
-    fill_height: bool = False
-    antialias: bool = True
-    center_horizontally: bool = False
-    crop_border: int = 0
-    auto_crop: bool = False
-    exif_rotate: bool = True
-    show_title: bool = False
+        self.upscale = False
+        self.upscale_integer = False
+        self.fill_width = False
+        self.fill_height = False
+        self.antialias = True
+        self.center_horizontally = False
+        self.crop_border = 0
+        self.auto_crop = False
+        self.exif_rotate = True
+        self.show_title = False
 
-    # Title format: %f filename, %b basename, %w width, %h height, %D decoder.
-    title_format: str = "%f"
+        # Title format: %f filename, %b basename, %w width, %h height,
+        # %D decoder. Env-var default (ref: display-options.h:35-38).
+        self.title_format = os.environ.get("TIMG_DEFAULT_TITLE") or "%f"
 
-    # Scrolling
-    scroll_animation: bool = False
-    scroll_dx: int = 1
-    scroll_dy: int = 0
-    scroll_delay_ms: float = 50.0
+        # Scrolling
+        self.scroll_animation = False
+        self.scroll_dx = 1
+        self.scroll_dy = 0
+        self.scroll_delay_ms = 50.0
 
-    allow_frame_skipping: bool = False
+        self.allow_frame_skipping = False
 
-    # Background for transparency. Returns solid color to blend, or
-    # alpha=0 to indicate no blending (ref: display-options.h:84-97).
-    local_alpha_handling: bool = True
-    bgcolor_getter: Optional[Callable[[], RGBA]] = None
-    bg_pattern_color: RGBA = TRANSPARENT
-    pattern_size: int = 1
+        # Background for transparency. Returns solid color to blend, or
+        # alpha=0 to indicate no blending (ref: display-options.h:84-97).
+        self.local_alpha_handling = True
+        self.bgcolor_getter = None
+        self.bg_pattern_color = TRANSPARENT
+        self.pattern_size = 1
 
-    # Session renders sixel ("cube" | "adaptive"): sources prime
-    # batched dither planes for animation/video windows (timg-tpu
-    # extension; None for non-sixel sessions).
-    sixel_batch_dither: Optional[str] = None
-
-    def __post_init__(self) -> None:
-        # Env-var default for the title format (ref: display-options.h:35-38).
-        env_fmt = os.environ.get("TIMG_DEFAULT_TITLE")
-        if env_fmt and self.title_format == "%f":
-            self.title_format = env_fmt
+        # Session renders sixel ("cube" | "adaptive"): sources prime
+        # batched dither planes for animation/video windows (timg-tpu
+        # extension; None for non-sixel sessions).
+        self.sixel_batch_dither = None
 
 
-@dataclass
 class PresentationOptions:
     """Options configuring how images/videos are arranged and presented
     (ref: src/timg.cc:127-146)."""
 
-    pixelation: Pixelation = Pixelation.NOT_CHOSEN
-    sixel_options: SixelOptions = field(default_factory=SixelOptions)
-    # timg-tpu extension: adaptive | cube | libsixel (reference-exact)
-    sixel_dither: str = "adaptive"
-    tmux_workaround: bool = False
-    terminal_use_upper_block: bool = False
-    use_256_color: bool = False
+    def __init__(self) -> None:
+        self.pixelation = Pixelation.NOT_CHOSEN
+        self.sixel_options = SixelOptions()
+        # timg-tpu extension: adaptive | cube | libsixel (ref-exact)
+        self.sixel_dither = "adaptive"
+        self.tmux_workaround = False
+        self.terminal_use_upper_block = False
+        self.use_256_color = False
 
-    grid_cols: int = 1
-    grid_rows: int = 1
+        self.grid_cols = 1
+        self.grid_rows = 1
 
-    duration_per_image_ms: float = float("inf")
-    loops: int = NOT_INITIALIZED
-    hide_cursor: bool = True
-    clear_screen: ClearScreen = ClearScreen.NOT
-    duration_between_images_ms: float = 0.0
-    duration_for_row_ms: float = 0.0
+        self.duration_per_image_ms = float("inf")
+        self.loops = NOT_INITIALIZED
+        self.hide_cursor = True
+        self.clear_screen = ClearScreen.NOT
+        self.duration_between_images_ms = 0.0
+        self.duration_for_row_ms = 0.0

@@ -15,7 +15,6 @@ import re
 import select
 import termios
 import tty
-from dataclasses import dataclass, field
 from typing import Optional
 
 from timg_tpu.options import SixelOptions
@@ -29,27 +28,35 @@ def enable_query_logging(on: bool) -> None:
     _verbose_log = on
 
 
-@dataclass
 class TermSizeResult:
     """ref term-query.h / term-query.cc:369-406.
 
     The font defaults are the reference's exact trick (term-query.h:
     29-30): negative when unavailable, but -2/-1 keeps the 1:2 cell
-    ratio so the width-stretch formula 0.5*h/w still yields 1.0."""
+    ratio so the width-stretch formula 0.5*h/w still yields 1.0.
 
-    cols: int = -1
-    rows: int = -1
-    font_width_px: int = -1
-    font_height_px: int = -2
+    (Plain class, not a dataclass: this module sits on the one-shot
+    CLI's cold-import path and dataclasses pulls ~17 ms of inspect.)"""
+
+    def __init__(self) -> None:
+        self.cols = -1
+        self.rows = -1
+        self.font_width_px = -1
+        self.font_height_px = -2
+
+    def __repr__(self) -> str:  # diagnostics in --verbose logs
+        return (f"TermSizeResult(cols={self.cols}, rows={self.rows}, "
+                f"font_width_px={self.font_width_px}, "
+                f"font_height_px={self.font_height_px})")
 
 
-@dataclass
 class GraphicsInfo:
     """ref term-query.h:40-52."""
 
-    preferred_graphics: str = "none"  # none|kitty|iterm2|sixel
-    in_tmux: bool = False
-    sixel: SixelOptions = field(default_factory=SixelOptions)
+    def __init__(self) -> None:
+        self.preferred_graphics = "none"  # none|kitty|iterm2|sixel
+        self.in_tmux = False
+        self.sixel = SixelOptions()
 
 
 def _find_tty_fd() -> Optional[int]:
