@@ -68,7 +68,7 @@ class DisplayOptions:
     ``bgcolor_getter`` is a callable for asynchronous background queries.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, **overrides) -> None:
         self.width = -1   # Output size in *pixels* (not cells).
         self.height = -1
 
@@ -113,6 +113,12 @@ class DisplayOptions:
         # batched dither planes for animation/video windows (timg-tpu
         # extension; None for non-sixel sessions).
         self.sixel_batch_dither = None
+
+        for key, value in overrides.items():  # dataclass-style kwargs
+            if not hasattr(self, key):
+                raise TypeError(f"DisplayOptions.__init__() got an "
+                                f"unexpected keyword argument '{key}'")
+            setattr(self, key, value)
 
 
 class PresentationOptions:
