@@ -92,5 +92,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # host, the reference-exact pipeline (ref sixel-canvas.cc:134-148).
     p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
                    default="adaptive")
+    # timg-tpu extension: shard sustained frame-batch dispatches (video
+    # windows, animations, batched dither planes) over N chips of a
+    # ('data',) jax mesh; "auto" = all visible devices. Default 1.
+    p.add_argument("--devices", type=str, default=None)
     p.add_argument("files", nargs="*")
     return p

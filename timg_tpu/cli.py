@@ -334,6 +334,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     present.use_256_color = args.color8
     present.hide_cursor = not args.no_hide_cursor
     present.sixel_dither = args.dither
+    if args.devices:
+        # Multi-chip routing knob (parallel/auto.py reads the env so the
+        # dispatch sites stay import-light); the flag wins over an
+        # inherited TIMG_TPU_DEVICES.
+        os.environ["TIMG_TPU_DEVICES"] = args.devices
 
     filelist: List[str] = []
     for fl in args.filelist:

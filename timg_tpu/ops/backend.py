@@ -15,6 +15,11 @@ def use_numpy() -> bool:
     """True when pixel ops should run their numpy mirrors."""
     if os.environ.get("TIMG_TPU_FORCE_NUMPY"):
         return True
+    if device_forced():
+        # Parity/bench/multichip harnesses pin every routed dispatch to
+        # the jax path even on the CPU backend (e.g. the virtual-mesh
+        # sharded-vs-single-device byte-identity test).
+        return False
     if "jax" in sys.modules:
         try:
             import jax

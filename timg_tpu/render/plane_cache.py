@@ -94,6 +94,8 @@ def prime_sixel_planes(frames: list, options, state: dict,
             batch[:, h:, :, :3] = bg[:3]
             batch[:, h:, :, 3] = 255
 
+    from timg_tpu.parallel import auto
+
     quantizer = None
     if mode == "cube":
         palette = None
@@ -102,17 +104,29 @@ def prime_sixel_planes(frames: list, options, state: dict,
             indices = fs_dither_cube_np(batch).astype(np.uint8)
         elif jax.default_backend() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
-            words = jax.numpy.asarray(
-                batch.view(np.int32).reshape(batch.shape[:3]))
-            full = np.asarray(fs_dither_cube_fused(
-                words, padded_h, w, out_u8=True, out_padded=True))
+
+            def _cube_shard(words_):
+                b_, h_, w_ = words_.shape
+                return fs_dither_cube_fused(words_, h_, w_, out_u8=True,
+                                            out_padded=True)
+
+            words_np = batch.view(np.int32).reshape(batch.shape[:3])
+            full = auto.shard_batch_call(("sixel_cube_pallas",),
+                                         _cube_shard, [words_np])
+            if full is None:
+                full = np.asarray(fs_dither_cube_fused(
+                    jax.numpy.asarray(words_np), padded_h, w,
+                    out_u8=True, out_padded=True))
             # pitched views into the padded device planes: the C
             # assembler takes a row pitch, so no repack is needed
             indices = full[:len(frames), :padded_h, :w]
         else:
             from timg_tpu.ops import sixel as sixel_op
-            indices = np.asarray(
-                sixel_op.fs_dither_cube(batch)).astype(np.uint8)
+            indices = auto.shard_batch_call(
+                ("sixel_cube_jax",), sixel_op.fs_dither_cube, [batch])
+            if indices is None:
+                indices = np.asarray(sixel_op.fs_dither_cube(batch))
+            indices = indices.astype(np.uint8)
     else:
         quantizer = state.get("quantizer")
         if quantizer is None:
@@ -126,17 +140,41 @@ def prime_sixel_planes(frames: list, options, state: dict,
                 batch[..., :3], levels, leaves).astype(np.uint8)
         elif jax.default_backend() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
-            words = jax.numpy.asarray(
-                batch.view(np.int32).reshape(batch.shape[:3]))
-            full = np.asarray(fs_dither_tree_fused(
-                words, jax.numpy.asarray(levels),
-                jax.numpy.asarray(leaves), padded_h, w, out_u8=True,
-                out_padded=True))
+
+            def _tree_shard(words_, levels_, leaves_):
+                b_, h_, w_ = words_.shape
+                return fs_dither_tree_fused(words_, levels_, leaves_,
+                                            h_, w_, out_u8=True,
+                                            out_padded=True)
+
+            words_np = batch.view(np.int32).reshape(batch.shape[:3])
+            full = auto.shard_batch_call(
+                ("sixel_tree_pallas",), _tree_shard, [words_np],
+                rep_args=[np.asarray(levels), np.asarray(leaves)])
+            if full is None:
+                full = np.asarray(fs_dither_tree_fused(
+                    jax.numpy.asarray(words_np),
+                    jax.numpy.asarray(levels),
+                    jax.numpy.asarray(leaves), padded_h, w, out_u8=True,
+                    out_padded=True))
             indices = full[:len(frames), :padded_h, :w]
         else:
             from timg_tpu.ops import sixel as sixel_op
-            indices = np.asarray(sixel_op.fs_dither_tree(
-                batch[..., :3], levels, leaves)).astype(np.uint8)
+
+            def _tree_jax_shard(b_, lv, lf):
+                # the public wrapper np.asarray()s its input, which a
+                # shard_map tracer cannot survive; call the impl
+                bb, hh, ww = b_.shape[:3]
+                return sixel_op._fs_dither_tree_impl(
+                    b_[..., :3], lv, lf, hh, ww)
+
+            indices = auto.shard_batch_call(
+                ("sixel_tree_jax",), _tree_jax_shard,
+                [batch], rep_args=[np.asarray(levels), np.asarray(leaves)])
+            if indices is None:
+                indices = np.asarray(sixel_op.fs_dither_tree(
+                    batch[..., :3], levels, leaves))
+            indices = indices.astype(np.uint8)
 
     for i, frame in enumerate(frames):
         SIXEL_PLANES.put(frame, (indices[i], palette, quantizer))
@@ -160,11 +198,19 @@ def prime_block_planes(frames: list, options,
         from timg_tpu.ops import cpu_mirror
         fn = (cpu_mirror.quarter_blocks_np if options.cell_x_px == 2
               else cpu_mirror.half_blocks_np)
+        glyph, fg, bg = fn(batch, use_upper_half_block=use_upper)
     else:
         from timg_tpu.ops import blocks as blocks_op
+        from timg_tpu.parallel import auto
         fn = (blocks_op.quarter_blocks if options.cell_x_px == 2
               else blocks_op.half_blocks)
-    glyph, fg, bg = fn(batch, use_upper_half_block=use_upper)
+        sharded = auto.shard_batch_call(
+            ("blocks", options.cell_x_px, use_upper),
+            lambda b: fn(b, use_upper_half_block=use_upper), [batch])
+        if sharded is not None:
+            glyph, fg, bg = sharded
+        else:
+            glyph, fg, bg = fn(batch, use_upper_half_block=use_upper)
     glyph, fg, bg = np.asarray(glyph), np.asarray(fg), np.asarray(bg)
 
     # Diff masks between consecutive window frames (ops/diff.py on

@@ -159,18 +159,42 @@ class VideoSource(ImageSource):
         from timg_tpu.ops.compose import alpha_compose_background
         from timg_tpu.ops.resize import resize_batch
 
+        from timg_tpu.parallel import auto
+
         opts = self._options
         tw, th = self._target
         if kind == "yuv":
             ys = np.stack([f[0] for f in raw])
             us = np.stack([f[1] for f in raw])
             vs = np.stack([f[2] for f in raw])
-            result = np.asarray(_get_yuv_jit()(
-                ys, us, vs, th, tw, self._full_range))
+            # Multi-chip: pure data parallelism over the frame axis
+            # (every frame is independent through convert+resize);
+            # single-device returns None and the plain jit runs
+            # (parallel/auto.py).
+            full_range = self._full_range
+
+            def _yuv_shard(y, u, v):
+                import jax
+
+                from timg_tpu.ops.resize import resize_video_words
+                from timg_tpu.ops.yuv import yuv420_to_rgba_words
+                words = yuv420_to_rgba_words(y, u, v, full_range)
+                words = resize_video_words(words, th, tw)
+                return jax.lax.bitcast_convert_type(words, jnp.uint8)
+
+            result = auto.shard_batch_call(
+                ("video_yuv", th, tw, full_range), _yuv_shard,
+                [ys, us, vs])
+            if result is None:
+                result = np.asarray(_get_yuv_jit()(
+                    ys, us, vs, th, tw, self._full_range))
         elif self._maybe_transparent():
             arr = np.stack(raw)
-            x = resize_batch(jnp.asarray(arr), th, tw)
-            result = np.asarray(x)
+            result = auto.shard_batch_call(
+                ("video_resize_batch", th, tw),
+                lambda b: resize_batch(b, th, tw), [arr])
+            if result is None:
+                result = np.asarray(resize_batch(jnp.asarray(arr), th, tw))
         else:
             arr = np.stack(raw)
             # opaque codecs: lean resize (the reference's video path uses
@@ -180,9 +204,13 @@ class VideoSource(ImageSource):
             # reinterpretation on host, where a device-side u8->i32
             # bitcast would be a full relayout copy on TPU.
             from timg_tpu.ops.resize import resize_video_words
-            words = jnp.asarray(
-                arr.view(np.int32).reshape(arr.shape[:3]))
-            out = np.asarray(resize_video_words(words, th, tw))
+            words_np = arr.view(np.int32).reshape(arr.shape[:3])
+            out = auto.shard_batch_call(
+                ("video_resize_words", th, tw),
+                lambda w_: resize_video_words(w_, th, tw), [words_np])
+            if out is None:
+                out = np.asarray(resize_video_words(
+                    jnp.asarray(words_np), th, tw))
             result = out.view(np.uint8).reshape(out.shape + (4,))
         if opts.bgcolor_getter is not None and (result[..., 3] != 255).any():
             bg = opts.bgcolor_getter()
