@@ -255,10 +255,40 @@ def main() -> None:
         return fs_dither_tree_fused(words, levels, leaves, OUT_H, OUT_W,
                                     out_u8=True, out_padded=True)
 
+    # libsixel mode (the CLI default): per-frame palette built host-side
+    # (quant.c mediancut, ~2 ms/frame, parallel with decode in the CLI)
+    # -> integer-FS bucket-table kernel.  The 32768-entry per-pixel
+    # table gather costs ~6x the cube's arithmetic quantizer (gather-
+    # bound; see ROADMAP "libsixel device mode"), so this mode has its
+    # own number.
+    from timg_tpu.native import runtime as _native_rt
+    from timg_tpu.ops.sixel_pallas3 import (fs_dither_table_fused,
+                                            pack_libsixel_tables)
+    libsixel_fps = None
+    _pal_res = _native_rt.libsixel_palette(sample)
+    if _pal_res is not None:
+        _pal, _diff = _pal_res
+        _tbl = _native_rt.libsixel_build_table(_pal)
+        _tw, _pw, _dw = pack_libsixel_tables(
+            np.repeat(_tbl[None], BATCH, 0),
+            [_pal] * BATCH, [_diff] * BATCH)
+        _twd, _pwd, _dwd = (jnp.asarray(_tw), jnp.asarray(_pw),
+                            jnp.asarray(_dw))
+
+        def pipeline_libsixel(batch):
+            words = resize_op.resize_video_words(batch, OUT_H, OUT_W,
+                                                 pad_to=pad_to)
+            return fs_dither_table_fused(words, _twd, _pwd, _dwd,
+                                         OUT_H, OUT_W, out_u8=True,
+                                         out_padded=True)
+
     pool_dev = [jax.device_put(pool[i]) for i in range(POOL)]
 
     fps = _device_fps(jax, jnp, np, pipeline_cube, pool_dev)
     adaptive_fps = _device_fps(jax, jnp, np, pipeline_tree, pool_dev)
+    if _pal_res is not None:
+        libsixel_fps = _device_fps(jax, jnp, np, pipeline_libsixel,
+                                   pool_dev)
     del pool_dev
     e2e_fps, legs, bottleneck = _bench_e2e(jax, np, resize_op,
                                            fs_dither_cube_fused)
@@ -271,6 +301,11 @@ def main() -> None:
         "extra": {
             "adaptive_fps": round(adaptive_fps, 1),
             "adaptive_vs_baseline": round(adaptive_fps / TARGET_FPS, 3),
+            "libsixel_fps": (round(libsixel_fps, 1)
+                             if libsixel_fps is not None else None),
+            "libsixel_vs_baseline": (round(libsixel_fps / TARGET_FPS, 3)
+                                     if libsixel_fps is not None
+                                     else None),
             "e2e_sustained_fps": (round(e2e_fps, 1)
                                   if e2e_fps is not None else None),
             "e2e_vs_baseline": (round(e2e_fps / TARGET_FPS, 3)

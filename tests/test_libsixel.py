@@ -259,3 +259,146 @@ def test_cli_dither_libsixel_roundtrip():
         _, idx_plane, pal = decode_sixel_stream(data[start:end])
         assert idx_plane.shape[1] == 36  # fits: shown 1:1, no upscale
         assert len(pal) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Bucket-table mode (the video-capable device semantics; see
+# ops/libsixel_quant.py for the table-vs-cache analysis)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,img", _images())
+def test_c_table_apply_matches_oracle(native_lib, name, img):
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    pal, diffuse = runtime.libsixel_palette(rgba)
+    t_c = runtime.libsixel_build_table(pal)
+    t_py = lsq.build_bucket_table(pal)
+    np.testing.assert_array_equal(t_c, t_py, err_msg=name)
+    idx_c = runtime.libsixel_apply_table(rgba, t_c, pal, diffuse)
+    idx_py = lsq.apply_palette_bucket_table(img, t_py, pal, diffuse)
+    np.testing.assert_array_equal(idx_c, idx_py.astype(np.uint8),
+                                  err_msg=name)
+
+
+def test_c_palette_matches_full_quant(native_lib):
+    """timg_libsixel_palette == the palette timg_libsixel_quant builds."""
+    for name, img in _images():
+        rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        pal_only, diffuse = runtime.libsixel_palette(rgba)
+        full = runtime.libsixel_quant(rgba)
+        assert full is not None
+        _, pal_full = full
+        np.testing.assert_array_equal(pal_only, pal_full, err_msg=name)
+
+
+def test_device_table_build_matches_c(native_lib):
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel_pallas3 import build_bucket_tables_device
+    rng = np.random.default_rng(3)
+    pals = rng.integers(0, 256, (3, 256, 3), dtype=np.int64).astype(
+        np.int32)
+    got = np.asarray(build_bucket_tables_device(jnp.asarray(pals)))
+    for i in range(3):
+        want = runtime.libsixel_build_table(pals[i].astype(np.uint8))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_table_kernel_interpret_matches_c(native_lib):
+    """fs_dither_table_fused (interpret) == the C mirror, including a
+    no-diffuse frame in the batch (per-frame diffuse flags)."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops.sixel_pallas3 import (fs_dither_table_fused,
+                                            pack_libsixel_tables)
+    rng = np.random.default_rng(5)
+    h, w = 37, 53  # big enough that 6-px sampling exceeds 256 buckets
+    y, x = np.mgrid[0:h, 0:w]
+    noisy = np.clip(np.stack([(x * 255 // w), (y * 255 // h),
+                              ((x + y) * 113) % 256], -1).astype(np.int32)
+                    + rng.integers(-20, 20, (h, w, 3)), 0,
+                    255).astype(np.uint8)
+    flat = (np.stack([x // 14, y // 10, (x + y) // 20], -1)
+            % 2 * 200).astype(np.uint8)
+    frames, pals, tables, diffs, wants = [], [], [], [], []
+    for f in (noisy, flat, noisy[::-1].copy()):
+        rgba = np.dstack([f, np.full((h, w), 255, np.uint8)])
+        frames.append(rgba)
+        pal, diffuse = runtime.libsixel_palette(rgba)
+        t = runtime.libsixel_build_table(pal)
+        wants.append(runtime.libsixel_apply_table(rgba, t, pal, diffuse))
+        pals.append(pal)
+        tables.append(t)
+        diffs.append(diffuse)
+    assert diffs[0] and not diffs[1]  # the batch mixes both modes
+    tw, pw, dw = pack_libsixel_tables(np.stack(tables), pals, diffs)
+    out = np.asarray(fs_dither_table_fused(
+        jnp.asarray(np.stack(frames)), jnp.asarray(tw), jnp.asarray(pw),
+        jnp.asarray(dw), h, w, interpret=True))
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], wants[i],
+                                      err_msg=f"frame {i}")
+
+
+def test_prime_libsixel_window_matches_per_frame(native_lib, monkeypatch):
+    """plane_cache's batched libsixel priming == per-frame C apply."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render.plane_cache import SIXEL_PLANES, prime_sixel_planes
+
+    monkeypatch.delenv("TIMG_TPU_FORCE_DEVICE", raising=False)
+    rng = np.random.default_rng(9)
+    h, w = 24, 30  # multiple of 6: no pad strip in the comparison
+    frames = [rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+              for _ in range(4)]
+    for f in frames:
+        f[..., 3] = 255
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "libsixel"
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+    prime_sixel_planes(frames, opts, {}, sustained=True)
+    for f in frames:
+        primed = SIXEL_PLANES.pop(f)
+        assert primed is not None
+        indices, palette, _ = primed
+        pal, diffuse = runtime.libsixel_palette(f)
+        np.testing.assert_array_equal(palette, pal)
+        table = runtime.libsixel_build_table(pal)
+        want = runtime.libsixel_apply_table(f, table, pal, diffuse)
+        np.testing.assert_array_equal(np.asarray(indices), want)
+
+
+def test_prime_libsixel_skips_one_shot_stills(native_lib):
+    """Single non-sustained frames keep the canvas's reference-exact
+    cached path (no table priming)."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render.plane_cache import SIXEL_PLANES, prime_sixel_planes
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (12, 18, 4), dtype=np.uint8)]
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "libsixel"
+    prime_sixel_planes(frames, opts, {})
+    assert SIXEL_PLANES.pop(frames[0]) is None
+
+
+def test_cli_video_libsixel_default(tmp_path):
+    """-ps with the default dither (libsixel) renders video via the
+    table pipeline; deterministic across runs."""
+    from tests.test_golden import run_ours
+
+    y4m = tmp_path / "v.y4m"
+    w, h, n = 64, 48, 4
+    rng = np.random.default_rng(2)
+    with open(y4m, "wb") as f:
+        f.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                 % (w, h)).encode())
+        for i in range(n):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, (h, w), dtype=np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+    args = ["--debug-no-frame-delay", "-g40x20", "-ps", "-b", "black",
+            "--loops=1"]
+    out1 = run_ours(args, [str(y4m)])
+    out2 = run_ours(args, [str(y4m)])
+    assert out1 == out2
+    assert out1.count(b"\033Pq") >= 1

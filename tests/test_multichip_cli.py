@@ -67,6 +67,7 @@ BASE = ["-g40x12", "--debug-no-frame-delay", "-b", "black"]
     ["-ph"],
     ["-p", "sixel", "--dither=cube"],
     ["-p", "sixel", "--dither=adaptive"],
+    ["-p", "sixel", "--dither=libsixel"],
 ])
 def test_video_sharded_matches_single_device(mode, y4m, tmp_path,
                                              monkeypatch):

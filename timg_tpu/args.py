@@ -85,13 +85,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame-offset", type=int, default=0)
     p.add_argument("-t", dest="duration", type=float, default=None)
     p.add_argument("--debug-no-frame-delay", action="store_true")
-    # timg-tpu extension: sixel quantization strategy. "adaptive" = per
-    # frame median-cut palette (reference behavior class); "cube" =
-    # fixed 6x7x6 palette, arithmetic quantizer (fast video path);
-    # "libsixel" = faithful reimplementation of libsixel's quant.c on
-    # host, the reference-exact pipeline (ref sixel-canvas.cc:134-148).
+    # timg-tpu extension: sixel quantization strategy (default
+    # "libsixel", the reference's pipeline class).  "libsixel" =
+    # faithful reimplementation of libsixel's quant.c
+    # (ref sixel-canvas.cc:134-148): stills run the exact cached
+    # quantizer on host; video/animation windows run the per-frame
+    # palette + bucket-table integer FS on device (see
+    # ops/libsixel_quant.py for the one documented deviation).
+    # "adaptive" = per-animation median-cut tree palette; "cube" =
+    # fixed 6x7x6 palette, arithmetic quantizer (fastest video path).
     p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
-                   default="adaptive")
+                   default="libsixel")
     # timg-tpu extension: shard sustained frame-batch dispatches (video
     # windows, animations, batched dither planes) over N chips of a
     # ('data',) jax mesh; "auto" = all visible devices. Default 1.

@@ -145,6 +145,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.timg_libsixel_quant.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "timg_libsixel_palette"):  # absent in older .so
+        lib.timg_libsixel_palette.restype = ctypes.c_int
+        lib.timg_libsixel_palette.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_int, ctypes.c_void_p]
+        lib.timg_libsixel_build_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.timg_libsixel_apply_table.restype = ctypes.c_int
+        lib.timg_libsixel_apply_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p]
     if hasattr(lib, "timg_png_decode"):  # still pipeline (timg_still.cc)
         c_int_p = ctypes.POINTER(ctypes.c_int)
         lib.timg_png_decode.restype = ctypes.c_long
@@ -208,6 +220,71 @@ def libsixel_quant(frame_rgba, reqcolors: int = 256):
         return None
     ncolors = rc & 0xFFFF
     return idx, pal[:ncolors]
+
+
+def libsixel_palette(frame_rgba, reqcolors: int = 256):
+    """Per-frame libsixel palette (histogram + mediancut) via C.
+
+    Returns (palette [ncolors,3] uint8, diffuse bool) or None when the
+    native library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_libsixel_palette"):
+        return None
+    frame = np.ascontiguousarray(frame_rgba, dtype=np.uint8)
+    h, w = frame.shape[:2]
+    if frame.shape[2] != 4:
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[..., :frame.shape[2]] = frame
+        frame = rgba
+    pal = np.zeros((reqcolors, 3), dtype=np.uint8)
+    rc = lib.timg_libsixel_palette(frame.ctypes.data, h, w,
+                                   frame.strides[0], reqcolors,
+                                   pal.ctypes.data)
+    if rc < 0:
+        return None
+    return pal[:rc & 0xFFFF], bool(rc >> 16)
+
+
+def libsixel_build_table(palette):
+    """32768-entry bucket -> nearest-palette-index table (see
+    timg_native.cc:timg_libsixel_build_table)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_libsixel_build_table"):
+        return None
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    table = np.empty(1 << 15, dtype=np.uint8)
+    lib.timg_libsixel_build_table(pal.ctypes.data, len(pal),
+                                  table.ctypes.data)
+    return table
+
+
+def libsixel_apply_table(frame_rgba, table, palette, diffuse: bool):
+    """Bucket-table FS apply (strict CPU mirror of the device kernel).
+    Returns [H, W] uint8 indices or None when unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_libsixel_apply_table"):
+        return None
+    frame = np.ascontiguousarray(frame_rgba, dtype=np.uint8)
+    h, w = frame.shape[:2]
+    if frame.shape[2] != 4:
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[..., :frame.shape[2]] = frame
+        frame = rgba
+    table = np.ascontiguousarray(table, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    idx = np.empty((h, w), dtype=np.uint8)
+    rc = lib.timg_libsixel_apply_table(
+        frame.ctypes.data, h, w, frame.strides[0], table.ctypes.data,
+        pal.ctypes.data, int(diffuse), idx.ctypes.data)
+    if rc != 0:
+        return None
+    return idx
 
 
 def resize_polyphase(frames, out_h: int, out_w: int, starts_v, coeffs_v,

@@ -364,19 +364,11 @@ inline void error_diffuse(uint8_t *cell, int offset, int num) {
 
 }  // namespace
 
-// Full per-frame pipeline: palette construction + cached-FS apply.
-// rgba: h*w RGBA pixels with row pitch `pitch` bytes (alpha dropped, as
-// sixel_encode normalizes RGBA8888 -> RGB888).  Writes the palette to
-// out_pal (capacity reqcolors*3) and indices to out_idx (h*w).
-// Returns (diffuse << 16) | ncolors; negative on error.
-int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
-                        int reqcolors, uint8_t *out_pal, uint8_t *out_idx) {
-    if (reqcolors < 1 || reqcolors > 256) return -1;
-    const long npix = (long)h * w;
-
-    // RGB888 working copy (mutated by error diffusion).
-    uint8_t *data = (uint8_t *)malloc(npix * 3);
-    if (!data) return -1;
+// RGB888 working copy of an RGBA frame (alpha dropped, as sixel_encode
+// normalizes RGBA8888 -> RGB888).
+static uint8_t *rgba_to_rgb(const uint8_t *rgba, int h, int w, long pitch) {
+    uint8_t *data = (uint8_t *)malloc((long)h * w * 3);
+    if (!data) return NULL;
     for (int y = 0; y < h; ++y) {
         const uint8_t *src = rgba + y * pitch;
         uint8_t *dst = data + (long)y * w * 3;
@@ -388,7 +380,13 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
             dst += 3;
         }
     }
+    return data;
+}
 
+// Palette construction (computeHistogram + mediancut) over an RGB888
+// buffer. Returns (diffuse << 16) | ncolors; negative on error.
+static int build_libsixel_palette(const uint8_t *data, long npix,
+                                  int reqcolors, uint8_t *out_pal) {
     // --- computeHistogram: sampled 5-bit-bucket histogram -----------------
     const long length = npix * 3;
     const long max_sample = 18383;  // QUALITY_AUTO -> LOW for 256 colors
@@ -399,7 +397,7 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
     uint16_t *histogram = (uint16_t *)calloc(1 << 15, sizeof(uint16_t));
     int *seen_order = (int *)malloc((1 << 15) * sizeof(int));
     if (!histogram || !seen_order) {
-        free(data); free(histogram); free(seen_order);
+        free(histogram); free(seen_order);
         return -1;
     }
     int n_seen = 0;
@@ -414,7 +412,7 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
     int *tbl_c = (int *)malloc((size_t)n_seen * 3 * sizeof(int));
     long *tbl_n = (long *)malloc((size_t)n_seen * sizeof(long));
     if (!tbl_c || !tbl_n) {
-        free(data); free(histogram); free(seen_order);
+        free(histogram); free(seen_order);
         free(tbl_c); free(tbl_n);
         return -1;
     }
@@ -448,7 +446,7 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
         int *tmp_c = (int *)malloc((size_t)n_seen * 3 * sizeof(int));
         long *tmp_n = (long *)malloc((size_t)n_seen * sizeof(long));
         if (!bv || !order || !tmp_c || !tmp_n) {
-            free(data); free(tbl_c); free(tbl_n);
+            free(tbl_c); free(tbl_n);
             free(bv); free(order); free(tmp_c); free(tmp_n);
             return -1;
         }
@@ -541,6 +539,26 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
     }
     free(tbl_c);
     free(tbl_n);
+    return (diffuse << 16) | ncolors;
+}
+
+// Full per-frame pipeline: palette construction + cached-FS apply.
+// rgba: h*w RGBA pixels with row pitch `pitch` bytes.  Writes the
+// palette to out_pal (capacity reqcolors*3) and indices to out_idx
+// (h*w).  Returns (diffuse << 16) | ncolors; negative on error.
+int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
+                        int reqcolors, uint8_t *out_pal, uint8_t *out_idx) {
+    if (reqcolors < 1 || reqcolors > 256) return -1;
+    const long npix = (long)h * w;
+    uint8_t *data = rgba_to_rgb(rgba, h, w, pitch);
+    if (!data) return -1;
+    const int pr = build_libsixel_palette(data, npix, reqcolors, out_pal);
+    if (pr < 0) {
+        free(data);
+        return pr;
+    }
+    const int ncolors = pr & 0xFFFF;
+    const int diffuse = pr >> 16;
 
     // --- apply palette: lookup_fast cache + integer FS diffusion ----------
     uint16_t *cache = (uint16_t *)calloc(1 << 15, sizeof(uint16_t));
@@ -593,6 +611,100 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
     free(cache);
     free(data);
     return (diffuse << 16) | ncolors;
+}
+
+// Palette construction only (computeHistogram + mediancut over the
+// frame), without the apply pass: the device dither path builds its
+// bucket table and runs the FS kernel itself; only the ~18383-sample
+// palette is host work (VERDICT r2 #3 design).  Returns
+// (diffuse << 16) | ncolors; negative on error.
+int timg_libsixel_palette(const uint8_t *rgba, int h, int w, long pitch,
+                          int reqcolors, uint8_t *out_pal) {
+    if (reqcolors < 1 || reqcolors > 256) return -1;
+    uint8_t *data = rgba_to_rgb(rgba, h, w, pitch);
+    if (!data) return -1;
+    const int pr = build_libsixel_palette(data, (long)h * w, reqcolors,
+                                          out_pal);
+    free(data);
+    return pr;
+}
+
+// Prefilled lookup table: for every 15-bit bucket, the index of the
+// palette color nearest to the bucket's *base* color (bits << 3 — the
+// same reconstruction libsixel's histogram/color-table uses).  This is
+// the order-independent variant of quant.c's lookup_fast cache: the
+// cached answer no longer depends on which pixel touched the bucket
+// first (that raster-order dependence is what makes the original cache
+// inherently sequential and unshardable — see ops/libsixel_quant.py
+// module docs for the full analysis).  out_table: 32768 bytes.
+void timg_libsixel_build_table(const uint8_t *pal, int ncolors,
+                               uint8_t *out_table) {
+    // Per-channel squared-distance LUTs over the 32 bucket levels.
+    static thread_local long lut[3][32][256];
+    for (int c = 0; c < 3; ++c)
+        for (int v = 0; v < 32; ++v) {
+            const int base = v << 3;
+            for (int i = 0; i < ncolors; ++i) {
+                const long d = base - pal[i * 3 + c];
+                lut[c][v][i] = d * d;
+            }
+        }
+    for (int b = 0; b < (1 << 15); ++b) {
+        const long *lr = lut[0][(b >> 10) & 0x1F];
+        const long *lg = lut[1][(b >> 5) & 0x1F];
+        const long *lb = lut[2][b & 0x1F];
+        long bestd = 0x7FFFFFFFL;
+        int idx = 0;
+        for (int i = 0; i < ncolors; ++i) {
+            const long d = lr[i] + lg[i] + lb[i];
+            if (d < bestd) {  // strict <: lowest index wins
+                bestd = d;
+                idx = i;
+            }
+        }
+        out_table[b] = (uint8_t)idx;
+    }
+}
+
+// FS apply with the prefilled bucket table: identical integer
+// Floyd-Steinberg semantics to timg_libsixel_quant's apply pass
+// (offset*num/16 C truncation, clamp-on-store per write, interior
+// guards), with the per-pixel index from the order-independent table
+// instead of the first-touch cache.  The strict CPU mirror of the
+// device wavefront kernel (sixel_pallas3.fs_dither_table_fused) —
+// byte-identity TPU==CPU is what the stream tests assert.
+int timg_libsixel_apply_table(const uint8_t *rgba, int h, int w,
+                              long pitch, const uint8_t *table,
+                              const uint8_t *pal, int diffuse,
+                              uint8_t *out_idx) {
+    uint8_t *data = rgba_to_rgb(rgba, h, w, pitch);
+    if (!data) return -1;
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            uint8_t *p = data + ((long)y * w + x) * 3;
+            const int hashv =
+                (p[0] >> 3) << 10 | (p[1] >> 3) << 5 | (p[2] >> 3);
+            const int idx = table[hashv];
+            out_idx[(long)y * w + x] = (uint8_t)idx;
+            if (!diffuse) continue;
+            for (int n = 0; n < 3; ++n) {
+                const int off = p[n] - pal[idx * 3 + n];
+                if (off == 0) continue;
+                uint8_t *base = data + n;
+                const long pos = (long)y * w + x;
+                if (x < w - 1)
+                    error_diffuse(base + (pos + 1) * 3, off, 7);
+                if (x > 0 && y < h - 1)
+                    error_diffuse(base + (pos + w - 1) * 3, off, 3);
+                if (y < h - 1)
+                    error_diffuse(base + (pos + w) * 3, off, 5);
+                if (x < w - 1 && y < h - 1)
+                    error_diffuse(base + (pos + w + 1) * 3, off, 1);
+            }
+        }
+    }
+    free(data);
+    return 0;
 }
 
 // ---------------------------------------------------------------------

@@ -253,6 +253,78 @@ def _diffuse_to(data: np.ndarray, y: int, x: int, n: int, delta: int):
     data[y, x, n] = 0 if v < 0 else (255 if v > 255 else v)
 
 
+# ---------------------------------------------------------------------------
+# Bucket-table variant: the device path's semantics
+# ---------------------------------------------------------------------------
+#
+# quant.c's lookup_fast cache is filled by the *first pixel in raster
+# order* that lands in each 15-bit bucket, with that pixel's exact
+# post-diffusion color — so the cache contents (and every later pixel's
+# index) depend on the full raster history.  That makes the cached
+# semantics inherently sequential: pixel (y, 0) needs the completed
+# cache state of every pixel in rows 0..y-1, which defeats both the
+# wavefront schedule and any multi-chip sharding (a measured sequential
+# TPU scan lands near ~500 fps vs the 5000 fps target; a per-pixel
+# 256-way exact argmin at target rate would need ~3.5 peta-ops/s).
+#
+# The production device path therefore uses the *prefilled* variant
+# below: the cache is built once per frame with each bucket's BASE
+# color (bits << 3 — the same reconstruction libsixel's histogram color
+# table uses), making the lookup order-independent and wavefront/
+# shard-compatible.  It deviates from libsixel only in which color
+# fills each cache slot (bucket base vs first-touching pixel); the
+# still-image CLI path keeps the exact cached semantics via
+# timg_libsixel_quant.  apply_palette_bucket_table below is the scalar
+# oracle for the device kernel and its C mirror.
+
+def build_bucket_table(palette: np.ndarray) -> np.ndarray:
+    """[32768] uint8: nearest palette index per bucket base color
+    (strict <, lowest index wins — argmin semantics of lookup_fast)."""
+    pal = palette.astype(np.int64)
+    b = np.arange(1 << 15)
+    base = np.stack([(b >> 10 & 0x1F) << 3, (b >> 5 & 0x1F) << 3,
+                     (b & 0x1F) << 3], axis=1).astype(np.int64)
+    d = base[:, None, :] - pal[None, :, :]
+    dist = (d * d).sum(axis=2)
+    return dist.argmin(axis=1).astype(np.uint8)
+
+
+def apply_palette_bucket_table(rgb: np.ndarray, table: np.ndarray,
+                               palette: np.ndarray,
+                               diffuse: bool = True) -> np.ndarray:
+    """Scalar oracle of the bucket-table FS apply (device semantics):
+    identical integer FS to apply_palette_reference, index from the
+    prefilled table."""
+    h, w, _ = rgb.shape
+    data = rgb[..., :3].astype(np.int32).copy()
+    pal = palette.astype(np.int32)
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            p = data[y, x]
+            hashv = (int(p[0]) >> 3) << 10 | (int(p[1]) >> 3) << 5 \
+                | (int(p[2]) >> 3)
+            idx = int(table[hashv])
+            out[y, x] = idx
+            if not diffuse:
+                continue
+            for n in range(3):
+                off = int(data[y, x, n]) - int(pal[idx, n])
+                if off == 0:
+                    continue
+                if x < w - 1:
+                    _diffuse_to(data, y, x + 1, n, _trunc_div(off, 7, 16))
+                if x > 0 and y < h - 1:
+                    _diffuse_to(data, y + 1, x - 1, n,
+                                _trunc_div(off, 3, 16))
+                if y < h - 1:
+                    _diffuse_to(data, y + 1, x, n, _trunc_div(off, 5, 16))
+                if x < w - 1 and y < h - 1:
+                    _diffuse_to(data, y + 1, x + 1, n,
+                                _trunc_div(off, 1, 16))
+    return out
+
+
 def quantize_reference(rgba: np.ndarray, reqcolors: int = 256,
                        use_cache: bool = True
                        ) -> Tuple[np.ndarray, np.ndarray]:

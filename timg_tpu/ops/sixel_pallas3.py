@@ -408,6 +408,331 @@ def fs_dither_cube_fused(frames_rgba: jax.Array, h: int, w: int,
     return out if out_u8 else out.astype(jnp.int32)
 
 
+def _make_wavefront_kernel_int(b: int, hp: int, K: int, h: int, w: int,
+                               n_tables: int, make_quantize):
+    """Integer-FS wavefront driver: libsixel's exact error arithmetic
+    (ref src/sixel-canvas.cc:134-148 -> libsixel quant.c
+    sixel_quant_apply_palette; scalar spec:
+    ops/libsixel_quant.apply_palette_bucket_table).
+
+    Differences from the f32 driver (_make_wavefront_kernel):
+
+    * carries are raw integer *offsets* (pixel - palette color), not
+      pre-weighted error mixes — libsixel truncates each neighbor
+      contribution separately (``offset * num / 16`` with C
+      truncation toward zero) and clamps the target to [0, 255] after
+      *every* write, so the four incoming contributions must fold in
+      source-raster order with a clamp between each add:
+      upper-left (1/16) -> up (5/16) -> upper-right (3/16) ->
+      left (7/16);
+    * all arithmetic is int32; no rounding anywhere.
+
+    Wavefront mapping of the carries (same aging as the f32 driver,
+    verified bit-identical against the raster-scan C mirror): at a
+    pixel's step, o1 = offsets one step old (same-row left neighbor,
+    7/16 unrolled; upper-right 3/16 rolled), o2 = two steps (up, 5/16
+    rolled), o3 = three steps (upper-left, 1/16 rolled)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrb = hp // 128
+
+    def trunc16(off, num):
+        q = off * num
+        aq = jax.lax.shift_right_logical(jnp.abs(q), 4)
+        return jnp.where(q < 0, -aq, aq)
+
+    def kernel(*refs):
+        in_refs = refs[:nrb]
+        table_refs = refs[nrb:nrb + n_tables]
+        out_ref = refs[nrb + n_tables]
+        err_ref = refs[nrb + n_tables + 1]
+        bnd_ref = refs[nrb + n_tables + 2]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            err_ref[...] = jnp.zeros_like(err_ref)
+
+        quantize, diff_mask = make_quantize(table_refs)
+        t0 = pl.program_id(0) * K
+        yloc = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+
+        for rb in range(nrb):
+            y_lo = 128 * rb
+            if y_lo >= h:
+                continue
+            y_max = min(y_lo + 127, h - 1)
+            sl = slice(y_lo, y_lo + 128)
+            active = jnp.logical_and(t0 + K - 1 >= 2 * y_lo,
+                                     t0 <= w - 1 + 2 * y_max + 3)
+
+            @pl.when(jnp.logical_not(active))
+            def _quiet(rb=rb):
+                bnd_ref[rb] = jnp.zeros_like(bnd_ref[rb])
+
+            @pl.when(active)
+            def _block(rb=rb, y_lo=y_lo, y_max=y_max, sl=sl):
+                dmask = diff_mask()  # [1, b, 128] bool: frame diffuses
+                ys = y_lo + yloc
+                yloc3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (3, b, 128), 2)
+                o1 = err_ref[0:3, :, sl]
+                o2 = err_ref[3:6, :, sl]
+                o3 = err_ref[6:9, :, sl]
+                packed = None
+                for k in range(K):
+                    t = t0 + k
+                    xs = t - 2 * ys
+                    mask = jnp.logical_and(xs >= 0, xs < w)
+                    if y_max == h - 1 and y_lo + 127 >= h:
+                        mask = jnp.logical_and(mask, ys < h)
+                    word = in_refs[rb][k]
+                    cols3 = jnp.stack(
+                        [((word >> (8 * c)) & 0xFF) for c in range(3)])
+                    r1 = pltpu.roll(o1, shift=1, axis=2)
+                    r2 = pltpu.roll(o2, shift=1, axis=2)
+                    r3 = pltpu.roll(o3, shift=1, axis=2)
+                    bnd_ref[rb, 0:3, :, k:k + 1] = r1[:, :, 0:1]
+                    bnd_ref[rb, 3:6, :, k:k + 1] = r2[:, :, 0:1]
+                    bnd_ref[rb, 6:9, :, k:k + 1] = r3[:, :, 0:1]
+                    if rb == 0:
+                        zero = jnp.int32(0)
+                        u1 = jnp.where(yloc3 == 0, zero, r1)
+                        u2 = jnp.where(yloc3 == 0, zero, r2)
+                        u3 = jnp.where(yloc3 == 0, zero, r3)
+                    else:
+                        def row0(lo, hi, k=k, rb=rb):
+                            return jnp.broadcast_to(
+                                bnd_ref[rb - 1, lo:hi, :, k:k + 1],
+                                (3, b, 128))
+                        u1 = jnp.where(yloc3 == 0, row0(0, 3), r1)
+                        u2 = jnp.where(yloc3 == 0, row0(3, 6), r2)
+                        u3 = jnp.where(yloc3 == 0, row0(6, 9), r3)
+                    # source-raster fold with clamp-on-store per write
+                    v3 = jnp.clip(cols3 + trunc16(u3, 1), 0, 255)
+                    v3 = jnp.clip(v3 + trunc16(u2, 5), 0, 255)
+                    v3 = jnp.clip(v3 + trunc16(u1, 3), 0, 255)
+                    v3 = jnp.clip(v3 + trunc16(o1, 7), 0, 255)
+                    idx, colors = quantize([v3[0], v3[1], v3[2]])
+                    new_o = jnp.where(
+                        jnp.logical_and(mask[None], dmask),
+                        v3 - jnp.stack(colors), 0)
+                    o3, o2, o1 = o2, o1, new_o
+                    shift = 8 * (k % 4)
+                    packed = (idx << shift if k % 4 == 0
+                              else packed | (idx << shift))
+                    if k % 4 == 3:
+                        out_ref[k // 4, :, sl] = packed
+                err_ref[0:3, :, sl] = o1
+                err_ref[3:6, :, sl] = o2
+                err_ref[6:9, :, sl] = o3
+
+    return kernel
+
+
+def _make_fs_table_kernel(b: int, hp: int, K: int, h: int, w: int):
+    """Quantizer for the libsixel device path: 15-bit bucket key ->
+    prefilled nearest-index table (per-frame, like the reference's
+    per-frame sixel_dither_new: 32768 u8 entries packed [64, b, 128]
+    i32 words) + per-frame palette lookup ([2, b, 128] packed 0xRRGGBB
+    words).
+
+    The 32768-entry lookup decomposes as row = key>>9 (64 sublane
+    rows), lane = (key>>2) & 127, byte = key & 3: a 64-iteration masked
+    accumulation of 128-lane gathers (lax.fori_loop keeps Mosaic from
+    unrolling it into the step body)."""
+
+    def make_quantize(table_refs):
+        bucket_ref, pal_ref, diff_ref = table_refs
+
+        def gather_row(tb, lanes):
+            # tb: [b, 128] (this frame-batch's row); lanes: [b, 128]
+            return jnp.take_along_axis(tb, lanes, axis=1)
+
+        def diff_mask():
+            # per-frame diffuse flags [1, b, 128] (libsixel disables
+            # diffusion when a frame has <= reqcolors distinct buckets)
+            return (diff_ref[...] > 0)
+
+        def quantize(vs):
+            v0, v1, v2 = vs  # int32, already clamped to [0, 255]
+            key = ((jax.lax.shift_right_logical(v0, 3) << 10)
+                   | (jax.lax.shift_right_logical(v1, 3) << 5)
+                   | jax.lax.shift_right_logical(v2, 3))
+            word_key = jax.lax.shift_right_logical(key, 2)
+            row = jax.lax.shift_right_logical(word_key, 7)
+            lane = word_key & 127
+            byte = key & 3
+
+            def body(r, acc):
+                g = gather_row(bucket_ref[r], lane)
+                return acc | jnp.where(row == r, g, 0)
+
+            word = jax.lax.fori_loop(0, 64, body,
+                                     jnp.zeros((b, 128), jnp.int32))
+            idx = jax.lax.shift_right_logical(
+                word, 8 * byte) & 0xFF
+            palw = jnp.where(idx < 128,
+                             gather_row(pal_ref[0], idx),
+                             gather_row(pal_ref[1], idx - 128))
+            colors = [(jax.lax.shift_right_logical(palw, sh)) & 0xFF
+                      for sh in (16, 8, 0)]
+            return idx, colors
+        return quantize, diff_mask
+
+    return _make_wavefront_kernel_int(b, hp, K, h, w, 3, make_quantize)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret",
+                                             "out_u8", "out_padded"))
+def fs_dither_table_fused(frames_rgba: jax.Array, table_words: jax.Array,
+                          pal_words: jax.Array, diff_words: jax.Array,
+                          h: int, w: int,
+                          interpret: bool = False,
+                          out_u8: bool = False,
+                          out_padded: bool = False) -> jax.Array:
+    """libsixel-mode FS dither (integer semantics + prefilled bucket
+    table), all-Pallas: same layout pipeline as fs_dither_cube_fused.
+    ``table_words``: [64, B, 128] i32 (per-frame 32768-u8 tables packed
+    LE); ``pal_words``: [2, B, 128] i32 0xRRGGBB per-frame palette
+    words; ``diff_words``: [1, B, 128] i32 per-frame diffuse flags
+    (0 = palette-only, libsixel's <=reqcolors rule).  B padded to the
+    frames' batch multiple with repeats of the last entry.  See
+    ops/libsixel_quant.py for the semantics spec and the deviation
+    analysis vs quant.c's raster-order cache."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 8
+    b0 = frames_rgba.shape[0]
+    b = _round_up(b0, 8)
+    hp = _round_up(h, 128)
+    wp = _round_up(w, 128)
+
+    x = frames_rgba
+    if x.ndim == 4:
+        if x.shape[-1] != 4:
+            x = jnp.pad(x, [(0, 0)] * 3 + [(0, 4 - x.shape[-1])])
+        x = jax.lax.bitcast_convert_type(x, jnp.int32)
+    if x.shape[1] >= h and x.shape[1] % 128 == 0 \
+            and x.shape[2] >= w and x.shape[2] % 128 == 0 \
+            and x.shape[0] % 8 == 0:
+        b, hp, wp = x.shape
+    else:
+        pad_b, pad_h, pad_w = b - b0, hp - h, wp - w
+        if pad_b or pad_h or pad_w:
+            x = jnp.pad(x, ((0, pad_b), (0, pad_h), (0, pad_w)))
+    if table_words.shape[1] < b:  # pad per-frame tables to the batch
+        padn = b - table_words.shape[1]
+        table_words = jnp.concatenate(
+            [table_words, jnp.repeat(table_words[:, -1:], padn, axis=1)],
+            axis=1)
+        pal_words = jnp.concatenate(
+            [pal_words, jnp.repeat(pal_words[:, -1:], padn, axis=1)],
+            axis=1)
+        diff_words = jnp.concatenate(
+            [diff_words, jnp.repeat(diff_words[:, -1:], padn, axis=1)],
+            axis=1)
+    wf = _round_up(wp + 256, _SKEW_BLK)
+    t_len = _round_up(w + 2 * (h - 1), 512)
+
+    cols = _skewT(x, wf, interpret=interpret)
+
+    nrb = hp // 128
+
+    def in_spec(r):
+        return pl.BlockSpec(
+            (K, b, 128),
+            lambda i, r=r: (jnp.clip(i - (256 // K) * r, 0,
+                                     wf // K - 1), 0, r),
+            memory_space=pltpu.VMEM)
+
+    packed = pl.pallas_call(
+        _make_fs_table_kernel(b, hp, K, h, w),
+        grid=(t_len // K,),
+        in_specs=([in_spec(r) for r in range(nrb)]
+                  + [pl.BlockSpec((64, b, 128), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((2, b, 128), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, b, 128), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((K // 4, b, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len // 4, b, hp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, b, hp), jnp.int32),
+                        pltpu.VMEM((hp // 128, 9, b, K), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([cols] * nrb), table_words, pal_words, diff_words)
+
+    packed_bht = _transpose_bwd(packed, interpret=interpret)
+    words_out = _unskewT(packed_bht, wp, interpret=interpret)
+    idx = jax.lax.bitcast_convert_type(words_out, jnp.uint8).reshape(
+        b, hp, wp)
+    out = idx if out_padded else idx[:b0, :h, :w]
+    return out if out_u8 else out.astype(jnp.int32)
+
+
+def pack_libsixel_tables(tables, palettes, diffuses=None):
+    """Host packing: per-frame (u8[B, 32768] bucket tables,
+    [B, n, 3] u8 palettes, diffuse flags) -> ([64, B, 128] i32
+    LE-packed table words, [2, B, 128] i32 0xRRGGBB palette words,
+    [1, B, 128] i32 diffuse flags).  1-frame inputs may be passed
+    unbatched; diffuses defaults to all-on."""
+    import numpy as np
+
+    t = np.ascontiguousarray(tables, dtype=np.uint8)
+    if t.ndim == 1:
+        t = t[None]
+    bsz = t.shape[0]
+    tw = t.view(np.int32).reshape(bsz, 64, 128).transpose(1, 0, 2).copy()
+    pals = palettes if isinstance(palettes, (list, tuple)) \
+        else [palettes] if np.asarray(palettes).ndim == 2 else palettes
+    palw = np.zeros((bsz, 256), dtype=np.int64)
+    for i in range(bsz):
+        p = np.asarray(pals[i], dtype=np.int64)
+        palw[i, :len(p)] = (p[:, 0] << 16) | (p[:, 1] << 8) | p[:, 2]
+    palw = palw.astype(np.int32).reshape(bsz, 2, 128).transpose(
+        1, 0, 2).copy()
+    if diffuses is None:
+        dw = np.ones((1, bsz, 128), dtype=np.int32)
+    else:
+        d = np.asarray(diffuses, dtype=np.int32).reshape(bsz)
+        dw = np.broadcast_to(d[None, :, None], (1, bsz, 128)).copy()
+    return tw, palw, dw
+
+
+# 15-bit bucket base colors (bits << 3), the lookup keys' reconstruction.
+def _bucket_bases():
+    import numpy as np
+    bkt = np.arange(1 << 15)
+    return np.stack([(bkt >> 10 & 0x1F) << 3, (bkt >> 5 & 0x1F) << 3,
+                     (bkt & 0x1F) << 3], axis=1).astype(np.int32)
+
+
+@jax.jit
+def build_bucket_tables_device(pals: jax.Array) -> jax.Array:
+    """Device-side bucket-table build: [B, 256, 3] i32 palettes (tail
+    entries replicated with the first color is fine -- strict-< argmin
+    keeps the lowest index) -> [B, 32768] u8 nearest-index tables.
+
+    One [32768, 3] x [3, 256] i32 contraction + first-min argmin per
+    frame, mapped over the batch (materializing [B, 32768, 256] at
+    once would be gigabytes). Integer math: exact, matches the C
+    builder bit-for-bit (tests assert)."""
+    base = jnp.asarray(_bucket_bases())  # [32768, 3]
+
+    def one(pal):
+        d = (base[:, None, :].astype(jnp.int32)
+             - pal[None, :, :].astype(jnp.int32))
+        dist = (d * d).sum(axis=2)  # [32768, 256]
+        return jnp.argmin(dist, axis=1).astype(jnp.uint8)
+
+    return jax.lax.map(one, pals)
+
+
 def _quad_tables(levels: jax.Array, depth: int) -> jax.Array:
     """Fold the binary level tables into quaternary ones.
 

@@ -128,8 +128,9 @@ class PresentationOptions:
     def __init__(self) -> None:
         self.pixelation = Pixelation.NOT_CHOSEN
         self.sixel_options = SixelOptions()
-        # timg-tpu extension: adaptive | cube | libsixel (ref-exact)
-        self.sixel_dither = "adaptive"
+        # timg-tpu extension: libsixel (ref-exact, default) | adaptive
+        # | cube
+        self.sixel_dither = "libsixel"
         self.tmux_workaround = False
         self.terminal_use_upper_block = False
         self.use_256_color = False

@@ -73,7 +73,14 @@ def prime_sixel_planes(frames: list, options, state: dict,
     across windows/loops (the canvas refreshes at animation starts
     from the same first frame, so reuse stays byte-identical)."""
     mode = getattr(options, "sixel_batch_dither", None)
-    if not frames or mode not in ("cube", "adaptive"):
+    if not frames or mode not in ("cube", "adaptive", "libsixel"):
+        return
+    if mode == "libsixel" and len(frames) == 1 and not sustained:
+        # one-shot stills keep the reference-exact cached quantizer in
+        # the canvas (sixel_render._enqueue_libsixel); only sustained
+        # streams / multi-frame animations take the batched
+        # bucket-table path (see ops/libsixel_quant.py for the
+        # cache-vs-table analysis)
         return
     from timg_tpu.ops.backend import prefer_host, use_numpy
 
@@ -97,6 +104,9 @@ def prime_sixel_planes(frames: list, options, state: dict,
     from timg_tpu.parallel import auto
 
     quantizer = None
+    if mode == "libsixel":
+        _prime_libsixel(frames, batch, host_mode, options)
+        return
     if mode == "cube":
         palette = None
         if host_mode:
@@ -178,6 +188,86 @@ def prime_sixel_planes(frames: list, options, state: dict,
 
     for i, frame in enumerate(frames):
         SIXEL_PLANES.put(frame, (indices[i], palette, quantizer))
+
+
+def _prime_libsixel(frames: list, batch: np.ndarray, host_mode: bool,
+                    options) -> None:
+    """libsixel-mode window dispatch: per-frame palettes on host (the
+    18,383-sample histogram + mediancut of quant.c, exactly as the
+    reference drives it per frame, ref sixel-canvas.cc:134-148), then
+    the bucket-table integer-FS apply — the device wavefront kernel
+    (ops/sixel_pallas3.fs_dither_table_fused) or its strict C mirror
+    (timg_native.cc:timg_libsixel_apply_table) on the host path; both
+    are byte-identical (tests/test_libsixel.py).  See
+    ops/libsixel_quant.py for the table-vs-cache semantics analysis."""
+    from timg_tpu.native import runtime as native_rt
+
+    pals, diffs = [], []
+    for i in range(len(frames)):
+        res = native_rt.libsixel_palette(batch[i])
+        if res is None:
+            from timg_tpu.ops import libsixel_quant as lsq
+            res = lsq.make_palette(batch[i][..., :3])
+        pals.append(res[0])
+        diffs.append(bool(res[1]))
+
+    if host_mode:
+        rows = []
+        for i in range(len(frames)):
+            table = native_rt.libsixel_build_table(pals[i])
+            if table is not None:
+                idx = native_rt.libsixel_apply_table(
+                    batch[i], table, pals[i], diffs[i])
+            else:  # no native helper: scalar oracle (tests only)
+                from timg_tpu.ops import libsixel_quant as lsq
+                table = lsq.build_bucket_table(pals[i])
+                idx = lsq.apply_palette_bucket_table(
+                    batch[i][..., :3], table, pals[i],
+                    diffs[i]).astype(np.uint8)
+            rows.append(idx)
+        indices = np.stack(rows)
+    else:
+        import jax
+
+        from timg_tpu.ops.sixel_pallas3 import (
+            build_bucket_tables_device, fs_dither_table_fused,
+            pack_libsixel_tables)
+        from timg_tpu.parallel import auto
+
+        pals256 = np.stack([
+            np.vstack([p, np.repeat(p[:1], 256 - len(p), 0)]).astype(
+                np.int32) for p in pals])
+        h, w = batch.shape[1:3]
+        words_np = batch.view(np.int32).reshape(batch.shape[:3])
+
+        def _shard(words_, pals_, diffs_):
+            import jax.numpy as jnp
+            bb = words_.shape[0]
+            tables = build_bucket_tables_device(pals_)
+            tw = jax.lax.bitcast_convert_type(
+                tables.reshape(bb, 8192, 4), jnp.int32).reshape(
+                    bb, 64, 128).transpose(1, 0, 2)
+            palw = ((pals_[:, :, 0] << 16) | (pals_[:, :, 1] << 8)
+                    | pals_[:, :, 2]).astype(jnp.int32).reshape(
+                        bb, 2, 128).transpose(1, 0, 2)
+            dww = jnp.broadcast_to(
+                diffs_[None, :, None], (1, bb, 128)).astype(jnp.int32)
+            return fs_dither_table_fused(words_, tw, palw, dww, h, w,
+                                         interpret=(jax.default_backend()
+                                                    != "tpu"),
+                                         out_u8=True)
+
+        diffs_np = np.asarray(diffs, np.int32)
+        full = auto.shard_batch_call(("libsixel_table",), _shard,
+                                     [words_np, pals256, diffs_np])
+        if full is None:
+            full = np.asarray(_shard(
+                jax.numpy.asarray(words_np), jax.numpy.asarray(pals256),
+                jax.numpy.asarray(diffs_np)))
+        indices = full[:len(frames)]
+
+    for i, frame in enumerate(frames):
+        SIXEL_PLANES.put(frame, (indices[i], pals[i], None))
 
 
 def prime_block_planes(frames: list, options,

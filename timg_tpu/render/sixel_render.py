@@ -274,11 +274,32 @@ class SixelCanvas(TerminalCanvas):
                 fb[h:, :, 3] = 255
 
         if self._dither == "libsixel":
-            # Reference-exact mode: palette + cached FS dither exactly as
-            # libsixel's quant.c computes them, on the host inside the
-            # compression pool -- the same architecture as the reference,
-            # whose encode_fun runs sixel_dither_initialize+sixel_encode
-            # in the pool per frame (ref sixel-canvas.cc:128-154).
+            if seq_type in (SeqType.START_OF_ANIMATION,
+                            SeqType.ANIMATION_FRAME):
+                # animation/video frames missing the primed-plane cache
+                # must stay byte-consistent with the batched
+                # bucket-table pipeline (plane_cache._prime_libsixel)
+                from timg_tpu.native import runtime as native_rt
+                res = native_rt.libsixel_palette(fb)
+                if res is not None:
+                    pal, diffuse = res
+                    table = native_rt.libsixel_build_table(pal)
+                    indices = native_rt.libsixel_apply_table(
+                        fb, table, pal, diffuse)
+                else:  # no native lib: scalar oracle (tests only)
+                    from timg_tpu.ops import libsixel_quant as lsq
+                    pal, diffuse = lsq.make_palette(fb[..., :3])
+                    table = lsq.build_bucket_table(pal)
+                    indices = lsq.apply_palette_bucket_table(
+                        fb[..., :3], table, pal, diffuse)
+                self._enqueue(indices, pal, seq_type, end_of_frame_ms)
+                return
+            # Stills: reference-exact mode — palette + cached FS dither
+            # exactly as libsixel's quant.c computes them, on the host
+            # inside the compression pool — the same architecture as the
+            # reference, whose encode_fun runs sixel_dither_initialize +
+            # sixel_encode in the pool per frame
+            # (ref sixel-canvas.cc:128-154).
             self._enqueue_libsixel(fb, seq_type, end_of_frame_ms)
             return
         from timg_tpu.ops.backend import prefer_host, use_numpy
