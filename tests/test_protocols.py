@@ -463,21 +463,29 @@ def test_bg_auto_matches_reference_via_pty(corpus, tmp_path):
 
 @needs_reference
 @pytest.mark.parametrize("term_answer,norm_id", [
-    (b"\033P>|kitty(0.26.5)\033\\\033[0n", True),   # auto -> kitty
-    (b"\033P>|iTerm2 3.4.19\033\\\033[0n", False),  # auto -> iterm2
-    (b"\033[0n", False),                            # unknown -> quarter
+    (b"\033P>|kitty(0.26.5)\033\\\033[0n", True),    # auto -> kitty
+    (b"\033P>|ghostty 1.0.1\033\\\033[0n", True),    # auto -> kitty
+    (b"\033P>|iTerm2 3.4.19\033\\\033[0n", False),   # auto -> iterm2
+    (b"\033P>|Konsole 22.12.3\033\\\033[0n", False),  # auto -> iterm2
+    (b"\033P>|WezTerm 20230712\033\\\033[0n", False),  # auto -> iterm2
+    # WindowsTerminal: sixel quirks flagged but no protocol; the DA1
+    # probe (answered without ';4') leaves it at quarter blocks
+    (b"\033P>|WindowsTerminal 1.22\033\\\033[0n", False),
+    (b"\033[0n", False),                             # unknown -> quarter
 ])
 def test_auto_pixelation_sieve_matches_reference(corpus, tmp_path,
                                                  term_answer, norm_id):
     """The full startup sieve with NO -g / NO -p (ref timg.cc:726-854):
     terminal size from the pty winsize (incl. pixel dims -> cell
     geometry + width stretch), graphics protocol auto-detection from
-    the scripted CSI >q answer, geometry default rows-2.  Both binaries
+    the scripted CSI >q answer (response table of ref
+    term-query.cc:277-318), geometry default rows-2.  Both binaries
     see the same scripted terminal; streams must match (modulo the
     time-seeded kitty image id)."""
     args = ["--debug-no-frame-delay", "-b", "black"]
     files = [corpus["gradient_320x200.png"]]
     answers = {b"\033[>q": term_answer,
+               b"\033[c": b"\033[?61;22c",  # DA1 probe: no sixel cap
                b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"}
 
     ref = _pty_ref(args, files, answers, tmp_path)
@@ -486,6 +494,29 @@ def test_auto_pixelation_sieve_matches_reference(corpus, tmp_path,
         ref = re.sub(rb"i=\d+", b"i=ID", ref)
         ours = re.sub(rb"i=\d+", b"i=ID", ours)
     assert ref == ours
+
+
+@pytest.mark.parametrize("term_answer,expect_after", [
+    # foot: sixel + broken-cursor quirk -> '\n' frame terminator
+    (b"\033P>|foot(1.16.2)\033\\\033[0n", b"\n"),
+    # mlterm: sixel, default cursor placement -> '\r'
+    (b"\033P>|mlterm 3.9.3\033\\\033[0n", b"\r"),
+])
+def test_auto_sieve_sixel_terminals(corpus, term_answer, expect_after):
+    """foot/mlterm answer sets drive the auto-sieve to sixel with the
+    per-terminal cursor quirk (ref term-query.cc:296-305; quirk use
+    ref sixel-canvas.cc:66-79).  Ours-only: the minimal reference
+    build has no sixel canvas and falls back to quarter blocks there
+    (ref timg.cc:783-788 #else branch), a capability difference, so
+    byte parity is asserted for the shared subset above instead."""
+    args = ["--debug-no-frame-delay", "-b", "black"]
+    files = [corpus["noise_64x48.png"]]
+    answers = {b"\033[>q": term_answer,
+               b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"}
+
+    out = _pty_ours(args, files, answers)
+    assert out.count(b"\033Pq") == 1          # sixel DCS stream
+    assert b"\033\\" + expect_after in out    # quirk-selected terminator
 
 
 @needs_reference
