@@ -1,0 +1,155 @@
+"""Decoder long-tail sweep (VERDICT r2 #6).
+
+Two parts:
+
+* multipage-TIFF semantics pinned to the reference's actual rule:
+  GraphicsMagick's multi-image blacklist is exactly {.ico, .pdf, .ps,
+  .txt} (ref src/graphics-magick-source.cc:196-198), so a multipage
+  TIFF *is* ``could_be_animation`` and plays as a coalesced animation
+  with the sub-centisecond -> 100 ms delay rule (ref :79-82). (Our
+  PIL path yields each page at its own size; GM's coalesceImages would
+  composite mixed-size pages onto the first page's canvas — a
+  documented deviation for the rare mixed-size multipage TIFF, see
+  ROADMAP.)
+
+* a format-fuzz sweep: every suffix both our build and the minimal
+  reference build (stb decode) can read is generated via PIL and the
+  quarter-block streams byte-compared, catching silent decode
+  divergence anywhere in the long tail. JPEG is excluded with cause
+  (stb's own IDCT vs libjpeg-turbo differ by +-1 LSB; see ROADMAP).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import has_reference
+from tests.test_golden import run_ours, run_reference
+
+
+@pytest.fixture()
+def multipage_tiff(tmp_path):
+    rng = np.random.default_rng(6)
+    pages = [Image.fromarray(
+        rng.integers(0, 256, (20, 30, 3), dtype=np.uint8))
+        for _ in range(4)]
+    p = str(tmp_path / "pages.tiff")
+    pages[0].save(p, save_all=True, append_images=pages[1:])
+    return p
+
+
+def test_multipage_tiff_is_animation(multipage_tiff):
+    """TIFF is not in the GM multi-image blacklist -> animation with
+    100 ms per page (ref graphics-magick-source.cc:196-214, :79-82)."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.pil_source import PILSource
+
+    opts = DisplayOptions(width=60, height=40, cell_x_px=2, cell_y_px=2,
+                          width_stretch=2.0)
+    src = PILSource(multipage_tiff)
+    assert src.load_and_scale(opts, 0, -1)
+    assert len(src.frames) == 4
+    assert all(f.delay_ms == 100.0 for f in src.frames)
+    assert src.is_animation_before_frame_limit()
+    assert not src.multi_image  # .ico-style stacking is blacklist-only
+
+
+def test_multipage_tiff_cli_frame_limits(multipage_tiff):
+    """--frames / --frame-offset apply to TIFF pages like any
+    animation (one repositioning cursor-up per extra frame)."""
+    base = ["--debug-no-frame-delay", "-pq", "-g40x20", "-b", "black",
+            "--loops=1"]
+    out_all = run_ours(base, [multipage_tiff])
+    assert out_all.count(b"\033[") > 0
+    # 4 frames: 3 cursor-up repositions between animation frames
+    import re
+    assert len(re.findall(rb"\033\[\d+A", out_all)) == 3
+    out_two = run_ours(base + ["--frames=2"], [multipage_tiff])
+    assert len(re.findall(rb"\033\[\d+A", out_two)) == 1
+    out_off = run_ours(base + ["--frame-offset=3"], [multipage_tiff])
+    assert len(re.findall(rb"\033\[\d+A", out_off)) == 0
+
+
+def test_ico_remains_stacked(tmp_path):
+    """Counter-case: .ico is blacklisted -> independent stacked images
+    (no repositioning), per the same reference rule."""
+    import re
+    rng = np.random.default_rng(8)
+    imgs = [Image.fromarray(
+        rng.integers(0, 256, (s, s, 3), dtype=np.uint8))
+        for s in (16, 32)]
+    p = str(tmp_path / "multi.ico")
+    imgs[0].save(p, sizes=[(16, 16), (32, 32)], append_images=imgs[1:])
+    out = run_ours(["--debug-no-frame-delay", "-pq", "-g40x20",
+                    "-b", "black"], [p])
+    assert not re.findall(rb"\033\[\d+A", out)
+
+
+# ---------------------------------------------------------------------------
+# Suffix fuzz sweep vs the reference binary
+# ---------------------------------------------------------------------------
+
+def _gen_images(tmp_path):
+    """(name, path) for every format both builds decode, PIL-written."""
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (21, 26, 4), dtype=np.uint8)
+    gray = rng.integers(0, 256, (18, 29), dtype=np.uint8)
+    out = []
+
+    def save(name, img, **kw):
+        p = str(tmp_path / name)
+        img.save(p, **kw)
+        out.append((name, p))
+
+    save("rgb.png", Image.fromarray(rgb))
+    save("rgba.png", Image.fromarray(rgba))
+    save("gray.png", Image.fromarray(gray))
+    save("pal.png", Image.fromarray(rgb).quantize(colors=40))
+    save("rgb.bmp", Image.fromarray(rgb))
+    save("gray.bmp", Image.fromarray(gray).convert("L"))
+    save("rgb.tga", Image.fromarray(rgb))
+    save("rgba.tga", Image.fromarray(rgba))
+    save("rgb.ppm", Image.fromarray(rgb))
+    save("gray.pgm", Image.fromarray(gray))
+    save("still.gif", Image.fromarray(rgb).quantize(colors=64))
+    return out
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not built")
+def test_suffix_sweep_byte_parity(tmp_path):
+    """Every PIL-written format stb can read: quarter-block streams
+    must be byte-identical (silent-divergence fuzz)."""
+    args = ["--debug-no-frame-delay", "-pq", "-g40x20", "-b", "black"]
+    failures = []
+    for name, path in _gen_images(tmp_path):
+        ref = run_reference(args, [path])
+        ours = run_ours(args, [path])
+        if not ref:
+            failures.append(f"{name}: reference produced no output")
+        elif ref != ours:
+            n = next((i for i, (a, b) in enumerate(zip(ref, ours))
+                      if a != b), min(len(ref), len(ours)))
+            failures.append(f"{name}: diverges at byte {n} "
+                            f"({len(ref)} vs {len(ours)} bytes)")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not built")
+def test_animated_gif_sweep_byte_parity(tmp_path):
+    """Animated GIF with per-frame delays and disposal: full animation
+    stream parity (decode + delays + repositioning)."""
+    rng = np.random.default_rng(5)
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)).quantize(64)
+        for _ in range(3)]
+    p = str(tmp_path / "anim.gif")
+    frames[0].save(p, save_all=True, append_images=frames[1:],
+                   duration=40, loop=0)
+    args = ["--debug-no-frame-delay", "-pq", "-g40x20", "-b", "black",
+            "--loops=1"]
+    assert run_reference(args, [p]) == run_ours(args, [p])
