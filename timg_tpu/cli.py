@@ -480,6 +480,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---- async decode fan-out (ref timg.cc:946-968) ----
     from timg_tpu.sources import create_source
 
+    # Contact sheets batch same-geometry cells across *images* through
+    # one device dispatch (sources/batch.py; SURVEY §2.4). Scroll mode
+    # pans raw frames and is excluded.
+    if ((present.grid_cols > 1 or present.grid_rows > 1)
+            and len(filelist) > 1 and not display.scroll_animation
+            and not os.environ.get("TIMG_TPU_NO_GRID_BATCH")):
+        from timg_tpu.sources.batch import GridBatchCollector
+        display.batch_collector = GridBatchCollector(len(filelist))
+
     thread_count = args.threads or _default_thread_count()
     pool = ThreadPoolExecutor(
         max_workers=max(1, min(thread_count, len(filelist) + 1)))
@@ -489,13 +498,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def load(filename: str):
         nonlocal load_failed
-        if interrupt_received:
-            return None
-        src, err = create_source(
-            filename, display, frame_offset, max_frames,
-            attempt_image_loading=not args.video_only,
-            attempt_video_loading=not args.image_only,
-        )
+        try:
+            if interrupt_received:
+                return None
+            src, err = create_source(
+                filename, display, frame_offset, max_frames,
+                attempt_image_loading=not args.video_only,
+                attempt_video_loading=not args.image_only,
+            )
+        finally:
+            # the grid collector flushes once every decode task has
+            # reported in -- success, failure or interrupt alike
+            if display.batch_collector is not None:
+                display.batch_collector.arrive()
         if src is None:
             # Every factory failure is a read error even when the
             # message is empty (silently-undecodable file): the

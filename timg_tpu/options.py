@@ -114,6 +114,11 @@ class DisplayOptions:
         # extension; None for non-sixel sessions).
         self.sixel_batch_dither = None
 
+        # Cross-image grid batching (sources/batch.py): set by the CLI
+        # for contact-sheet sessions; still sources register their
+        # device work here and same-geometry cells share one dispatch.
+        self.batch_collector = None
+
         for key, value in overrides.items():  # dataclass-style kwargs
             if not hasattr(self, key):
                 raise TypeError(f"DisplayOptions.__init__() got an "

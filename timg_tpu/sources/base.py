@@ -67,6 +67,8 @@ class ImageSource:
                     interrupt: Callable[[], bool], sink: FrameSink) -> None:
         """Stream frames with animation timing
         (ref stb-image-source.cc:172-207)."""
+        from timg_tpu.sources.batch import resolve_frames
+        resolve_frames(self.frames)  # grid-batched stills (sources/batch.py)
         last_height = -1
         is_animation = len(self.frames) > 1 and not self.multi_image
         if not is_animation:

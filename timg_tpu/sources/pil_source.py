@@ -274,13 +274,38 @@ def _process_frames(
     target_h: int,
     options: DisplayOptions,
 ) -> List[np.ndarray]:
-    """Device pipeline: batched resize + alpha compose.
+    """Device pipeline: batched resize + alpha compose + plane priming.
 
     One jit-compiled device invocation per animation (all frames batched),
     vs. the reference's per-frame serial CPU loop (stb-image-source.cc:42-68).
     On the CPU backend the strict numpy mirrors run instead (bit-exact,
     and the one-shot CLI path never imports jax; see ops/cpu_mirror.py).
+
+    Grid sessions batch across *images*: when a GridBatchCollector is
+    attached (sources/batch.py), single still frames are registered
+    there and resolved lazily — same-geometry grid cells then share one
+    resize dispatch (SURVEY §2.4 "a 4x2 contact sheet is one batched
+    launch"; ref decode fan-out analog src/timg.cc:946-968).
     """
+    collector = getattr(options, "batch_collector", None)
+    if collector is not None and len(raw_frames) == 1:
+        ticket = collector.register(raw_frames[0], target_w, target_h,
+                                    options)
+        if ticket is not None:
+            return [ticket]
+
+    out = _resize_compose(raw_frames, target_w, target_h, options)
+    _prime_planes(out, options)
+    return out
+
+
+def _resize_compose(
+    raw_frames: List[np.ndarray],
+    target_w: int,
+    target_h: int,
+    options: DisplayOptions,
+) -> List[np.ndarray]:
+    """The resize + lazy-background-compose legs (no priming)."""
     from timg_tpu.ops.backend import prefer_host, use_numpy
 
     # Small one-shot workloads run the bit-exact host mirrors: a fresh
@@ -341,10 +366,12 @@ def _process_frames(
                         jnp.asarray(result), jnp.asarray(bg_a),
                         jnp.asarray(pat_a), pattern_w=pw, pattern_h=ph))
         out.extend(result)
+    return out
 
+
+def _prime_planes(out: List[np.ndarray], options: DisplayOptions) -> None:
     from timg_tpu.render.plane_cache import (prime_block_planes,
                                              prime_sixel_planes)
     prime_block_planes(out, options)
-    if all(f.shape == out[0].shape for f in out):
+    if out and all(f.shape == out[0].shape for f in out):
         prime_sixel_planes(out, options, {})  # palette per image
-    return out
