@@ -262,3 +262,25 @@ def test_v4l2_gate_reports_availability():
         # graceful: open of a device path returns null, no crash
         assert lib.timg_video_open(b"/dev/video0") is None
     assert ("avdevice" in runtime.describe()) == bool(avail)
+
+
+def test_overlap_pipeline_byte_identical(y4m_file):
+    """The lookahead window pipeline (decode overlaps device work;
+    send_frames) must produce the exact serial stream, including with
+    a duration cutoff mid-stream (the decode-side sched_ms clock must
+    reproduce the serial path's post-flush cutoff decisions)."""
+    from tests.test_golden import run_ours
+
+    for extra in ([], ["-t", "0.2"], ["--frames=5"], ["--loops=2"]):
+        args = ["--debug-no-frame-delay", "-g40x20", "-pq", "-b", "black",
+                "--loops=1"] + extra
+        if "--loops=2" in extra:
+            args.remove("--loops=1")
+        overlapped = run_ours(args, [y4m_file])
+        os.environ["TIMG_TPU_NO_OVERLAP"] = "1"
+        try:
+            serial = run_ours(args, [y4m_file])
+        finally:
+            del os.environ["TIMG_TPU_NO_OVERLAP"]
+        assert overlapped == serial, extra
+        assert overlapped

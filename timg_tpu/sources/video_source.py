@@ -238,12 +238,13 @@ class VideoSource(ImageSource):
         if handle is None:
             return
         opts = self._options
-        tw, th = self._target
         frame_ms = 1000.0 / self._fps
         w, h = self.orig_width, self.orig_height
         nbytes = w * h * 4
         buf = ctypes.create_string_buffer(nbytes)
         use_yuv = getattr(self, "_use_yuv", False)
+        ybuf = ubuf = vbuf = None
+        cw = ch = 0
         if use_yuv:
             cw, ch = (w + 1) // 2, (h + 1) // 2
             ybuf = ctypes.create_string_buffer(w * h)
@@ -254,71 +255,106 @@ class VideoSource(ImageSource):
             loops = self.default_loops()
         loop_forever = loops < 0
 
-        time_ms = 0.0
+        # Window pipeline: decode of window k+1 overlaps the device
+        # processing + emission of window k (one lookahead slot; the
+        # bounded write queue provides end-to-end backpressure like the
+        # reference's depth-4 queue, ref timg.cc:972 /
+        # buffered-write-sequencer.cc:91-146).  Byte-identical to the
+        # serial order: the duration cutoff runs on a decode-side clock
+        # (sched_ms) that equals the serial path's post-flush time.
+        # TIMG_TPU_NO_OVERLAP=1 restores the serial dispatch.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        overlap = not os.environ.get("TIMG_TPU_NO_OVERLAP")
+        proc_pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+        windows: deque = deque()
+
+        time_ms = 0.0      # emission clock (sink timestamps)
+        sched_ms = 0.0     # decode-side clock (duration cutoff)
         is_first = True
         last_height = -1
-        k = 0
-        while (loop_forever or k < loops) and not interrupt() \
-                and time_ms < duration_ms:
-            if k > 0 and not lib.timg_video_rewind(handle):
-                break
-            frames_seen = 0
-            emitted = 0
-            pending: List = []
-            pending_kind = "rgba"
 
-            def flush():
-                nonlocal time_ms, is_first, last_height
-                if not pending:
-                    return
-                for frame in self._process_window(pending, pending_kind):
-                    time_ms += frame_ms
-                    dy = -last_height if last_height > 0 else 0
-                    seq = (SeqType.START_OF_ANIMATION if is_first
-                           else SeqType.ANIMATION_FRAME)
-                    sink(self.indentation, dy, frame, seq,
-                         min(time_ms, duration_ms))
-                    last_height = frame.shape[0]
-                    is_first = False
-                pending.clear()
+        def emit(frames):
+            nonlocal time_ms, is_first, last_height
+            for frame in frames:
+                time_ms += frame_ms
+                dy = -last_height if last_height > 0 else 0
+                seq = (SeqType.START_OF_ANIMATION if is_first
+                       else SeqType.ANIMATION_FRAME)
+                sink(self.indentation, dy, frame, seq,
+                     min(time_ms, duration_ms))
+                last_height = frame.shape[0]
+                is_first = False
 
-            while not interrupt():
-                if use_yuv:
-                    ret = lib.timg_video_read_frame_yuv(
-                        handle, ybuf, ubuf, vbuf, buf)
-                else:
-                    ret = lib.timg_video_read_frame(handle, buf)
-                if ret <= 0:
+        try:
+            k = 0
+            while (loop_forever or k < loops) and not interrupt() \
+                    and sched_ms < duration_ms:
+                if k > 0 and not lib.timg_video_rewind(handle):
                     break
-                frames_seen += 1
-                if frames_seen <= self._frame_offset:  # ref :342-347
-                    continue
-                if self._frame_count >= 0 and emitted >= self._frame_count:
+                frames_seen = 0
+                emitted = 0
+                pending: List = []
+                pending_kind = "rgba"
+
+                def flush(drain: bool = False):
+                    nonlocal sched_ms
+                    if pending:
+                        batch, kind = list(pending), pending_kind
+                        pending.clear()
+                        sched_ms += len(batch) * frame_ms
+                        if proc_pool is not None:
+                            windows.append(proc_pool.submit(
+                                self._process_window, batch, kind))
+                        else:
+                            emit(self._process_window(batch, kind))
+                    while windows and (drain or len(windows) > 1):
+                        emit(windows.popleft().result())
+
+                while not interrupt():
+                    if use_yuv:
+                        ret = lib.timg_video_read_frame_yuv(
+                            handle, ybuf, ubuf, vbuf, buf)
+                    else:
+                        ret = lib.timg_video_read_frame(handle, buf)
+                    if ret <= 0:
+                        break
+                    frames_seen += 1
+                    if frames_seen <= self._frame_offset:  # ref :342-347
+                        continue
+                    if self._frame_count >= 0 \
+                            and emitted >= self._frame_count:
+                        break
+                    emitted += 1
+                    if ret == 1 and use_yuv:
+                        item = (np.frombuffer(ybuf, np.uint8,
+                                              w * h).reshape(h, w).copy(),
+                                np.frombuffer(ubuf, np.uint8,
+                                              cw * ch).reshape(ch,
+                                                               cw).copy(),
+                                np.frombuffer(vbuf, np.uint8,
+                                              cw * ch).reshape(ch,
+                                                               cw).copy())
+                        kind = "yuv"
+                    else:
+                        # ret == 2: mid-stream non-4:2:0 frame, native
+                        # helper sws-converted it to RGBA as fallback
+                        item = np.frombuffer(buf, np.uint8,
+                                             nbytes).reshape(h, w,
+                                                             4).copy()
+                        kind = "rgba"
+                    if pending and kind != pending_kind:
+                        flush()       # homogeneous device windows only
+                    pending_kind = kind
+                    pending.append(item)
+                    if len(pending) >= _WINDOW:
+                        flush()
+                    if sched_ms > duration_ms:
+                        break
+                flush(drain=True)
+                if emitted == 0:
                     break
-                emitted += 1
-                if ret == 1 and use_yuv:
-                    item = (np.frombuffer(ybuf, np.uint8,
-                                          w * h).reshape(h, w).copy(),
-                            np.frombuffer(ubuf, np.uint8,
-                                          cw * ch).reshape(ch, cw).copy(),
-                            np.frombuffer(vbuf, np.uint8,
-                                          cw * ch).reshape(ch, cw).copy())
-                    kind = "yuv"
-                else:
-                    # ret == 2: mid-stream non-4:2:0 frame, native
-                    # helper sws-converted it to RGBA as fallback
-                    item = np.frombuffer(buf, np.uint8, nbytes).reshape(
-                        h, w, 4).copy()
-                    kind = "rgba"
-                if pending and kind != pending_kind:
-                    flush()           # homogeneous device windows only
-                pending_kind = kind
-                pending.append(item)
-                if len(pending) >= _WINDOW:
-                    flush()
-                if time_ms > duration_ms:
-                    break
-            flush()
-            if emitted == 0:
-                break
-            k += 1
+                k += 1
+        finally:
+            if proc_pool is not None:
+                proc_pool.shutdown(wait=True)
