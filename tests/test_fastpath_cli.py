@@ -260,3 +260,75 @@ def test_launcher_python_invocation(tmp_path):
     assert r.returncode == 0, r.stderr
     with open(f1, "rb") as f:
         assert f.read()
+
+
+# ---------------------------------------------------------------------------
+# PIL medium path: JPEG/GIF/BMP/WebP stills (decode parity by
+# construction — the fastpath uses PIL itself; the pixel work is C)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pil_stills(tmp_path_factory):
+    from PIL import Image
+    d = tmp_path_factory.mktemp("pilstills")
+    rng = np.random.default_rng(21)
+    out = {}
+    rgb = rng.integers(0, 256, (90, 130, 3), dtype=np.uint8)
+    p = str(d / "photo.jpg")
+    Image.fromarray(rgb).save(p, quality=88)
+    out["jpg"] = p
+    # large JPEG: exercises the DCT-domain draft() leg
+    big = rng.integers(0, 256, (700, 900, 3), dtype=np.uint8)
+    p = str(d / "big.jpg")
+    Image.fromarray(big).save(p, quality=85)
+    out["bigjpg"] = p
+    # EXIF-rotated JPEG
+    p = str(d / "rot.jpg")
+    img = Image.fromarray(rgb)
+    exif = img.getexif()
+    exif[0x0112] = 6  # rotate 270
+    img.save(p, quality=88, exif=exif)
+    out["exifjpg"] = p
+    p = str(d / "still.gif")
+    Image.fromarray(rgb).quantize(colors=60).save(p)
+    out["gif"] = p
+    p = str(d / "x.bmp")
+    Image.fromarray(rgb).save(p)
+    out["bmp"] = p
+    p = str(d / "x.webp")
+    Image.fromarray(rgb).save(p, lossless=True)
+    out["webp"] = p
+    # animated GIF: outside the envelope
+    frames = [Image.fromarray(rng.integers(0, 256, (20, 24, 3),
+                                           dtype=np.uint8)).quantize(32)
+              for _ in range(3)]
+    p = str(d / "anim.gif")
+    frames[0].save(p, save_all=True, append_images=frames[1:],
+                   duration=50)
+    out["animgif"] = p
+    return out
+
+
+@pytest.mark.parametrize("key", ["jpg", "bigjpg", "exifjpg", "gif",
+                                 "bmp", "webp"])
+def test_fast_pil_stills_match_full(key, pil_stills, tmp_path, capsys):
+    argv = BASE + ["-pq", "-g80x24", "-b", "black", pil_stills[key]]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_pil_still_rotate_off(pil_stills, tmp_path, capsys):
+    argv = BASE + ["-pq", "-g80x24", "-b", "black", "--rotate", "off",
+                   pil_stills["exifjpg"]]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_pil_mixed_with_png(pil_stills, tmp_path, capsys):
+    argv = BASE + ["-pq", "-g80x24", "-b", "black", "--title",
+                   CORPUS["noise_64x48.png"], pil_stills["jpg"]]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_bails_on_animated_gif(pil_stills):
+    rc = fast.try_fast_main(
+        BASE + ["-pq", "-g80x24", "-b", "black", pil_stills["animgif"]])
+    assert rc is None

@@ -20,10 +20,13 @@ src/image-source.cc, src/renderer.cc:46-76,
 src/unicode-block-canvas.cc).
 
 Envelope (everything else bails):
-  * all positional/-f inputs are regular-file PNGs in the native
-    decoder's subset (8-bit, non-interlaced, not APNG, no eXIf when
-    rotation is on) — or nonexistent/unreadable (that error path is
-    replicated exactly);
+  * all positional/-f inputs are regular-file stills: PNGs in the
+    native decoder's subset (8-bit, non-interlaced, not APNG, no eXIf
+    when rotation is on) decode in C with zero Python-library imports;
+    JPEG/GIF/BMP/WebP stills decode through PIL (the full path's own
+    decoder — parity by construction, ~155 ms of import paid only when
+    one appears; jax/numpy still never load) — or nonexistent/
+    unreadable (that error path is replicated exactly);
   * pixelation resolves to quarter/half without a graphics-protocol
     query (explicit -p, TIMG_PIXELATION, or the no-cell-size quarter
     default);
@@ -153,16 +156,46 @@ class _Bail(Exception):
     """Internal: invocation is outside the fastpath envelope."""
 
 
-class _NativeStill:
-    """Decode + scale + compose + block-select one PNG natively."""
+def _sniff_still(sig: bytes) -> Optional[str]:
+    """Magic-signature classification: "png" decodes in C, "pil"
+    decodes through PIL (JPEG/GIF/BMP/WebP stills); None bails to the
+    full path (videos, TGA's magic-less format, everything exotic —
+    in the full path PNG/JPEG/GIF/BMP/WebP with these signatures all
+    land in PILSource, so the decoder choice matches)."""
+    if sig.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if sig.startswith(b"\xff\xd8\xff"):
+        return "pil"  # JPEG
+    if sig.startswith((b"GIF87a", b"GIF89a")):
+        return "pil"
+    if sig.startswith(b"BM"):
+        return "pil"
+    if sig.startswith(b"RIFF") and sig[8:12] == b"WEBP":
+        return "pil"
+    return None
 
-    def __init__(self, lib, filename: str):
+
+class _NativeStill:
+    """Decode + scale + compose + block-select one still natively.
+
+    PNGs decode in C (timg_still.cc, zero Python-library imports);
+    other still formats (JPEG/GIF/BMP/WebP) decode through PIL — the
+    *same* decoder the full path uses, so parity is by construction —
+    and everything after the RGBA bytes runs in C either way.  PIL
+    costs ~155 ms of import paid only when a non-PNG file appears;
+    jax/numpy are never imported."""
+
+    def __init__(self, lib, filename: str, kind: str):
         self.lib = lib
         self.filename = filename
+        self.kind = kind  # "png" | "pil"
         self.orig_w = 0
         self.orig_h = 0
+        self._true_orig: Optional[Tuple[int, int]] = None
 
     def render_planes(self, disp: dict, bg_getter) -> Tuple:
+        if self.kind == "pil":
+            return self._render_pil(disp, bg_getter)
         lib = self.lib
         try:
             with open(self.filename, "rb") as f:
@@ -187,6 +220,83 @@ class _NativeStill:
                                           bg_getter)
         finally:
             lib.timg_buf_free(out)
+
+    def _render_pil(self, disp: dict, bg_getter) -> Tuple:
+        """PIL decode mirroring sources/pil_source.py's still path
+        (EXIF orientation, JPEG DCT-domain draft, convert("RGBA")) —
+        numpy-free: pixel work continues in C on the raw bytes."""
+        try:
+            from PIL import Image, ImageOps
+        except ImportError:
+            # the launcher boots `python -S`: the (venv) site-packages
+            # directory is not on sys.path; derive it from the
+            # executable (sys.prefix is the base prefix under -S, so
+            # sysconfig would point at the wrong tree for venvs)
+            ver = "python%d.%d" % sys.version_info[:2]
+            exe_prefix = os.path.dirname(
+                os.path.dirname(os.path.abspath(sys.executable)))
+            for prefix in (exe_prefix, sys.prefix):
+                cand = os.path.join(prefix, "lib", ver, "site-packages")
+                if os.path.isdir(cand) and cand not in sys.path:
+                    sys.path.append(cand)
+            try:
+                from PIL import Image, ImageOps
+            except ImportError:
+                raise _Bail("no PIL")
+        try:
+            img = Image.open(self.filename)
+        except Exception:
+            raise _Bail("pil cannot open")
+        if getattr(img, "n_frames", 1) > 1 or getattr(img, "format",
+                                                      "") == "ICO":
+            raise _Bail("animation / multi-image container")
+        if img.mode in ("I", "I;16", "I;16L", "I;16B", "I;16N"):
+            raise _Bail("high-bit-depth (numpy mirror semantics)")
+        if getattr(img, "format", None) == "BMP" and img.mode == "RGB" \
+                and getattr(img, "tile", None):
+            # the 32-bit BI_RGB alpha rewire lives in the numpy path
+            args = img.tile[0][3] if img.tile else ()
+            if args and args[0] == "BGRX":
+                raise _Bail("BMP BGRX alpha rewire")
+
+        true_size = img.size
+        orientation = 1
+        if disp["exif_rotate"]:
+            try:
+                orientation = int(img.getexif().get(0x0112) or 1)
+            except Exception:
+                orientation = 1
+        # DCT-domain downscale for large JPEGs (pil_source mirror of
+        # ref jpeg-source.cc:184-195; same guards)
+        if img.format == "JPEG" and orientation == 1:
+            tw = ctypes.c_int()
+            th = ctypes.c_int()
+            self.lib.timg_calc_scale(
+                true_size[0], true_size[1], disp["width"], disp["height"],
+                int(disp["fill_width"]), 0, disp["width_stretch"],
+                int(disp["upscale"]), int(disp["upscale_integer"]),
+                disp["cell_x_px"], disp["cell_y_px"], 0,
+                ctypes.byref(tw), ctypes.byref(th))
+            if (tw.value > 0 and th.value > 0
+                    and true_size[0] >= 2 * tw.value
+                    and true_size[1] >= 2 * th.value):
+                img.draft(None, (tw.value, th.value))
+                if img.size != true_size:
+                    self._true_orig = true_size
+        if disp["exif_rotate"] and orientation != 1:
+            img = ImageOps.exif_transpose(img)
+        try:
+            rgba = img.convert("RGBA")
+        except Exception:
+            raise _Bail("pil convert")
+        w, h = rgba.size
+        data = rgba.tobytes()
+        buf = ctypes.create_string_buffer(data, len(data))
+        planes = self._scale_and_blocks(buf, w, h, disp, bg_getter)
+        if self._true_orig is not None:
+            # drafted decode: titles report the file's real dimensions
+            self.orig_w, self.orig_h = self._true_orig
+        return planes
 
     def _scale_and_blocks(self, src_p, iw: int, ih: int, disp: dict,
                           bg_getter):
@@ -482,9 +592,10 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     bg_pattern_color = parse_color(args.bg_pattern_color)
     use_upper = utils.get_bool_env("TIMG_USE_UPPER_BLOCK")
 
-    # ---- input gate: every file either an eligible PNG or cleanly
-    # missing (full-path error diagnosis replicated) ----
+    # ---- input gate: every file either an eligible still (by magic
+    # signature) or cleanly missing (error diagnosis replicated) ----
     missing: dict = {}
+    kinds: dict = {}
     for fname in filelist:
         if fname == "-":
             return _finish(None)
@@ -501,11 +612,13 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
             if not stat_mod.S_ISREG(os.stat(fname).st_mode):
                 return _finish(None)
             with open(fname, "rb") as f:
-                sig = f.read(8)
+                sig = f.read(16)
         except OSError:
             return _finish(None)
-        if sig != b"\x89PNG\r\n\x1a\n":
+        kind = _sniff_still(sig)
+        if kind is None:
             return _finish(None)
+        kinds[fname] = kind
 
     disp = {
         "width": width, "height": height, "cell_x_px": cell_x,
@@ -526,7 +639,7 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
                 rendered.append(None)
                 sources.append(None)
                 continue
-            src = _NativeStill(lib, fname)
+            src = _NativeStill(lib, fname, kinds[fname])
             rendered.append(src.render_planes(disp, bg_getter))
             sources.append(src)
     except _Bail:
