@@ -332,3 +332,63 @@ def test_fast_bails_on_animated_gif(pil_stills):
     rc = fast.try_fast_main(
         BASE + ["-pq", "-g80x24", "-b", "black", pil_stills["animgif"]])
     assert rc is None
+
+
+# ---------------------------------------------------------------------------
+# iTerm2 fastpath (pixel-direct; PNG via the numpy-free png_core)
+# ---------------------------------------------------------------------------
+
+ITERM_MATRIX = [
+    (["-pi", "-g60x20", "-b", "black"], ["noise_64x48.png"]),
+    (["-pi", "-g60x20", "-b", "auto"], ["alpha_80x100.png"]),   # ->none
+    (["-pi", "-g60x20", "-b", "none"], ["alpha_80x100.png"]),   # RGBA png
+    (["-pi", "-g60x20", "-b", "#224466"], ["alpha_80x100.png"]),  # compose
+    (["-pi", "-g60x20", "-b", "black", "--compress=6"],
+     ["noise_512x512.png"]),
+    (["-pi", "-g60x20", "-b", "black", "--compress=0"],
+     ["noise_64x48.png"]),
+    (["-pi", "-g60x20", "-b", "black", "--title", "-C"],
+     ["gradient_320x200.png"]),
+    (["-pi", "-g60x20", "-b", "black"],
+     ["noise_64x48.png", "gray_50x40.png"]),
+]
+
+
+@pytest.mark.parametrize("flags,files", ITERM_MATRIX,
+                         ids=[" ".join(m[0]) + ":" + ",".join(m[1])
+                              for m in ITERM_MATRIX])
+def test_fast_iterm2_matches_full(flags, files, tmp_path, capsys):
+    argv = BASE + flags + [CORPUS[f] for f in files]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_iterm2_jpeg(pil_stills, tmp_path, capsys):
+    argv = BASE + ["-pi", "-g60x20", "-b", "black", pil_stills["jpg"]]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_auto_sieve_iterm2(tmp_path, capsys, monkeypatch):
+    """Auto-detection resolving to iTerm2 (the Konsole/WezTerm/iTerm2
+    interactive default) stays in the fastpath; kitty/sixel bail."""
+    from timg_tpu import term
+
+    class TS:
+        cols, rows = 82, 26
+        font_width_px, font_height_px = 8, 16
+
+    class GI:
+        preferred_graphics = "iterm2"
+        in_tmux = False
+        from timg_tpu.options import SixelOptions
+        sixel = SixelOptions()
+
+    monkeypatch.setattr(term, "determine_term_size", lambda: TS())
+    monkeypatch.setattr(term, "query_supported_graphics_protocol",
+                        lambda: GI())
+    argv = BASE + ["-b", "black", CORPUS["noise_64x48.png"]]
+    _run_both(argv, tmp_path, capsys)
+
+    GI.preferred_graphics = "kitty"
+    assert fast.try_fast_main(argv + ["-o", os.devnull]) is None
+    GI.preferred_graphics = "sixel"
+    assert fast.try_fast_main(argv + ["-o", os.devnull]) is None

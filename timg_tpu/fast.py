@@ -76,6 +76,12 @@ def _atof(text: str) -> float:
     return float(m.group(0)) if m else 0.0
 
 
+def _atoi(text: str) -> int:
+    """C atoi (cli._atoi mirror)."""
+    m = re.match(r"\s*[+-]?\d+", text)
+    return int(m.group(0)) if m else 0
+
+
 _HEX_RE = re.compile(r"^#([0-9a-fA-F]{2})([0-9a-fA-F]{2})([0-9a-fA-F]{2})")
 _RGB_RE = re.compile(r"^rgb\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _RGBX_RE = re.compile(
@@ -356,6 +362,11 @@ class _NativeStill:
                                        bytes(disp["bg_pattern_color"]),
                                        pw, ph, 0)
 
+        if disp["pixelation"] == "iterm2":
+            # pixel-direct: hand back the processed RGBA frame; the
+            # emitter turns it into a PNG (iterm2.py mirror)
+            return ("frame", frame, target_w, target_h)
+
         # Odd-height empty-line shift (ansi.pad_frame mirror,
         # ref unicode-block-canvas.cc:356-365).
         buf = frame.raw[:target_h * target_w * 4]
@@ -373,7 +384,7 @@ class _NativeStill:
         fn = (lib.timg_quarter_blocks if disp["quarter"]
               else lib.timg_half_blocks)
         fn(buf, padded_h, target_w, int(disp["use_upper"]), glyph, fg, bgp)
-        return glyph, fg, bgp, hcells, wcells, target_w
+        return ("blocks", glyph, fg, bgp, hcells, wcells, target_w)
 
 
 def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
@@ -424,20 +435,31 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     from timg_tpu import term, utils
     tsize = term.determine_term_size()
 
-    # Resolve pixelation silently; bail unless a block mode is certain.
+    # Resolve pixelation; block modes and iTerm2 stay in the fastpath.
     pixelation = None  # NOT_CHOSEN
     env_pix = env.get("TIMG_PIXELATION")
     if env_pix:
         pixelation = _PIX.get(env_pix[0].lower())
     if args.pixelation:
         pixelation = _PIX.get(args.pixelation[0].lower()) or pixelation
+    # cli.py's cell-size sieve runs against the explicit/env choice
+    # (NOT_CHOSEN is never pixel-direct there), so compute it before
+    # the auto-resolution below (ref timg.cc:742-767).
+    cell_unknown_pixel_mode = (
+        pixelation in ("iterm2", "kitty", "sixel")
+        and (tsize.font_width_px < 0 or tsize.font_height_px < 0))
     if pixelation is None:
-        if tsize.font_width_px > 0 and tsize.font_height_px > 0:
-            # Full path would run the graphics-protocol query here and
-            # may choose a pixel-direct canvas: outside the envelope.
-            return None
         pixelation = "quarter"
-    if pixelation not in ("quarter", "half"):
+        if tsize.font_width_px > 0 and tsize.font_height_px > 0:
+            # same graphics-protocol query the full path runs
+            # (ref timg.cc:770-793); kitty/sixel canvases are outside
+            # the envelope (the full path re-queries after the bail)
+            ginfo = term.query_supported_graphics_protocol()
+            if ginfo.preferred_graphics == "iterm2":
+                pixelation = "iterm2"
+            elif ginfo.preferred_graphics in ("kitty", "sixel"):
+                return None
+    if pixelation not in ("quarter", "half", "iterm2"):
         return None
 
     # ---- flag handling (cli.py mirror of ref timg.cc:521-718) ----
@@ -515,6 +537,11 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
             os.close(output_fd)
         return code_or_none
 
+    compress_level = 1  # ref display-options.h:52 default
+    for v in args.compress or ():
+        level = 1 if v == _BARE else _atoi(v)
+        # out-of-range silently falls back to 1 (ref timg.cc:694-701)
+        compress_level = level if 0 <= level <= 9 else 1
     use_256 = args.color8
     hide_cursor = not args.no_hide_cursor
 
@@ -556,15 +583,33 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
                   "unusual size", file=sys.stderr)
         return _finish(EXIT_NOT_A_TERMINAL)
 
+    pixel_direct = pixelation == "iterm2"
+    if pixel_direct and bg_color.lower() == "auto":
+        bg_color = "none"  # ref timg.cc:810-813 (terminal-side alpha)
+    local_alpha = bg_color.lower() != "none"  # ref timg.cc:818-820
+
     fw, fh = tsize.font_width_px, tsize.font_height_px
-    stretch_correct = 0.5 * fh / fw if fw != 0 else float("inf")
+    if pixel_direct:
+        stretch_correct = 1.0
+    else:
+        stretch_correct = 0.5 * fh / fw if fw != 0 else float("inf")
     width_stretch = utils.get_float_env("TIMG_FONT_WIDTH_CORRECT",
                                         stretch_correct)
     if pixelation == "half":
         cell_x, cell_y = 1, 2
-    else:
+    elif pixelation == "quarter":
         width_stretch *= 2
         cell_x, cell_y = 2, 2
+    else:  # iterm2: real font cell pixels (ref timg.cc:489-493)
+        cell_x, cell_y = 1, 2  # DisplayOptions defaults
+        if cell_unknown_pixel_mode:
+            cell_x, cell_y = 9, 18  # ref timg.cc:742-767
+            compress_level = 1
+        else:
+            if tsize.font_width_px > 0:
+                cell_x = tsize.font_width_px
+            if tsize.font_height_px > 0:
+                cell_y = tsize.font_height_px
 
     width = geometry_width * cell_x
     height = geometry_height * cell_y
@@ -628,6 +673,7 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
         "exif_rotate": exif_rotate, "pattern_size": args.pattern_size,
         "bg_pattern_color": bg_pattern_color,
         "quarter": pixelation == "quarter", "use_upper": use_upper,
+        "pixelation": pixelation,
     }
 
     # Decode/render pass: any _Bail aborts before a byte is written.
@@ -667,7 +713,6 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
             prefix.extend(_CURSOR_OFF)
         if clear_screen == 2 or (clear_screen == 1 and is_first):
             prefix.extend(_SCREEN_CLEAR)
-        glyph, fg, bgp, hcells, wcells, target_w = planes
         if show_title:
             title = _format_title(title_format, fname, src.orig_w,
                                   src.orig_h)
@@ -676,15 +721,40 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
         # send_frames duration cutoff (base.ImageSource.send_frames):
         # the single frame is emitted iff the budget is positive.
         if 0.0 < duration_per_image_ms:
-            indent = int((width - target_w) / 2) if center else 0
-            x = indent // 2 if pixelation == "quarter" else indent
-            cap = hcells * (wcells * 48 + 24) + 64
-            if cap > emit_cap:
-                emit_buf = ctypes.create_string_buffer(cap)
-                emit_cap = cap
-            n = lib.timg_ansi_emit(glyph, fg, bgp, None, hcells, wcells,
-                                   x, int(use_256), emit_buf)
-            body = ctypes.string_at(emit_buf, n)
+            if planes[0] == "frame":
+                # iTerm2 OSC 1337 (render/iterm2.py mirror,
+                # ref iterm2-canvas.cc:42-96)
+                import base64
+                _, frame_buf, target_w, target_h = planes
+                indent = int((width - target_w) / 2) if center else 0
+                dx_cells = indent // cell_x
+                if dx_cells > 0:  # canvas.move_cursor_dx
+                    prefix.extend(b"\033[%dC" % dx_cells)
+                channels = 4 if not local_alpha else 3
+                raw = ctypes.create_string_buffer(
+                    target_h * (1 + target_w * channels))
+                lib.timg_png_sub_filter(frame_buf, target_h, target_w,
+                                        channels, raw)
+                from timg_tpu.render.png_core import \
+                    encode_png_from_filtered
+                png = encode_png_from_filtered(
+                    raw.raw, target_w, target_h, compress_level,
+                    with_alpha=not local_alpha)
+                body = (b"\033]1337;File=size=%d;width=%dpx;"
+                        b"height=%dpx;inline=1:"
+                        % (len(png), target_w, target_h))
+                body += base64.b64encode(png) + b"\007\n"
+            else:
+                _, glyph, fg, bgp, hcells, wcells, target_w = planes
+                indent = int((width - target_w) / 2) if center else 0
+                x = indent // 2 if pixelation == "quarter" else indent
+                cap = hcells * (wcells * 48 + 24) + 64
+                if cap > emit_cap:
+                    emit_buf = ctypes.create_string_buffer(cap)
+                    emit_cap = cap
+                n = lib.timg_ansi_emit(glyph, fg, bgp, None, hcells,
+                                       wcells, x, int(use_256), emit_buf)
+                body = ctypes.string_at(emit_buf, n)
             _reliable_write(output_fd, bytes(prefix) + body)
             prefix.clear()
         if hide_cursor:
