@@ -123,6 +123,25 @@ def main() -> int:
                 "median": round(statistics.median(times), 1),
                 "min": round(min(times), 1)}
 
+    # Pixel-direct one-shots (all three run the native fastpath since
+    # round 3: iTerm2/kitty emit C-sub-filtered PNG, sixel runs the
+    # reference-exact libsixel quant.c + C RLE assembly).
+    for mode in ("sixel", "kitty", "iterm2"):
+        margs = [f"-p{mode[0]}", "-g80x24", "--debug-no-frame-delay",
+                 "-b", "black", "-o", "/dev/null", img]
+        times, err = measure([os.path.join(REPO, "timg-tpu"), *margs],
+                             base_env)
+        if times:
+            out[f"fastpath_{mode}_ms"] = {
+                "median": round(statistics.median(times), 1),
+                "min": round(min(times), 1)}
+        if os.path.exists(REF):
+            times, _ = measure([REF, *margs], base_env)
+            if times:
+                out[f"reference_{mode}_ms"] = {
+                    "median": round(statistics.median(times), 1),
+                    "min": round(min(times), 1)}
+
     print(json.dumps(out, indent=1))
     return 0
 

@@ -175,8 +175,9 @@ def test_fast_bails_outside_envelope(tmp_path, monkeypatch):
     _expect_bail(base + ["-V", img])
     _expect_bail(base + ["--version"])
     _expect_bail(base + ["--help"])
-    _expect_bail(["-pk", "-g80x24", img])         # pixel-direct modes
-    _expect_bail(["-ps", "-g80x24", img])
+    # sixel with the non-default dithers runs the numpy/device quantizers
+    _expect_bail(["-ps", "--dither=cube", "-g80x24", img])
+    _expect_bail(["-ps", "--dither=adaptive", "-g80x24", img])
     _expect_bail(base + [CORPUS["gray16_48x32.png"]])  # 16-bit subset
     # non-PNG input (JPEG header)
     jpg = tmp_path / "x.jpg"
@@ -367,9 +368,11 @@ def test_fast_iterm2_jpeg(pil_stills, tmp_path, capsys):
     _run_both(argv, tmp_path, capsys)
 
 
-def test_fast_auto_sieve_iterm2(tmp_path, capsys, monkeypatch):
-    """Auto-detection resolving to iTerm2 (the Konsole/WezTerm/iTerm2
-    interactive default) stays in the fastpath; kitty/sixel bail."""
+def test_fast_auto_sieve_pixel_direct(tmp_path, capsys, monkeypatch,
+                                      pinned_kitty_ids):
+    """Auto-detection resolving to each pixel-direct protocol stays in
+    the fastpath (kitty inside tmux bails: passthrough needs the full
+    canvas)."""
     from timg_tpu import term
 
     class TS:
@@ -388,7 +391,82 @@ def test_fast_auto_sieve_iterm2(tmp_path, capsys, monkeypatch):
     argv = BASE + ["-b", "black", CORPUS["noise_64x48.png"]]
     _run_both(argv, tmp_path, capsys)
 
+    for proto in ("kitty", "sixel"):
+        GI.preferred_graphics = proto
+        _run_both(argv, tmp_path, capsys)
+
     GI.preferred_graphics = "kitty"
+    GI.in_tmux = True
     assert fast.try_fast_main(argv + ["-o", os.devnull]) is None
-    GI.preferred_graphics = "sixel"
-    assert fast.try_fast_main(argv + ["-o", os.devnull]) is None
+
+
+# ---------------------------------------------------------------------------
+# Kitty fastpath (APC chunked PNG; ids are time-seeded so parity runs
+# pin both modules' id state)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def pinned_kitty_ids(monkeypatch):
+    from timg_tpu.render import kitty
+    monkeypatch.setattr(kitty, "_id_start", 400000)
+    monkeypatch.setattr(kitty, "_id_counter", 0)
+    monkeypatch.setattr(fast, "_kitty_id_start", 400000)
+    monkeypatch.setattr(fast, "_kitty_id_counter", 0)
+
+
+KITTY_MATRIX = [
+    (["-pk", "-g60x20", "-b", "black"], ["noise_64x48.png"]),
+    (["-pk", "-g60x20", "-b", "auto"], ["alpha_80x100.png"]),   # ->none
+    (["-pk", "-g60x20", "-b", "none"], ["alpha_80x100.png"]),   # RGBA png
+    (["-pk", "-g60x20", "-b", "#224466"], ["alpha_80x100.png"]),
+    (["-pk", "-g60x20", "-b", "black", "--compress=6"],
+     ["noise_512x512.png"]),                          # multi-chunk APC
+    (["-pk", "-g60x20", "-b", "black", "--title", "-C"],
+     ["gradient_320x200.png"]),
+    (["-pk", "-g60x20", "-b", "black"],
+     ["noise_64x48.png", "gray_50x40.png"]),
+]
+
+
+@pytest.mark.parametrize("flags,files", KITTY_MATRIX,
+                         ids=[" ".join(m[0]) + ":" + ",".join(m[1])
+                              for m in KITTY_MATRIX])
+def test_fast_kitty_matches_full(flags, files, tmp_path, capsys,
+                                 pinned_kitty_ids):
+    argv = BASE + flags + [CORPUS[f] for f in files]
+    _run_both(argv, tmp_path, capsys)
+
+
+# ---------------------------------------------------------------------------
+# Sixel fastpath (reference-exact libsixel quant.c + C RLE assembly)
+# ---------------------------------------------------------------------------
+
+SIXEL_MATRIX = [
+    (["-ps", "-g60x20", "-b", "black"], ["noise_64x48.png"]),
+    (["-ps", "-g60x20", "-b", "black"], ["gradient_320x200.png"]),
+    # 80x100 -> height % 6 != 0: exercises the composed pad strip
+    (["-ps", "-g60x20", "-b", "#336699"], ["alpha_80x100.png"]),
+    (["-ps", "-g60x20", "-b", "none"], ["alpha_80x100.png"]),  # zero pad
+    (["-ps", "-g60x20", "-b", "black", "--title", "-C"],
+     ["gradient_320x200.png"]),
+    (["-ps", "-g60x20", "-b", "black"],
+     ["noise_64x48.png", "gray_50x40.png"]),
+]
+
+
+@pytest.mark.parametrize("flags,files", SIXEL_MATRIX,
+                         ids=[" ".join(m[0]) + ":" + ",".join(m[1])
+                              for m in SIXEL_MATRIX])
+def test_fast_sixel_matches_full(flags, files, tmp_path, capsys):
+    argv = BASE + flags + [CORPUS[f] for f in files]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_sixel_jpeg(pil_stills, tmp_path, capsys):
+    argv = BASE + ["-ps", "-g60x20", "-b", "black", pil_stills["jpg"]]
+    _run_both(argv, tmp_path, capsys)
+
+
+def test_fast_kitty_jpeg(pil_stills, tmp_path, capsys, pinned_kitty_ids):
+    argv = BASE + ["-pk", "-g60x20", "-b", "black", pil_stills["jpg"]]
+    _run_both(argv, tmp_path, capsys)

@@ -27,9 +27,12 @@ Envelope (everything else bails):
     decoder — parity by construction, ~155 ms of import paid only when
     one appears; jax/numpy still never load) — or nonexistent/
     unreadable (that error path is replicated exactly);
-  * pixelation resolves to quarter/half without a graphics-protocol
-    query (explicit -p, TIMG_PIXELATION, or the no-cell-size quarter
-    default);
+  * pixelation resolves to quarter/half blocks or to any of the three
+    pixel-direct protocols: iTerm2 (OSC 1337 PNG), kitty (APC chunked
+    PNG; bails inside tmux — passthrough needs the full canvas) and
+    sixel (reference-exact libsixel quant.c pipeline + RLE assembly,
+    both C; bails for --dither=cube/adaptive which run through the
+    numpy/device quantizers);
   * no grid, scroll, auto-crop, frame limits, verbose stats, video
     flags, or force-backend env overrides;
   * no flag values that would print a warning (the full path would
@@ -362,9 +365,10 @@ class _NativeStill:
                                        bytes(disp["bg_pattern_color"]),
                                        pw, ph, 0)
 
-        if disp["pixelation"] == "iterm2":
+        if disp["pixelation"] in ("iterm2", "kitty", "sixel"):
             # pixel-direct: hand back the processed RGBA frame; the
-            # emitter turns it into a PNG (iterm2.py mirror)
+            # emitter turns it into a PNG / sixel DCS stream
+            # (iterm2.py / kitty.py / sixel_render.py mirrors)
             return ("frame", frame, target_w, target_h)
 
         # Odd-height empty-line shift (ansi.pad_frame mirror,
@@ -385,6 +389,82 @@ class _NativeStill:
               else lib.timg_half_blocks)
         fn(buf, padded_h, target_w, int(disp["use_upper"]), glyph, fg, bgp)
         return ("blocks", glyph, fg, bgp, hcells, wcells, target_w)
+
+
+# Kitty image ids (render/kitty._create_id mirror, ref
+# kitty-canvas.cc:48-53).  Time-seeded, so ids necessarily differ
+# run-to-run (the parity tests pin both modules' seeds).
+_B64_CHUNK = 4096          # max allowed by the protocol (ref :43)
+_BYTE_CHUNK = _B64_CHUNK // 4 * 3
+_kitty_id_start: Optional[int] = None
+_kitty_id_counter = 0
+
+
+def _kitty_create_id() -> int:
+    global _kitty_id_start, _kitty_id_counter
+    if _kitty_id_start is None:
+        _kitty_id_start = (int(time.time()) << 7) & 0xFFFFFFFF
+    _kitty_id_counter += 1
+    return (_kitty_id_start + _kitty_id_counter) & 0xFFFFFFFF
+
+
+def _kitty_payload(lib, frame_buf, target_w: int, target_h: int,
+                   compress_level: int, with_alpha: bool) -> bytes:
+    """Kitty APC framing for one still (render/kitty._frame_payload
+    mirror, wrap=False; ref kitty-canvas.cc:178-235)."""
+    import base64
+
+    channels = 4 if with_alpha else 3
+    raw = ctypes.create_string_buffer(target_h * (1 + target_w * channels))
+    lib.timg_png_sub_filter(frame_buf, target_h, target_w, channels, raw)
+    from timg_tpu.render.png_core import encode_png_from_filtered
+    png = encode_png_from_filtered(raw.raw, target_w, target_h,
+                                   compress_level, with_alpha=with_alpha)
+    image_id = _kitty_create_id()
+    out = bytearray()
+    out += b"\033_Ga=T,i=%d,q=2,f=100,m=%d;" % (
+        image_id, 1 if len(png) > _BYTE_CHUNK else 0)
+    pos = 0
+    while pos < len(png):
+        chunk = png[pos:pos + _BYTE_CHUNK]
+        pos += len(chunk)
+        out += base64.b64encode(chunk)
+        if pos < len(png):
+            out += b"\033\\\033_Gq=2,m=%d;" % (
+                1 if len(png) - pos > _BYTE_CHUNK else 0)
+    out += b"\033\\\n"
+    return bytes(out)
+
+
+def _sixel_payload(lib, frame_buf, target_w: int, target_h: int,
+                   bg_getter) -> bytes:
+    """Sixel DCS stream for one still: height padded to a multiple of 6
+    with a background-composed strip (sixel_render.SixelCanvas.send
+    mirror, ref sixel-canvas.cc:91-120), then the reference-exact
+    libsixel quant.c pipeline + RLE assembly, both in C."""
+    w, h = target_w, target_h
+    padded_h = (h + 5) - (h + 5) % 6
+    buf = frame_buf.raw[:h * w * 4]
+    if padded_h > h:
+        bg = bg_getter()
+        if bg[3] != 0:
+            px = bytes((bg[0], bg[1], bg[2], 255))
+            buf += px * ((padded_h - h) * w)
+        else:
+            buf += b"\x00" * ((padded_h - h) * w * 4)
+    pal = ctypes.create_string_buffer(256 * 3)
+    idx = ctypes.create_string_buffer(padded_h * w)
+    rc = lib.timg_libsixel_quant(buf, padded_h, w, w * 4, 256, pal, idx)
+    if rc < 0:
+        raise _Bail("libsixel quant")
+    ncolors = rc & 0xFFFF
+    n_bands = (padded_h + 5) // 6
+    cap = n_bands * ncolors * (w + 12) + ncolors * 20 + 256
+    out = ctypes.create_string_buffer(cap)
+    n = lib.timg_sixel_encode(idx, padded_h, w, w, pal, ncolors, out)
+    if n < 0:
+        raise _Bail("sixel assembly")
+    return ctypes.string_at(out, n)
 
 
 def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
@@ -435,7 +515,8 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     from timg_tpu import term, utils
     tsize = term.determine_term_size()
 
-    # Resolve pixelation; block modes and iTerm2 stay in the fastpath.
+    # Resolve pixelation; block modes and all three pixel-direct
+    # protocols stay in the fastpath.
     pixelation = None  # NOT_CHOSEN
     env_pix = env.get("TIMG_PIXELATION")
     if env_pix:
@@ -448,18 +529,34 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     cell_unknown_pixel_mode = (
         pixelation in ("iterm2", "kitty", "sixel")
         and (tsize.font_width_px < 0 or tsize.font_height_px < 0))
+    sixel_opts = None
     if pixelation is None:
         pixelation = "quarter"
         if tsize.font_width_px > 0 and tsize.font_height_px > 0:
             # same graphics-protocol query the full path runs
-            # (ref timg.cc:770-793); kitty/sixel canvases are outside
-            # the envelope (the full path re-queries after the bail)
+            # (ref timg.cc:770-793)
             ginfo = term.query_supported_graphics_protocol()
             if ginfo.preferred_graphics == "iterm2":
                 pixelation = "iterm2"
-            elif ginfo.preferred_graphics in ("kitty", "sixel"):
-                return None
-    if pixelation not in ("quarter", "half", "iterm2"):
+            elif ginfo.preferred_graphics == "kitty":
+                if ginfo.in_tmux:
+                    # tmux passthrough + placeholder tiles: full path
+                    return None
+                pixelation = "kitty"
+            elif ginfo.preferred_graphics == "sixel":
+                pixelation = "sixel"
+                sixel_opts = ginfo.sixel
+    elif pixelation == "kitty":
+        # ref timg.cc:891-893 / cli.py: the explicit kitty choice still
+        # queries the terminal for the tmux workaround
+        if term.query_supported_graphics_protocol().in_tmux:
+            return None
+    elif pixelation == "sixel":
+        sixel_opts = term.query_supported_graphics_protocol().sixel
+    if pixelation not in ("quarter", "half", "iterm2", "kitty", "sixel"):
+        return None
+    if pixelation == "sixel" and args.dither != "libsixel":
+        # cube/adaptive dither run through the numpy/device quantizers
         return None
 
     # ---- flag handling (cli.py mirror of ref timg.cc:521-718) ----
@@ -583,8 +680,8 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
                   "unusual size", file=sys.stderr)
         return _finish(EXIT_NOT_A_TERMINAL)
 
-    pixel_direct = pixelation == "iterm2"
-    if pixel_direct and bg_color.lower() == "auto":
+    pixel_direct = pixelation in ("iterm2", "kitty", "sixel")
+    if pixelation in ("iterm2", "kitty") and bg_color.lower() == "auto":
         bg_color = "none"  # ref timg.cc:810-813 (terminal-side alpha)
     local_alpha = bg_color.lower() != "none"  # ref timg.cc:818-820
 
@@ -600,7 +697,7 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     elif pixelation == "quarter":
         width_stretch *= 2
         cell_x, cell_y = 2, 2
-    else:  # iterm2: real font cell pixels (ref timg.cc:489-493)
+    else:  # pixel-direct: real font cell pixels (ref timg.cc:489-493)
         cell_x, cell_y = 1, 2  # DisplayOptions defaults
         if cell_unknown_pixel_mode:
             cell_x, cell_y = 9, 18  # ref timg.cc:742-767
@@ -686,7 +783,15 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
                 sources.append(None)
                 continue
             src = _NativeStill(lib, fname, kinds[fname])
-            rendered.append(src.render_planes(disp, bg_getter))
+            planes = src.render_planes(disp, bg_getter)
+            if pixelation == "sixel" and planes[0] == "frame":
+                # build the full DCS stream now so a quant failure
+                # bails before the first byte is written
+                _, frame_buf, tw, th = planes
+                planes = ("sixelstream",
+                          _sixel_payload(lib, frame_buf, tw, th,
+                                         bg_getter), tw, th)
+            rendered.append(planes)
             sources.append(src)
     except _Bail:
         return _finish(None)
@@ -722,28 +827,49 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
         # the single frame is emitted iff the budget is positive.
         if 0.0 < duration_per_image_ms:
             if planes[0] == "frame":
-                # iTerm2 OSC 1337 (render/iterm2.py mirror,
-                # ref iterm2-canvas.cc:42-96)
-                import base64
                 _, frame_buf, target_w, target_h = planes
                 indent = int((width - target_w) / 2) if center else 0
                 dx_cells = indent // cell_x
                 if dx_cells > 0:  # canvas.move_cursor_dx
                     prefix.extend(b"\033[%dC" % dx_cells)
-                channels = 4 if not local_alpha else 3
-                raw = ctypes.create_string_buffer(
-                    target_h * (1 + target_w * channels))
-                lib.timg_png_sub_filter(frame_buf, target_h, target_w,
-                                        channels, raw)
-                from timg_tpu.render.png_core import \
-                    encode_png_from_filtered
-                png = encode_png_from_filtered(
-                    raw.raw, target_w, target_h, compress_level,
-                    with_alpha=not local_alpha)
-                body = (b"\033]1337;File=size=%d;width=%dpx;"
-                        b"height=%dpx;inline=1:"
-                        % (len(png), target_w, target_h))
-                body += base64.b64encode(png) + b"\007\n"
+                if pixelation == "iterm2":
+                    # iTerm2 OSC 1337 (render/iterm2.py mirror,
+                    # ref iterm2-canvas.cc:42-96)
+                    import base64
+                    channels = 4 if not local_alpha else 3
+                    raw = ctypes.create_string_buffer(
+                        target_h * (1 + target_w * channels))
+                    lib.timg_png_sub_filter(frame_buf, target_h,
+                                            target_w, channels, raw)
+                    from timg_tpu.render.png_core import \
+                        encode_png_from_filtered
+                    png = encode_png_from_filtered(
+                        raw.raw, target_w, target_h, compress_level,
+                        with_alpha=not local_alpha)
+                    body = (b"\033]1337;File=size=%d;width=%dpx;"
+                            b"height=%dpx;inline=1:"
+                            % (len(png), target_w, target_h))
+                    body += base64.b64encode(png) + b"\007\n"
+                elif pixelation == "kitty":
+                    body = _kitty_payload(lib, frame_buf, target_w,
+                                          target_h, compress_level,
+                                          with_alpha=not local_alpha)
+                else:
+                    raise AssertionError(pixelation)  # sixel pre-built
+            elif planes[0] == "sixelstream":
+                # sixel cursor-placement quirk framing (ref
+                # sixel-canvas.cc:66-79; sixel_render.SixelCanvas)
+                _, stream, target_w, _th = planes
+                indent = int((width - target_w) / 2) if center else 0
+                dx_cells = indent // cell_x
+                if dx_cells > 0:
+                    prefix.extend(b"\033[%dC" % dx_cells)
+                if sixel_opts.known_broken_cursor_placement:
+                    body = (b"\033[80l\033[?7730l\033[?8452h"
+                            + stream + b"\n")
+                else:
+                    body = (b"\033[80h\033[?7730h\033[?8452l"
+                            + stream + b"\r")
             else:
                 _, glyph, fg, bgp, hcells, wcells, target_w = planes
                 indent = int((width - target_w) / 2) if center else 0
