@@ -182,6 +182,10 @@ def create_source(
         candidates.append(HDRSource)
         candidates.append(SVGSource)
         candidates.append(PDFSource)
+        # PostScript before PIL: PIL's EpsImagePlugin also needs gs,
+        # but fails without the gated diagnostic hint
+        from timg_tpu.sources.ps_source import PSSource
+        candidates.append(PSSource)
         candidates.append(PILSource)
     if attempt_video_loading:
         try:
