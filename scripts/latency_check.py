@@ -106,9 +106,12 @@ def main() -> int:
     else:
         out["numpy_path_error"] = err
 
+    # 5 runs, not 12: each TPU subprocess pays the full jax import +
+    # device attach through the dev tunnel (~10 s), and the median
+    # stabilizes well before 12 samples.
     tpu_env = dict(base_env, TIMG_TPU_FORCE_DEVICE="1")
     times, err = measure([os.path.join(REPO, "timg-tpu"), *args], tpu_env,
-                         warmup=2)
+                         warmup=2, runs=5)
     if times:
         out["tpu_warm_cache_ms"] = {
             "median": round(statistics.median(times), 1),
