@@ -6,11 +6,10 @@ Two parts:
   GraphicsMagick's multi-image blacklist is exactly {.ico, .pdf, .ps,
   .txt} (ref src/graphics-magick-source.cc:196-198), so a multipage
   TIFF *is* ``could_be_animation`` and plays as a coalesced animation
-  with the sub-centisecond -> 100 ms delay rule (ref :79-82). (Our
-  PIL path yields each page at its own size; GM's coalesceImages would
-  composite mixed-size pages onto the first page's canvas — a
-  documented deviation for the rare mixed-size multipage TIFF, see
-  ROADMAP.)
+  with the sub-centisecond -> 100 ms delay rule (ref :79-82).
+  Mixed-size pages follow GM's coalesceImages: every page composites
+  onto the FIRST page's canvas at (0,0), each over the previous
+  result (ref :208-213; pil_source._coalesce_frames).
 
 * a format-fuzz sweep: every suffix both our build and the minimal
   reference build (stb decode) can read is generated via PIL and the
@@ -72,6 +71,42 @@ def test_multipage_tiff_cli_frame_limits(multipage_tiff):
     assert len(re.findall(rb"\033\[\d+A", out_two)) == 1
     out_off = run_ours(base + ["--frame-offset=3"], [multipage_tiff])
     assert len(re.findall(rb"\033\[\d+A", out_off)) == 0
+
+
+def test_mixed_size_tiff_coalesces(tmp_path):
+    """GM coalesceImages semantics for mixed-size pages: first-page
+    canvas, later pages composited at (0,0) over the previous result
+    (ref graphics-magick-source.cc:208-213)."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.pil_source import PILSource, _coalesce_frames
+
+    # unit semantics: opaque small page over a solid first page
+    first = np.full((40, 60, 4), (200, 10, 10, 255), dtype=np.uint8)
+    small = np.full((20, 30, 4), (10, 10, 200, 255), dtype=np.uint8)
+    out = _coalesce_frames([first, small])
+    assert out[0].shape == out[1].shape == (40, 60, 4)
+    assert (out[1][:20, :30] == (10, 10, 200, 255)).all()   # pasted
+    assert (out[1][20:, :] == (200, 10, 10, 255)).all()     # remnants
+    assert (out[1][:20, 30:] == (200, 10, 10, 255)).all()
+    # translucent page: Over operator, not a paste
+    translucent = np.full((20, 30, 4), (0, 0, 0, 128), dtype=np.uint8)
+    blended = _coalesce_frames([first, translucent])[1]
+    assert (blended[:20, :30, 0] < 200).all()
+    assert (blended[:20, :30, 3] == 255).all()
+
+    # through PILSource: every frame lands on the first page's canvas
+    pages = [Image.fromarray(first[..., :3]),
+             Image.fromarray(small[..., :3])]
+    p = str(tmp_path / "mixed.tiff")
+    pages[0].save(p, save_all=True, append_images=pages[1:])
+    opts = DisplayOptions(width=60, height=40, cell_x_px=1, cell_y_px=1,
+                          width_stretch=1.0)
+    src = PILSource(p)
+    assert src.load_and_scale(opts, 0, -1)
+    assert len(src.frames) == 2
+    assert src.orig_width == 60 and src.orig_height == 40
+    shapes = {f.frame.shape[:2] for f in src.frames}
+    assert len(shapes) == 1  # one shared canvas geometry
 
 
 def test_ico_remains_stacked(tmp_path):

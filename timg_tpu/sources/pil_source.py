@@ -95,6 +95,34 @@ def _ico_contained_images(img) -> list:
         return []
 
 
+def _coalesce_frames(raw_frames: List[np.ndarray]) -> List[np.ndarray]:
+    """GM coalesceImages for mixed-size frame stacks: a first-frame-
+    sized canvas, each frame alpha-over-composited at (0, 0) onto the
+    previous coalesced result (Magick Over operator; TIFF pages are
+    normally opaque, where Over degenerates to a paste)."""
+    canvas_h, canvas_w = raw_frames[0].shape[:2]
+    prev = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+    out: List[np.ndarray] = []
+    for f in raw_frames:
+        cur = prev.copy()
+        h = min(canvas_h, f.shape[0])
+        w = min(canvas_w, f.shape[1])
+        src = f[:h, :w].astype(np.float32)
+        dst = cur[:h, :w].astype(np.float32)
+        sa = src[..., 3:4] / 255.0
+        da = dst[..., 3:4] / 255.0
+        oa = sa + da * (1.0 - sa)
+        rgb = src[..., :3] * sa + dst[..., :3] * da * (1.0 - sa)
+        with np.errstate(invalid="ignore"):
+            rgb = np.where(oa > 0, rgb / np.where(oa > 0, oa, 1.0), 0.0)
+        cur[:h, :w, :3] = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+        cur[:h, :w, 3] = np.clip(oa[..., 0] * 255.0 + 0.5,
+                                 0, 255).astype(np.uint8)
+        out.append(cur)
+        prev = cur
+    return out
+
+
 class PILSource(ImageSource):
     def __init__(self, filename: str):
         super().__init__(filename)
@@ -179,6 +207,16 @@ class PILSource(ImageSource):
                 img = ImageOps.exif_transpose(img)
             raw_frames.append(_to_rgba(img))
             delays.append(0.0)
+
+        if is_animation and any(f.shape[:2] != raw_frames[0].shape[:2]
+                                for f in raw_frames):
+            # Mixed-size frame stacks (multipage TIFF is the one PIL
+            # decoder that yields them; GIF/WebP/APNG come back
+            # full-canvas): GM's coalesceImages() composites every
+            # frame onto the FIRST frame's canvas at its page offset
+            # (none for TIFF -> 0,0), each over the previous result
+            # (ref graphics-magick-source.cc:208-213).
+            raw_frames = _coalesce_frames(raw_frames)
 
         if frame_offset > 0 and is_animation:
             raw_frames = raw_frames[frame_offset:]
