@@ -470,3 +470,60 @@ def test_fast_sixel_jpeg(pil_stills, tmp_path, capsys):
 def test_fast_kitty_jpeg(pil_stills, tmp_path, capsys, pinned_kitty_ids):
     argv = BASE + ["-pk", "-g60x20", "-b", "black", pil_stills["jpg"]]
     _run_both(argv, tmp_path, capsys)
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity fuzz: any combination the fastpath accepts must be
+# byte-identical to the full path (generalizes the fixed matrices)
+# ---------------------------------------------------------------------------
+
+_FUZZ_POOL = [
+    ["-pq"], ["-ph"], ["-ps"], ["-pk"], ["-pi"],
+    ["-b", "black"], ["-b", "none"], ["-b", "#334455"], ["-b", "auto"],
+    ["-B", "gray"], ["--pattern-size", "3"],
+    ["--title"], ["--title=%b %wx%h %D"], ["-C"], ["-W"], ["-U"],
+    ["--upscale=i"], ["-a"], ["--rotate", "off"], ["--color8"],
+    ["--compress=4"], ["--clear"], ["-E"], ["-w", "0"],
+]
+
+
+def test_fast_fuzz_parity(tmp_path, capsys, monkeypatch):
+    import random
+
+    from timg_tpu.render import kitty
+
+    random.seed(23)
+    images = [CORPUS[k] for k in ("noise_64x48.png", "alpha_80x100.png",
+                                  "gradient_320x200.png", "tiny_8x6.png",
+                                  "gray_50x40.png")]
+    n_ran = 0
+    for i in range(40):
+        argv = ["--debug-no-frame-delay",
+                "-g", random.choice(["80x24", "40x12", "23x9"])]
+        for f in random.sample(_FUZZ_POOL, random.randint(1, 4)):
+            argv += f
+        argv += random.sample(images, random.randint(1, 2))
+        for mod, names in ((kitty, ("_id_start", "_id_counter")),
+                           (fast, ("_kitty_id_start", "_kitty_id_counter"))):
+            monkeypatch.setattr(mod, names[0], 7000 + i * 8)
+            monkeypatch.setattr(mod, names[1], 0)
+        f_fast = str(tmp_path / f"f{i}")
+        f_full = str(tmp_path / f"g{i}")
+        rc_fast = fast.try_fast_main(argv + ["-o", f_fast])
+        err_fast = capsys.readouterr().err
+        if rc_fast is None:
+            continue  # outside the envelope: full path takes over
+        n_ran += 1
+        os.environ["TIMG_TPU_FORCE_NUMPY"] = "1"
+        try:
+            rc_full = cli_main(argv + ["-o", f_full])
+        finally:
+            del os.environ["TIMG_TPU_FORCE_NUMPY"]
+        err_full = capsys.readouterr().err
+        with open(f_fast, "rb") as f:
+            out_fast = f.read()
+        with open(f_full, "rb") as f:
+            out_full = f.read()
+        assert (rc_fast, err_fast) == (rc_full, err_full), argv
+        assert out_fast == out_full, argv
+    assert n_ran >= 15  # the sweep must actually exercise the fastpath
