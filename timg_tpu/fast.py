@@ -319,6 +319,11 @@ class _NativeStill:
             int(disp["upscale_integer"]), disp["cell_x_px"],
             disp["cell_y_px"], 0, ctypes.byref(tw), ctypes.byref(th))
         target_w, target_h = tw.value, th.value
+        if disp["quarter"] and target_w % 2:
+            # degenerate 1-px-wide quarter target: the full path
+            # replicates the reference's odd-width overrun semantics
+            # (ansi.widen_odd_quarter); outside the fastpath envelope
+            raise _Bail("odd quarter width")
 
         if (ih, iw) != (target_h, target_w):
             dst = ctypes.create_string_buffer(target_h * target_w * 4)

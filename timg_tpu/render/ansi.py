@@ -87,6 +87,23 @@ class UnicodeBlockCanvas(TerminalCanvas):
         return _c_div2_trunc(pixels - 1)  # ref unicode-block-canvas.h:42-45
 
     # ------------------------------------------------------------------
+    def widen_odd_quarter(self, frame: np.ndarray) -> np.ndarray:
+        """Replicate the reference's odd-width quarter-cell semantics.
+
+        AppendDoubleRow<2> advances two pixels per cell, so at odd
+        widths the rightmost cell reads one pixel past the row's end
+        (ref unicode-block-canvas.cc:242-244 ``tline[1]``) — which in
+        the reference's contiguous framebuffer is the NEXT row's first
+        pixel, and past the last row the (in-practice zeroed) sws
+        scratch row (framebuffer.cc:56-63); the synthetic empty lines
+        read their own zeroed buffer (ref :363-365, :435-438).  Widen
+        the frame by that column so the glyph argmin and the diff
+        backing see exactly the reference's bytes."""
+        h = frame.shape[0]
+        extra = np.zeros((h, 1, 4), dtype=frame.dtype)
+        extra[:h - 1, 0] = frame[1:, 0]
+        return np.concatenate([frame, extra], axis=1)
+
     def pad_frame(self, frame: np.ndarray) -> np.ndarray:
         """Apply the odd-height empty-line shift (ref :356-365)."""
         h = frame.shape[0]
@@ -130,7 +147,10 @@ class UnicodeBlockCanvas(TerminalCanvas):
         if cached is not None:
             padded, glyph, fg, bg, cached_prev, cached_eq = cached
         else:
-            padded = self.pad_frame(np.ascontiguousarray(frame))
+            frame = np.ascontiguousarray(frame)
+            if self.use_quarter and frame.shape[1] % 2:
+                frame = self.widen_odd_quarter(frame)
+            padded = self.pad_frame(frame)
             fn = quarter_fn if self.use_quarter else half_fn
             glyph, fg, bg = fn(
                 padded[None], use_upper_half_block=self.use_upper_half_block)
