@@ -281,3 +281,26 @@ def test_degenerate_one_px_wide_grid_cell(corpus):
     ref = run_reference(args, files)
     strip = re.compile(rb"[0-9]+")
     assert strip.sub(b"#", ref) == strip.sub(b"#", ours1)
+
+
+def test_tiny_image_with_title_where_reference_crashes(corpus, tmp_path):
+    """Upstream bug found by the edge sweep: the reference sizes its
+    emission buffer from the pixel content only
+    (unicode-block-canvas.cc:405-425 RequestBuffers) but copies the
+    title prefix into the same buffer (terminal-canvas.cc:49-58), so a
+    tiny image with a title overflows the heap — the reference binary
+    aborts with "malloc(): corrupted top size" (reproducible 3/3) on a
+    2x2 image at -ph --title. We size correctly; pin no-crash and
+    deterministic output."""
+    import numpy as np
+    from PIL import Image
+
+    p = str(tmp_path / "two_2x2_with_a_reasonably_long_name.png")
+    rng = np.random.default_rng(5)
+    Image.fromarray(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)).save(p)
+    args = [*BASE, "--loops=1", "-g40x20", "-ph", "-b", "black", "--title"]
+    ours1 = run_ours(args, [p])
+    ours2 = run_ours(args, [p])
+    assert ours1 == ours2 and len(ours1) > 50
+    # title rendered (the %f path is trimmed to "...tail" at 40 cells)
+    assert os.path.basename(p).encode()[-20:] in ours1
