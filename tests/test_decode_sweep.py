@@ -188,3 +188,33 @@ def test_animated_gif_sweep_byte_parity(tmp_path):
     args = ["--debug-no-frame-delay", "-pq", "-g40x20", "-b", "black",
             "--loops=1"]
     assert run_reference(args, [p]) == run_ours(args, [p])
+
+
+def test_truncated_gif_salvages_intact_frames(tmp_path):
+    """A GIF truncated mid-animation renders the frames that decode
+    intact (the stb reference stops at the first failed
+    stbi__gif_load_next and shows what it got, stb-image-source.cc:
+    119-139). Byte parity with stb is not possible for the *partially*
+    decoded frame (stb zero-fills the missing LZW tail; PIL refuses
+    the frame) — documented deviation; the intact-frame salvage is
+    pinned here."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.pil_source import PILSource
+
+    rng = np.random.default_rng(3)
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (20, 24, 3), dtype=np.uint8))
+        for _ in range(3)]
+    full = str(tmp_path / "a.gif")
+    frames[0].save(full, save_all=True, append_images=frames[1:],
+                   duration=30)
+    data = open(full, "rb").read()
+    trunc = str(tmp_path / "t.gif")
+    with open(trunc, "wb") as f:
+        f.write(data[:int(len(data) * 0.6)])
+
+    opts = DisplayOptions(width=60, height=40, cell_x_px=2, cell_y_px=2,
+                          width_stretch=2.0)
+    src = PILSource(trunc)
+    assert src.load_and_scale(opts, 0, -1)
+    assert 1 <= len(src.frames) < 3  # salvaged the intact prefix

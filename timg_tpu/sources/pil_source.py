@@ -159,22 +159,36 @@ class PILSource(ImageSource):
 
         raw_frames: List[np.ndarray] = []
         delays: List[float] = []
-        n_frames = getattr(img, "n_frames", 1)
+        try:
+            n_frames = getattr(img, "n_frames", 1)
+        except OSError:  # truncated container: frame count unseekable
+            n_frames = 1
         is_animation = n_frames > 1
         if is_animation:
-            for frame in ImageSequence.Iterator(img):
-                delay = float(frame.info.get("duration", 0))
-                if delay < 10.0:
-                    # browsers & the reference's generalist treat a
-                    # sub-centisecond delay as 100 ms
-                    # (ref graphics-magick-source.cc:79-82)
-                    delay = 100.0
-                delays.append(delay)
-                if options.exif_rotate:
-                    # the reference applies the EXIF op per frame
-                    # (ref graphics-magick-source.cc:225-227)
-                    frame = ImageOps.exif_transpose(frame)
-                raw_frames.append(_to_rgba(frame))
+            try:
+                for frame in ImageSequence.Iterator(img):
+                    delay = float(frame.info.get("duration", 0))
+                    if delay < 10.0:
+                        # browsers & the reference's generalist treat a
+                        # sub-centisecond delay as 100 ms
+                        # (ref graphics-magick-source.cc:79-82)
+                        delay = 100.0
+                    delays.append(delay)
+                    if options.exif_rotate:
+                        # the reference applies the EXIF op per frame
+                        # (ref graphics-magick-source.cc:225-227)
+                        frame = ImageOps.exif_transpose(frame)
+                    raw_frames.append(_to_rgba(frame))
+            except OSError:
+                # Truncated mid-animation: salvage the frames decoded
+                # so far, like the reference's stb GIF loop, which
+                # stops at the first failed stbi__gif_load_next
+                # (ref stb-image-source.cc:119-139) instead of
+                # discarding the whole file.
+                if not raw_frames:
+                    raise
+                delays = delays[:len(raw_frames)]
+                is_animation = len(raw_frames) > 1
         else:
             true_size = img.size
             orientation = 1
