@@ -10,6 +10,7 @@ polyphase resize — over valid inputs, truncations, fixed-seed bit-flip
 mutations and garbage, under an ASan build:
 
     make -C timg_tpu/native asan
+    PYTHONMALLOC=malloc \\
     LD_PRELOAD=$(gcc -print-file-name=libasan.so) \\
     TIMG_NATIVE_LIB=$PWD/timg_tpu/native/libtimg_native_asan.so \\
     ASAN_OPTIONS=halt_on_error=1:detect_leaks=0 \\
@@ -101,6 +102,79 @@ def main() -> int:
         assert idx2 is not None
     print("libsixel quant/assemble edge shapes: clean")
 
+    # Video demux/decode + raw-plane transport on edge and corrupt
+    # inputs (odd dims force the RGBA fallback; truncation/garbage
+    # exercise open/decode error paths; rewind after EOF).
+    if hasattr(lib, "timg_video_open"):
+        d = tempfile.mkdtemp(prefix="vasan")
+
+        def y4m(path, w, h, n, mangle=None):
+            buf = bytearray(
+                ("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                 % (w, h)).encode())
+            for _ in range(n):
+                buf += b"FRAME\n"
+                buf += rng.integers(0, 256, (h, w),
+                                    dtype=np.uint8).tobytes()
+                for _c in range(2):
+                    buf += rng.integers(
+                        0, 256, (max(h // 2, 1), max(w // 2, 1)),
+                        dtype=np.uint8).tobytes()
+            if mangle == "trunc":
+                buf = buf[:len(buf) // 2]
+            elif mangle == "flip":
+                for pos in rng.integers(10, len(buf), 40):
+                    buf[pos] ^= 0xFF
+            open(path, "wb").write(bytes(buf))
+
+        vids = []
+        for i, (w, h, n, m) in enumerate(
+                [(2, 2, 3, None), (64, 2, 4, None), (2, 64, 4, None),
+                 (32, 24, 3, "trunc"), (32, 24, 3, "flip"),
+                 (3, 3, 2, None)]):
+            p = os.path.join(d, f"v{i}.y4m")
+            y4m(p, w, h, n, m)
+            vids.append(p)
+        p = os.path.join(d, "g.y4m")
+        open(p, "wb").write(b"YUV4MPEG2 " + bytes(
+            rng.integers(0, 256, 500, dtype=np.uint8)))
+        vids.append(p)
+
+        for p in vids:
+            handle = lib.timg_video_open(p.encode())
+            if not handle:
+                continue
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            fps = ctypes.c_double()
+            lib.timg_video_info(handle, ctypes.byref(w), ctypes.byref(h),
+                                ctypes.byref(fps))
+            wd, ht = w.value, h.value
+            if 0 < wd < 10000 and 0 < ht < 10000:
+                buf = ctypes.create_string_buffer(wd * ht * 4)
+                yb = ctypes.create_string_buffer(wd * ht)
+                cb = ctypes.create_string_buffer(
+                    ((wd + 1) // 2) * ((ht + 1) // 2))
+                db = ctypes.create_string_buffer(
+                    ((wd + 1) // 2) * ((ht + 1) // 2))
+                use_yuv = lib.timg_video_pix_info(handle) == 1
+                errs = 0
+                for _ in range(10):
+                    rc = (lib.timg_video_read_frame_yuv(handle, yb, cb,
+                                                        db, buf)
+                          if use_yuv
+                          else lib.timg_video_read_frame(handle, buf))
+                    if rc == 0:
+                        break
+                    if rc < 0:
+                        errs += 1
+                        if errs > 3:
+                            break
+                lib.timg_video_rewind(handle)
+                lib.timg_video_read_frame(handle, buf)
+            lib.timg_video_close(handle)
+        print("video edge/corrupt inputs: clean")
+
     # ANSI emitter on degenerate plane shapes.
     for (hc, wc) in ((1, 1), (1, 200), (200, 1)):
         glyph = np.ascontiguousarray(
@@ -119,4 +193,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    sys.stdout.flush()
+    # Skip interpreter finalization: CPython shutdown under an ASan
+    # preload false-positives (bad-free inside Py_FinalizeEx, pure
+    # libpython frames — none of our code on the stack). Run with
+    # PYTHONMALLOC=malloc so in-run allocations route through ASan.
+    os._exit(rc)
