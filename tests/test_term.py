@@ -230,3 +230,44 @@ def test_xterm_quirk_applies_with_da1_sixel():
                 os.environ[k] = v
     assert info.preferred_graphics == "sixel"
     assert info.sixel.known_broken_cursor_placement
+
+
+def test_query_parsers_survive_garbage_responses():
+    """A hostile/buggy terminal answering queries with garbage must
+    never crash the query engine (ref term-query.cc parses responses
+    with bounded finders and a select() deadline); every query returns
+    its not-found default. Fixed-seed random replies including escape
+    soup, binary junk, truncated CSI/OSC prefixes and oversized
+    floods."""
+    import numpy as np
+
+    from timg_tpu import term
+
+    rng = np.random.default_rng(17)
+    payloads = [
+        bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+        b"\033[" * 40,
+        b"\033]11;rgb:zz/zz/zz\033\\",
+        b"\033]11;rgb:12" ,                      # truncated OSC 11
+        b"\033[>qqqqqq",
+        b"\033P>|\033\\",                        # empty DA3-ish
+        b"\033[?;;;c",
+        b"\033[6;;t",
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),  # flood
+        b"\xff\xfe\x00\x01" * 32,
+    ]
+    for junk in payloads:
+        def responder(buf, junk=junk):
+            return junk
+
+        def run():
+            # the three tty round-trips the CLI performs
+            bg = term.query_background_color()
+            ginfo = term.query_supported_graphics_protocol()
+            size = term.determine_term_size()
+            return bg, ginfo, size
+
+        bg, ginfo, size = _run_with_pty(responder, run)
+        assert ginfo.preferred_graphics in (None, "", "none", "kitty",
+                                            "sixel", "iterm2")
+        assert isinstance(size.cols, int)
