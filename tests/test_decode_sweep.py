@@ -218,3 +218,60 @@ def test_truncated_gif_salvages_intact_frames(tmp_path):
     src = PILSource(trunc)
     assert src.load_and_scale(opts, 0, -1)
     assert 1 <= len(src.frames) < 3  # salvaged the intact prefix
+
+
+def test_malformed_qoi_and_svg_reject_cleanly(tmp_path):
+    """Malformed container inputs must be rejected without crashes or
+    unbounded allocations (the absurd-dims QOI header advertises a
+    64-exabyte image)."""
+    import struct
+
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.sources.qoi_source import QOISource
+
+    opts = DisplayOptions(width=40, height=30, cell_x_px=2, cell_y_px=2,
+                          width_stretch=2.0)
+    rng = np.random.default_rng(13)
+
+    def qoi_header(w, h, ch=4, cs=0):
+        return b"qoif" + struct.pack(">IIBB", w, h, ch, cs)
+
+    cases = [
+        b"qoif",
+        qoi_header(0, 0),
+        qoi_header(10, 10),
+        qoi_header(10, 10) + bytes(rng.integers(0, 256, 20,
+                                                dtype=np.uint8)),
+        qoi_header(0xFFFFFFFF, 0xFFFFFFFF) + b"\x00" * 64,
+        qoi_header(4, 4, 9, 9) + b"\x00" * 64,
+    ]
+    for i, data in enumerate(cases):
+        p = str(tmp_path / f"q{i}.qoi")
+        open(p, "wb").write(data)
+        try:
+            assert not QOISource(p).load_and_scale(opts, 0, -1)
+        except MemoryError:
+            raise AssertionError(f"unbounded allocation for case {i}")
+        except Exception:
+            pass  # clean rejection
+
+    try:
+        from timg_tpu.sources.svg_source import SVGSource, _load
+    except ImportError:
+        return
+    if _load() is None:
+        return  # librsvg absent: gated
+    svgs = [
+        b"<svg",
+        b"<svg xmlns='http://www.w3.org/2000/svg' width='1e30'"
+        b" height='1e30'/>",
+        b"<svg>" + bytes(rng.integers(32, 127, 3000,
+                                      dtype=np.uint8)) + b"</svg>",
+    ]
+    for i, data in enumerate(svgs):
+        p = str(tmp_path / f"s{i}.svg")
+        open(p, "wb").write(data)
+        try:
+            SVGSource(p).load_and_scale(opts, 0, -1)
+        except (ValueError, OSError, RuntimeError):
+            pass  # clean rejection
