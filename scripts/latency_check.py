@@ -85,10 +85,26 @@ def main() -> int:
         "median": round(statistics.median(inproc), 1),
         "min": round(min(inproc), 1)}
 
-    # The shipped one-shot path: ./timg-tpu boots `python -S` (no
-    # sitecustomize) and renders through the native still pipeline
-    # (fast.py + timg_still.cc) -- the honest full-process number to
+    # The shipped one-shot path: ./timg-tpu-fast is pure C (argument
+    # parse, tty queries, PNG decode, resize, blocks, emit -- zero
+    # python on the happy path; timg_fast_main.cc).  THE number to
     # compare against the reference binary's 9.5 ms.
+    native = os.path.join(REPO, "timg-tpu-fast")
+    if not os.path.exists(native):
+        subprocess.run(["make", "-C",
+                        os.path.join(REPO, "timg_tpu", "native"), "-s",
+                        "fast"], capture_output=True, timeout=300)
+    if os.path.exists(native):
+        times, err = measure([native, *args], base_env)
+        if times:
+            out["native_launcher_ms"] = {
+                "median": round(statistics.median(times), 1),
+                "min": round(min(times), 1)}
+        else:
+            out["native_launcher_error"] = err
+
+    # The python launcher (./timg-tpu boots `python -S`, renders through
+    # the native still pipeline via ctypes): the fallback one-shot cost.
     times, err = measure([os.path.join(REPO, "timg-tpu"), *args], base_env)
     if times:
         out["fastpath_ms"] = {
@@ -132,6 +148,12 @@ def main() -> int:
     for mode in ("sixel", "kitty", "iterm2"):
         margs = [f"-p{mode[0]}", "-g80x24", "--debug-no-frame-delay",
                  "-b", "black", "-o", "/dev/null", img]
+        if os.path.exists(native):
+            times, _ = measure([native, *margs], base_env)
+            if times:
+                out[f"native_{mode}_ms"] = {
+                    "median": round(statistics.median(times), 1),
+                    "min": round(min(times), 1)}
         times, err = measure([os.path.join(REPO, "timg-tpu"), *margs],
                              base_env)
         if times:

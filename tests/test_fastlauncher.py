@@ -1,0 +1,305 @@
+"""Parity suite for the pure-C one-shot launcher (timg-tpu-fast).
+
+The binary (timg_tpu/native/timg_fast_main.cc) must be *observationally
+identical* to the python launcher (./timg-tpu) for EVERY invocation:
+inside its envelope it renders natively and must byte-match; outside it
+execs ./timg-tpu, so equality holds by construction.  These tests
+compare (output bytes, stderr, exit code) across both launchers over
+the same matrices test_fastpath_cli.py uses for fast-vs-full, plus the
+terminal auto-detection path under scripted ptys (the riskiest mirror:
+timg_fast_main.cc reimplements term.py's query engine in C).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import random
+import subprocess
+import sys
+
+import pytest
+
+from tests.corpus import build_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BINARY = os.path.join(REPO, "timg-tpu-fast")
+PY_LAUNCHER = os.path.join(REPO, "timg-tpu")
+
+_CLEAN_ENV = {k: v for k, v in os.environ.items()
+              if not k.startswith("TIMG_")}
+_CLEAN_ENV.pop("TERM_PROGRAM", None)
+_CLEAN_ENV["TERM"] = "xterm-256color"
+
+
+@pytest.fixture(scope="module")
+def binary():
+    r = subprocess.run(["make", "-C",
+                        os.path.join(REPO, "timg_tpu", "native"), "-s",
+                        "fast"], capture_output=True, timeout=300)
+    if r.returncode != 0 or not os.path.exists(BINARY):
+        pytest.skip("cannot build timg-tpu-fast: %s" %
+                    r.stderr.decode()[-200:])
+    return BINARY
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return build_corpus(str(tmp_path_factory.mktemp("corpus")))
+
+
+def _norm(data: bytes) -> bytes:
+    # kitty image ids are time-seeded (ref kitty-canvas.cc:48-53);
+    # compare modulo id like the reference-parity kitty tests.
+    return re.sub(rb"i=\d+", b"i=ID", data)
+
+
+def _both(binary, args, files, tmp_path, env=None):
+    env = dict(env or _CLEAN_ENV)
+    out_c = str(tmp_path / "c.out")
+    out_py = str(tmp_path / "py.out")
+    rc = subprocess.run([binary, *args, "-o", out_c, *files], env=env,
+                        capture_output=True, timeout=600)
+    rp = subprocess.run([PY_LAUNCHER, *args, "-o", out_py, *files],
+                        env=env, capture_output=True, timeout=600)
+    bc = open(out_c, "rb").read() if os.path.exists(out_c) else b""
+    bp = open(out_py, "rb").read() if os.path.exists(out_py) else b""
+    return (rc.returncode, _norm(bc), rc.stderr), \
+           (rp.returncode, _norm(bp), rp.stderr)
+
+
+# ---------------------------------------------------------------------
+# In-envelope matrix: every mode and the block-path option surface.
+# ---------------------------------------------------------------------
+MATRIX = [
+    ["-pq", "-g80x24", "--debug-no-frame-delay", "-b", "black"],
+    ["-ph", "-g40x20", "-b", "#336699"],
+    ["-pq", "-g40x20", "-b", "teal", "--color8"],
+    ["-pq", "-g40x20", "-b", "none"],
+    ["-pq", "-g40x20", "-b", "rgb(10, 20, 30)"],
+    ["-pq", "-g40x20", "-b", "rgb(0x80,0x10,0xff)"],
+    ["-pq", "-g40x20", "-a", "-W", "-U"],
+    ["-pq", "-g40x20", "--upscale=i", "-b", "black"],
+    ["-pq", "-g40x20", "-b", "black", "--title", "-C"],
+    ["-pq", "-g40x20", "-b", "black", "--title=%b %wx%h (%D)"],
+    ["-pq", "-g40x20", "-b", "black", "--title", "--title", "--title"],
+    ["-ph", "-g40x20", "-B", "gray", "--pattern-size", "2"],
+    ["-pq", "-g40x20", "-b", "black", "--clear"],
+    ["-pq", "-g40x20", "-b", "black", "--clear=every"],
+    ["-pq", "-g40x20", "-b", "black", "-E"],
+    ["-pq", "-g40x20", "-b", "black", "-t", "0"],
+    ["-pq", "-g40x20", "-b", "black", "--rotate", "off"],
+    ["-ps", "-g40x20", "-b", "black"],
+    ["-ps", "-g40x20", "-b", "none"],
+    ["-pi", "-g40x20"],
+    ["-pi", "-g40x20", "-b", "white", "--compress=6"],
+    ["-pk", "-g40x20"],
+    ["-pk", "-g40x20", "-b", "black", "--compress=0"],
+    ["-pq", "-g39x19", "-b", "black", "-C"],   # odd geometry + center
+]
+
+
+@pytest.mark.parametrize("flags", MATRIX,
+                         ids=[" ".join(m) for m in MATRIX])
+def test_matrix_matches_python_launcher(binary, corpus, flags, tmp_path):
+    files = [corpus["noise_512x512.png"], corpus["alpha_80x100.png"]]
+    c, py = _both(binary, flags, files, tmp_path)
+    assert c == py
+
+
+def test_multifile_and_missing(binary, corpus, tmp_path):
+    files = ["/nonexistent.png", corpus["noise_64x48.png"], "/tmp",
+             corpus["gradient_320x200.png"]]
+    c, py = _both(binary, ["-pq", "-g40x20", "-b", "black"], files,
+                  tmp_path)
+    assert c == py
+    assert c[0] == 1
+
+
+def test_error_paths(binary, corpus, tmp_path):
+    img = corpus["noise_64x48.png"]
+    for args, files in [
+        (["-pq", "-g40x20"], []),             # no files -> exit 1
+        (["-pq", "-gbogus"], [img]),          # invalid size -> exit 2
+        (["-pq", "-g40x20", "--clear=x"], [img]),   # exit 2
+        (["-pq", "-g40x20", "--rotate=x"], [img]),  # exit 2
+        (["-pq", "-g0x0"], [img]),            # unusual size -> exit 3
+        (["-pq", "-g", "-W"], [img]),   # argparse "expected one argument"
+        (["-pq", "-g40x20", "-b"], [img]),          # same, at argv end
+        (["-pq", "-g40x20", "-w", "-1", "-b", "black"], [img]),  # neg value
+    ]:
+        c, py = _both(binary, args, files, tmp_path)
+        assert c == py, (args, c, py)
+
+
+def test_filelist_inputs(binary, corpus, tmp_path):
+    img = corpus["noise_64x48.png"]
+    listing = tmp_path / "list.txt"
+    listing.write_text(os.path.basename(img) + "\n\n" +
+                       corpus["gradient_320x200.png"] + "\n")
+    # -F resolves relative entries against the filelist's directory --
+    # build one that lives next to the image.
+    rel_listing = os.path.join(os.path.dirname(img), "rel.lst")
+    with open(rel_listing, "w") as f:
+        f.write(os.path.basename(img) + "\n")
+    try:
+        c, py = _both(binary,
+                      ["-pq", "-g40x20", "-b", "black", "-F", rel_listing],
+                      [], tmp_path)
+        assert c == py
+        c, py = _both(binary,
+                      ["-pq", "-g40x20", "-b", "black", "-f",
+                       "/nonexistent.lst"], [], tmp_path)
+        assert c == py
+        assert c[0] == 5
+    finally:
+        os.unlink(rel_listing)
+
+
+def test_fallback_paths_delegate(binary, corpus, tmp_path):
+    """Out-of-envelope invocations exec the python launcher: identical
+    output, exercised here for a PIL-decoded GIF still and an explicit
+    numpy-path env."""
+    from PIL import Image
+    import numpy as np
+    gif = str(tmp_path / "g.gif")
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8),
+                    "RGB").save(gif)
+    c, py = _both(binary, ["-pq", "-g40x20", "-b", "black"], [gif],
+                  tmp_path)
+    assert c == py
+    env = dict(_CLEAN_ENV, TIMG_TPU_FORCE_NUMPY="1",
+               JAX_PLATFORMS="cpu")
+    c, py = _both(binary, ["-pq", "-g20x10", "-b", "black"],
+                  [corpus["noise_64x48.png"]], tmp_path, env=env)
+    assert c == py
+
+
+def test_env_knobs(binary, corpus, tmp_path):
+    img = corpus["alpha_80x100.png"]
+    for extra_env in (
+        {"TIMG_USE_UPPER_BLOCK": "on"},
+        {"TIMG_PIXELATION": "h"},
+        {"TIMG_FONT_WIDTH_CORRECT": "0.75"},
+        {"TIMG_DEFAULT_TITLE": "%b!"},
+    ):
+        env = dict(_CLEAN_ENV, **extra_env)
+        args = ["-g40x20", "-b", "black"]
+        if "TIMG_PIXELATION" not in extra_env:
+            args.insert(0, "-pq")
+        if "TIMG_DEFAULT_TITLE" in extra_env:
+            args.append("--title")
+        c, py = _both(binary, args, [img], tmp_path, env=env)
+        assert c == py, extra_env
+
+
+FUZZ_POOL = [
+    ["-pq"], ["-ph"], ["-ps"], ["-pi"], ["--color8"],
+    ["-b", "red"], ["-b", "none"], ["-b", "#357"],  # #357 warns -> full
+    ["-B", "#334455"], ["--pattern-size", "2"],
+    ["--title"], ["--title=%b %wx%h"], ["-W"], ["--center"], ["-U"],
+    ["--upscale=i"], ["--rotate", "off"], ["--compress=5"], ["--clear"],
+    ["-E"], ["-a"], ["-w", "0"], ["-t", "5"], ["--loops=2"], ["-I"],
+    ["--threads", "2"],
+]
+
+
+def test_random_flag_combinations(binary, corpus, tmp_path):
+    rng = random.Random(11)
+    files = [corpus["noise_64x48.png"], corpus["alpha_80x100.png"]]
+    for trial in range(14):
+        flags = []
+        for f in rng.sample(FUZZ_POOL, rng.randint(1, 4)):
+            flags.extend(f)
+        flags += ["-g40x12", "--debug-no-frame-delay"]
+        c, py = _both(binary, flags,
+                      [rng.choice(files)], tmp_path)
+        assert c == py, flags
+
+
+# ---------------------------------------------------------------------
+# Terminal auto-detection under scripted ptys: the C query engine must
+# resolve the same pixelation and emit the same bytes as term.py.
+# ---------------------------------------------------------------------
+_PTY_WINSIZE = (24, 80, 640, 384)  # 8x16 px cells
+
+
+def _pty_launcher(cmd, args, files, answers, out_path, env,
+                  winsize=_PTY_WINSIZE):
+    import fcntl
+    import pty
+    import struct
+    import termios
+    import threading
+
+    master, slave = pty.openpty()
+    if winsize is not None:
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", *winsize))
+
+    def pump():
+        try:
+            while True:
+                data = os.read(master, 4096)
+                if not data:
+                    return
+                for trigger, reply in answers.items():
+                    if trigger in data:
+                        os.write(master, reply)
+        except OSError:
+            return
+
+    threading.Thread(target=pump, daemon=True).start()
+    try:
+        r = subprocess.run([cmd, *args, "-o", out_path, *files], env=env,
+                           stdin=slave, stdout=slave, stderr=slave,
+                           timeout=600)
+        rc = r.returncode
+    finally:
+        os.close(slave)
+        os.close(master)
+    data = open(out_path, "rb").read() if os.path.exists(out_path) else b""
+    return rc, _norm(data)
+
+
+_TERMS = {
+    "kitty": {b"\033[>q": b"\033P>|kitty(0.26.5)\033\\\033[0n",
+              b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"},
+    "iterm2": {b"\033[>q": b"\033P>|iTerm2 3.4.19\033\\\033[0n",
+               b"\033]11;?": b"\033]11;rgb:1111/2222/3333\033\\"},
+    "xterm-sixel": {b"\033[>q": b"\033P>|XTerm(380)\033\\\033[0n",
+                    b"\033[c": b"\033[?64;1;2;4;6;9;15;16;17;18;21;22c",
+                    b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"},
+    "dumb": {b"\033[>q": b"\033[0n"},
+    "foot": {b"\033[>q": b"\033P>|foot(1.16.2)\033\\\033[0n",
+             b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"},
+    "wezterm": {b"\033[>q":
+                b"\033P>|WezTerm 20230712-072601-f4abf8fd\033\\\033[0n",
+                b"\033]11;?": b"\033]11;rgb:0000/0000/0000\033\\"},
+}
+
+
+@pytest.mark.parametrize("term", sorted(_TERMS))
+def test_auto_sieve_matches_python(binary, corpus, term, tmp_path):
+    """No -p: both launchers run the CSI >q / DA1 sieve against the same
+    scripted terminal and must land on identical bytes (incl. the
+    OSC 11 bg auto query for the alpha image)."""
+    answers = _TERMS[term]
+    files = [corpus["alpha_80x100.png"]]
+    args = ["--debug-no-frame-delay", "-g30x15"]
+    rc_c, out_c = _pty_launcher(binary, args, files, answers,
+                                str(tmp_path / "c.bin"), _CLEAN_ENV)
+    rc_p, out_p = _pty_launcher(PY_LAUNCHER, args, files, answers,
+                                str(tmp_path / "p.bin"), _CLEAN_ENV)
+    assert (rc_c, out_c) == (rc_p, out_p)
+    assert out_c  # something was rendered
+
+
+def test_css3_table_in_sync():
+    """css3_colors.inc regenerates byte-identically from the python
+    table (scripts/gen_css3_inc.py --check)."""
+    r = subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "gen_css3_inc.py"),
+                        "--check"], capture_output=True, timeout=60)
+    assert r.returncode == 0, "css3_colors.inc is stale; rerun the script"

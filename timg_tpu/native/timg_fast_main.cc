@@ -1,0 +1,1733 @@
+// timg-tpu-fast: pure-C one-shot launcher for the interactive still case.
+//
+// The python fastpath (timg_tpu/fast.py) already renders one-shot stills
+// through the native pipeline, but pays ~20 ms of interpreter boot plus
+// ~55 ms of stdlib/ctypes imports per invocation -- the reference binary
+// does the whole job in ~10 ms (BASELINE.md config #1).  This binary is
+// the same envelope with zero python: argument parsing, terminal
+// queries, PNG-still decode, scale/compose/blocks/sixel/kitty/iTerm2
+// emission all run natively (linking the same timg_still.cc /
+// timg_native.cc pipeline the python fastpath calls through ctypes), and
+// ANYTHING outside the envelope execs the tracked python launcher
+// (./timg-tpu), which retries its own wider fastpath (PIL stills) before
+// handing to the full session path.
+//
+// Byte parity: for every invocation this binary commits to, the
+// (stdout bytes, stderr text, exit code) triple is identical to
+// fast.py's -- enforced by tests/test_fastlauncher.py over the same
+// option matrices as tests/test_fastpath_cli.py.  The step order below
+// deliberately mirrors fast.py::try_fast_main line-for-line; fast.py in
+// turn mirrors cli.py and the reference (ref src/timg.cc:426-1005,
+// src/term-query.cc, src/renderer.cc:46-76).
+
+#include <errno.h>
+#include <fcntl.h>
+#include <libdeflate.h>
+#include <limits.h>
+#include <math.h>
+#include <signal.h>
+#include <stdarg.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/ioctl.h>
+#include <sys/select.h>
+#include <sys/stat.h>
+#include <sys/time.h>
+#include <termios.h>
+#include <time.h>
+#include <unistd.h>
+
+#include <string>
+#include <vector>
+
+#include "css3_colors.inc"
+
+// ---------------------------------------------------------------------
+// Pipeline entry points from timg_still.cc / timg_native.cc (the same
+// symbols fast.py binds through ctypes).
+// ---------------------------------------------------------------------
+extern "C" {
+void timg_buf_free(void *p);
+long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
+                     int *out_w, int *out_h, int *out_flags);
+int timg_calc_scale(int img_width, int img_height, int width, int height,
+                    int fill_width, int fill_height, double width_stretch,
+                    int upscale, int upscale_integer, int cell_x_px,
+                    int cell_y_px, int fit_in_rotated, int *out_w,
+                    int *out_h);
+int timg_build_taps(int in_size, int out_size, int horizontal,
+                    int32_t **starts_out, float **coeffs_out);
+int timg_plan_passes(int in_h, int in_w, int out_h, int out_w,
+                     int alpha_weighted);
+long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
+                           uint8_t *out, int out_h, int out_w,
+                           const int32_t *starts_v, const float *coeffs_v,
+                           int widest_v, const int32_t *starts_h,
+                           const float *coeffs_h, int widest_h,
+                           int vertical_first, int alpha_weighted);
+void timg_resize_nearest(const uint8_t *in, int in_h, int in_w, uint8_t *out,
+                         int out_h, int out_w);
+long timg_has_translucency(const uint8_t *rgba, long npixels);
+void timg_alpha_over_bg(uint8_t *frame, int h, int w, const uint8_t *bg4,
+                        const uint8_t *pat4, int pattern_w, int pattern_h,
+                        int start_row);
+void timg_quarter_blocks(const uint8_t *frame, int h, int w,
+                         int use_upper_half_block, int32_t *glyph,
+                         uint8_t *fg, uint8_t *bg);
+void timg_half_blocks(const uint8_t *frame, int h, int w,
+                      int use_upper_half_block, int32_t *glyph, uint8_t *fg,
+                      uint8_t *bg);
+long timg_ansi_emit(const int32_t *glyph, const uint8_t *fg,
+                    const uint8_t *bg, const uint8_t *eq, int hcells,
+                    int wcells, int indent, int use_256, char *out);
+void timg_png_sub_filter(const uint8_t *rgba, int h, int w, int ch,
+                         uint8_t *out);
+long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
+                       const uint8_t *palette, int n_colors, char *out);
+int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
+                        int reqcolors, uint8_t *out_pal, uint8_t *out_idx);
+}
+
+// Exit codes (ref timg.cc:98-106).
+enum {
+    EXIT_OK = 0,
+    EXIT_IMAGE_READ_ERROR = 1,
+    EXIT_PARAMETER_ERROR = 2,
+    EXIT_NOT_A_TERMINAL = 3,
+    EXIT_CANT_OPEN_OUTPUT = 4,
+    EXIT_FILELIST_PROBLEM = 5,
+};
+
+static volatile sig_atomic_t s_interrupted = 0;
+static void sig_handler(int) { s_interrupted = 1; }
+
+// ---------------------------------------------------------------------
+// Fallback: exec the tracked python launcher with the original argv.
+// The launcher (./timg-tpu, shebang `env -S python3 -S`) retries the
+// wider python fastpath (PIL-decoded stills) and then the full path --
+// the exact chain a user without this binary gets.  Nothing has been
+// written to the output fd when this runs.
+// ---------------------------------------------------------------------
+static int g_argc;
+static char **g_argv;
+
+[[noreturn]] static void exec_fallback() {
+    char self[PATH_MAX];
+    ssize_t n = readlink("/proc/self/exe", self, sizeof(self) - 1);
+    std::string script;
+    if (n > 0) {
+        self[n] = 0;
+        char *slash = strrchr(self, '/');
+        if (slash) *slash = 0;
+        script = std::string(self) + "/timg-tpu";
+    }
+    std::vector<char *> args;
+    if (!script.empty() && access(script.c_str(), X_OK) == 0) {
+        args.push_back(const_cast<char *>(script.c_str()));
+        for (int i = 1; i < g_argc; ++i) args.push_back(g_argv[i]);
+        args.push_back(nullptr);
+        execv(script.c_str(), args.data());
+    }
+    // Last resort: python3 -S <script> (works even without exec bit).
+    args.clear();
+    static const char *py = "python3";
+    static const char *dashS = "-S";
+    args.push_back(const_cast<char *>(py));
+    if (!script.empty()) {
+        args.push_back(const_cast<char *>(dashS));
+        args.push_back(const_cast<char *>(script.c_str()));
+        for (int i = 1; i < g_argc; ++i) args.push_back(g_argv[i]);
+        args.push_back(nullptr);
+        execvp(py, args.data());
+    }
+    fprintf(stderr, "timg-tpu-fast: cannot locate the python launcher\n");
+    exit(EXIT_PARAMETER_ERROR);
+}
+
+// ---------------------------------------------------------------------
+// Env getters (utils.py mirrors; ref src/utils.cc:27-48).
+// ---------------------------------------------------------------------
+static bool parse_int_strict(const char *s, long *out) {
+    // python int(s): optional surrounding whitespace, optional sign,
+    // decimal digits only.
+    while (*s == ' ' || *s == '\t' || *s == '\n' || *s == '\r' ||
+           *s == '\f' || *s == '\v')
+        ++s;
+    const char *p = s;
+    if (*p == '+' || *p == '-') ++p;
+    if (*p < '0' || *p > '9') return false;
+    errno = 0;
+    char *end;
+    long v = strtol(s, &end, 10);
+    if (errno == ERANGE) return false;
+    while (*end == ' ' || *end == '\t' || *end == '\n' || *end == '\r' ||
+           *end == '\f' || *end == '\v')
+        ++end;
+    if (*end) return false;
+    *out = v;
+    return true;
+}
+
+static bool parse_float_strict(const char *s, double *out) {
+    // python float(s): whitespace-stripped decimal/exponent (also
+    // inf/nan, which strtod shares); hex floats are python-invalid.
+    if (strchr(s, 'x') || strchr(s, 'X')) return false;
+    const char *p = s;
+    while (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r' ||
+           *p == '\f' || *p == '\v')
+        ++p;
+    if (!*p) return false;
+    if (*p == '_' ) return false;
+    char *end;
+    errno = 0;
+    double v = strtod(p, &end);
+    while (*end == ' ' || *end == '\t' || *end == '\n' || *end == '\r' ||
+           *end == '\f' || *end == '\v')
+        ++end;
+    if (*end) return false;
+    *out = v;
+    return true;
+}
+
+static bool get_bool_env(const char *name, bool dflt) {
+    const char *v = getenv(name);
+    if (!v) return dflt;
+    long iv;
+    if (parse_int_strict(v, &iv) && iv > 0) return true;
+    return strcasecmp(v, "on") == 0 || strcasecmp(v, "yes") == 0;
+}
+
+static double get_float_env(const char *name, double dflt) {
+    const char *v = getenv(name);
+    if (!v) return dflt;
+    double d;
+    return parse_float_strict(v, &d) ? d : dflt;
+}
+
+static long get_int_env(const char *name, long dflt) {
+    const char *v = getenv(name);
+    if (!v) return dflt;
+    long iv;
+    return parse_int_strict(v, &iv) ? iv : dflt;
+}
+
+// C atof/atoi mirrors of fast._atof/_atoi (themselves cli mirrors).
+static double c_atof(const char *s) { return atof(s); }
+static int c_atoi(const char *s) { return atoi(s); }
+
+// python round(): banker's rounding == nearbyint under the default
+// FE_TONEAREST mode.
+static double py_round(double x) { return nearbyint(x); }
+
+// ---------------------------------------------------------------------
+// Color parsing (colors.py mirror; ref framebuffer.cc:27-50).
+// ---------------------------------------------------------------------
+struct RGBA {
+    uint8_t r = 0, g = 0, b = 0, a = 0;
+};
+
+static bool is_space(char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+           c == '\v';
+}
+
+static int hexval(char c) {
+    if (c >= '0' && c <= '9') return c - '0';
+    if (c >= 'a' && c <= 'f') return c - 'a' + 10;
+    if (c >= 'A' && c <= 'F') return c - 'A' + 10;
+    return -1;
+}
+
+// "#rrggbb" with exactly-2-digit fields, trailing chars ignored.
+static bool match_hex_color(const char *s, RGBA *out) {
+    if (s[0] != '#') return false;
+    int v[6];
+    for (int i = 0; i < 6; ++i) {
+        v[i] = hexval(s[1 + i]);
+        if (v[i] < 0) return false;
+    }
+    out->r = (uint8_t)(v[0] * 16 + v[1]);
+    out->g = (uint8_t)(v[2] * 16 + v[3]);
+    out->b = (uint8_t)(v[4] * 16 + v[5]);
+    out->a = 0xFF;
+    return true;
+}
+
+// "rgb(\s*d+\s*,\s*d+\s*,\s*d+\s*)" anchored both ends (decimal), and
+// the 0x variant.  Components clamp to 255 like python's min(v, 255).
+static bool match_rgb_color(const char *s, bool hex, RGBA *out) {
+    if (strncmp(s, "rgb(", 4) != 0) return false;
+    const char *p = s + 4;
+    unsigned long comp[3];
+    for (int i = 0; i < 3; ++i) {
+        while (is_space(*p)) ++p;
+        if (hex) {
+            if (p[0] != '0' || p[1] != 'x' || hexval(p[2]) < 0) return false;
+            p += 2;
+            unsigned long v = 0;
+            while (hexval(*p) >= 0) {
+                v = v * 16 + (unsigned long)hexval(*p);
+                if (v > 0xFFFFFF) v = 0xFFFFFF;  // clamp; min() below
+                ++p;
+            }
+            comp[i] = v;
+        } else {
+            if (*p < '0' || *p > '9') return false;
+            unsigned long v = 0;
+            while (*p >= '0' && *p <= '9') {
+                v = v * 10 + (unsigned long)(*p - '0');
+                if (v > 0xFFFFFF) v = 0xFFFFFF;
+                ++p;
+            }
+            comp[i] = v;
+        }
+        while (is_space(*p)) ++p;
+        if (i < 2) {
+            if (*p != ',') return false;
+            ++p;
+        }
+    }
+    if (*p != ')' || p[1] != 0) return false;
+    out->r = (uint8_t)(comp[0] > 255 ? 255 : comp[0]);
+    out->g = (uint8_t)(comp[1] > 255 ? 255 : comp[1]);
+    out->b = (uint8_t)(comp[2] > 255 ? 255 : comp[2]);
+    out->a = 0xFF;
+    return true;
+}
+
+static std::string lowered(const char *s) {
+    std::string r(s);
+    for (char &c : r)
+        if (c >= 'A' && c <= 'Z') c += 32;
+    return r;
+}
+
+static const Css3Color *css3_lookup(const std::string &lower) {
+    for (const auto &e : kCss3Colors)
+        if (lower == e.name) return &e;
+    return nullptr;
+}
+
+// colors.parse_color mirror.  Callers pre-check would_warn, so the
+// warning branch is unreachable here but kept for exactness.
+static RGBA parse_color(const char *color) {
+    RGBA out;  // transparent
+    if (!color || !*color) return out;
+    std::string low = lowered(color);
+    const Css3Color *named = css3_lookup(low);
+    char buf[16];
+    if (named) {
+        snprintf(buf, sizeof(buf), "#%02x%02x%02x", named->r, named->g,
+                 named->b);
+        color = buf;
+    }
+    if (match_hex_color(color, &out)) return out;
+    if (match_rgb_color(color, false, &out)) return out;
+    if (match_rgb_color(color, true, &out)) return out;
+    if (low != "none")
+        fprintf(stderr, "Couldn't parse color '%s'\n", color);
+    RGBA t;
+    return t;
+}
+
+// fast._color_would_warn mirror: true when parse_color would print.
+static bool color_would_warn(const char *color) {
+    if (!color || !*color) return false;
+    std::string low = lowered(color);
+    if (low == "none" || css3_lookup(low)) return false;
+    RGBA tmp;
+    return !(match_hex_color(color, &tmp) || match_rgb_color(color, false, &tmp)
+             || match_rgb_color(color, true, &tmp));
+}
+
+// ---------------------------------------------------------------------
+// Terminal queries (term.py mirrors; ref src/term-query.cc).
+// ---------------------------------------------------------------------
+static int find_tty_fd() {
+    // stdout, stderr, stdin -- first real tty (ref term-query.cc:84-91).
+    const int fds[3] = {1, 2, 0};
+    for (int fd : fds)
+        if (isatty(fd)) return fd;
+    return -1;
+}
+
+typedef bool (*ResponseFound)(const std::string &);
+
+static std::string query_terminal(const char *query, size_t query_len,
+                                  double timeout_s, ResponseFound found) {
+    int fd = find_tty_fd();
+    if (fd < 0) return "";
+    struct termios old_t;
+    if (tcgetattr(fd, &old_t) != 0) return "";
+    std::string buf;
+    struct termios raw = old_t;
+    // The reference's raw mode (term-query.cc:99-106): iflag cleared,
+    // ICANON|ECHO off, VMIN/VTIME 0 -- OPOST and ISIG stay ON.
+    raw.c_iflag = 0;
+    raw.c_lflag &= ~(ICANON | ECHO);
+    raw.c_cc[VMIN] = 0;
+    raw.c_cc[VTIME] = 0;
+    tcsetattr(fd, TCSANOW, &raw);
+    ssize_t wr = write(fd, query, query_len);
+    (void)wr;
+    struct timespec t0;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    double deadline = t0.tv_sec + t0.tv_nsec * 1e-9 + timeout_s;
+    for (;;) {
+        struct timespec now;
+        clock_gettime(CLOCK_MONOTONIC, &now);
+        double remaining = deadline - (now.tv_sec + now.tv_nsec * 1e-9);
+        if (remaining <= 0) break;
+        fd_set rfds;
+        FD_ZERO(&rfds);
+        FD_SET(fd, &rfds);
+        struct timeval tv;
+        tv.tv_sec = (time_t)remaining;
+        tv.tv_usec = (suseconds_t)((remaining - (double)tv.tv_sec) * 1e6);
+        int r = select(fd + 1, &rfds, nullptr, nullptr, &tv);
+        if (r <= 0) break;
+        char chunk[512];
+        ssize_t n = read(fd, chunk, sizeof(chunk));
+        if (n <= 0) break;
+        buf.append(chunk, (size_t)n);
+        if (found && found(buf)) break;
+    }
+    // TCSAFLUSH like the reference's clean_up_terminal (:40-45).
+    tcsetattr(fd, TCSAFLUSH, &old_t);
+    return buf;
+}
+
+struct TermSize {
+    int cols = -1, rows = -1;
+    // -2/-1 keeps the 1:2 cell ratio trick (ref term-query.h:29-30).
+    int font_width_px = -1, font_height_px = -2;
+};
+
+static bool cellsize_found(const std::string &b) {
+    // \033[6;<digits>;<digits>t
+    size_t p = 0;
+    while ((p = b.find("\033[6;", p)) != std::string::npos) {
+        size_t q = p + 4;
+        size_t d1 = q;
+        while (q < b.size() && b[q] >= '0' && b[q] <= '9') ++q;
+        if (q > d1 && q < b.size() && b[q] == ';') {
+            size_t d2 = ++q;
+            while (q < b.size() && b[q] >= '0' && b[q] <= '9') ++q;
+            if (q > d2 && q < b.size() && b[q] == 't') return true;
+        }
+        ++p;
+    }
+    return false;
+}
+
+static TermSize determine_term_size() {
+    TermSize result;
+    int fd = find_tty_fd();
+    if (fd < 0) return result;
+    struct winsize w;
+    if (ioctl(fd, TIOCGWINSZ, &w) != 0) return result;
+    result.cols = w.ws_col;
+    result.rows = w.ws_row;
+    if (w.ws_row > 0 && w.ws_col > 0 && w.ws_xpixel >= 2 * w.ws_col &&
+        w.ws_ypixel >= 4 * w.ws_row) {
+        // Plausible pixel values: font at least 2x4 px (ref :386-392).
+        result.font_width_px = w.ws_xpixel / w.ws_col;
+        result.font_height_px = w.ws_ypixel / w.ws_row;
+    } else {
+        // Fallback: cell size query CSI 16t, 50ms budget (ref :347-366).
+        std::string resp =
+            query_terminal("\033[16t", 5, 0.05, cellsize_found);
+        size_t p = 0;
+        while ((p = resp.find("\033[6;", p)) != std::string::npos) {
+            int hpx = 0, wpx = 0;
+            if (sscanf(resp.c_str() + p, "\033[6;%d;%dt", &hpx, &wpx) == 2) {
+                result.font_height_px = hpx;
+                result.font_width_px = wpx;
+                break;
+            }
+            ++p;
+        }
+    }
+    return result;
+}
+
+static bool bg_found(const std::string &b) {
+    size_t i = b.find("rgb:");
+    return i != std::string::npos && b.find('\\', i) != std::string::npos;
+}
+
+// term.query_background_color mirror: returns false when no parsable
+// reply arrived (python returns None -> parse_color(None) ==
+// transparent).
+static bool query_background_color(RGBA *out) {
+    std::string resp =
+        query_terminal("\033]11;?\033\\", 7, 1.5, bg_found);
+    size_t p = resp.find("\033]11;rgb:");
+    if (p == std::string::npos) return false;
+    const char *s = resp.c_str() + p + 9;
+    // ([hex]+)/([hex]+)/([hex]+): take the first two digits of each
+    // component verbatim (high byte; ref term-query.cc:210-220).
+    uint8_t comp[3];
+    for (int i = 0; i < 3; ++i) {
+        if (hexval(*s) < 0) return false;
+        int hi = hexval(*s);
+        ++s;
+        int lo = 0;  // "0"-padded when the component is a single digit
+        if (hexval(*s) >= 0) lo = hexval(*s);
+        while (hexval(*s) >= 0) ++s;
+        comp[i] = (uint8_t)(hi * 16 + lo);
+        if (i < 2) {
+            if (*s != '/') return false;
+            ++s;
+        }
+    }
+    out->r = comp[0];
+    out->g = comp[1];
+    out->b = comp[2];
+    out->a = 0xFF;
+    return true;
+}
+
+enum Graphics { G_NONE, G_KITTY, G_ITERM2, G_SIXEL };
+
+struct GraphicsInfo {
+    Graphics preferred = G_NONE;
+    bool in_tmux = false;
+    bool sixel_broken_cursor = false;
+    bool sixel_full_cell_jump = false;
+};
+
+static bool gfx_found(const std::string &b) {
+    return b.find("\033[0") != std::string::npos;
+}
+
+static bool da1_found(const std::string &b) {
+    return b.find("\033[?") != std::string::npos;
+}
+
+// \033\[\?[0-9;]*?;4[;c] (term.py DA1 sixel matcher).
+static bool da1_has_sixel(const std::string &b) {
+    size_t p = 0;
+    while ((p = b.find("\033[?", p)) != std::string::npos) {
+        size_t j = p + 3;
+        while (j < b.size() &&
+               ((b[j] >= '0' && b[j] <= '9') || b[j] == ';')) {
+            if (b[j] == ';' && j + 2 < b.size() && b[j + 1] == '4' &&
+                (b[j + 2] == ';' || b[j + 2] == 'c'))
+                return true;
+            ++j;
+        }
+        ++p;
+    }
+    return false;
+}
+
+// term.query_supported_graphics_protocol mirror (ref :226-345).
+static GraphicsInfo query_graphics() {
+    GraphicsInfo info;
+    const char *term = getenv("TERM");
+    const char *term_program = getenv("TERM_PROGRAM");
+    if (!term) term = "";
+    if (!term_program) term_program = "";
+    long quirk = get_int_env("TIMG_SIXEL_NEWLINE_WORKAROUND", 0);
+    info.sixel_broken_cursor = (quirk & 1) != 0;
+    info.sixel_full_cell_jump = (quirk & 2) != 0;
+    const char *tmux_env = getenv("TMUX");
+    info.in_tmux = (tmux_env && *tmux_env) ||
+                   strncmp(term, "tmux", 4) == 0;
+
+    if (strcmp(term, "xterm-kitty") == 0 || strcmp(term, "xterm-ghostty") == 0)
+        info.preferred = G_KITTY;
+    if (strcmp(term_program, "vscode") == 0) {
+        info.preferred = G_ITERM2;
+        info.sixel_broken_cursor = true;
+    } else if (strcmp(term_program, "WarpTerminal") == 0) {
+        info.preferred = G_ITERM2;
+    }
+
+    std::string txt = query_terminal("\033[>q\033[5n", 8, 0.25, gfx_found);
+    // Sequential case-sensitive matchers in the reference's order.
+    if (txt.find("iTerm2") != std::string::npos ||
+        txt.find("Konsole 2") != std::string::npos)
+        info.preferred = G_ITERM2;
+    if (txt.find("WezTerm") != std::string::npos) {
+        info.preferred = G_ITERM2;
+        info.sixel_broken_cursor = true;
+    }
+    if (txt.find("kitty") != std::string::npos) info.preferred = G_KITTY;
+    if (txt.find("ghostty") != std::string::npos) info.preferred = G_KITTY;
+    if (txt.find("mlterm") != std::string::npos) info.preferred = G_SIXEL;
+    if (txt.find("XTerm") != std::string::npos)
+        info.sixel_broken_cursor = true;
+    if (txt.find("foot") != std::string::npos) {
+        info.preferred = G_SIXEL;
+        info.sixel_broken_cursor = true;
+    }
+    if (txt.find("tmux") != std::string::npos) info.in_tmux = true;
+    if (txt.find("WindowsTerminal") != std::string::npos) {
+        info.sixel_broken_cursor = true;
+        info.sixel_full_cell_jump = true;
+    }
+    if (info.preferred == G_NONE) {
+        std::string da1 = query_terminal("\033[c", 3, 0.25, da1_found);
+        if (da1_has_sixel(da1)) info.preferred = G_SIXEL;
+    }
+    return info;
+}
+
+// ---------------------------------------------------------------------
+// base64 + PNG assembly (render/png_core.py mirrors; ref timg-png.cc).
+// ---------------------------------------------------------------------
+static const char kB64[] =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+
+static void b64_append(std::string *out, const uint8_t *data, size_t len) {
+    size_t i = 0;
+    for (; i + 3 <= len; i += 3) {
+        uint32_t v = ((uint32_t)data[i] << 16) | ((uint32_t)data[i + 1] << 8) |
+                     data[i + 2];
+        out->push_back(kB64[(v >> 18) & 63]);
+        out->push_back(kB64[(v >> 12) & 63]);
+        out->push_back(kB64[(v >> 6) & 63]);
+        out->push_back(kB64[v & 63]);
+    }
+    if (i + 1 == len) {
+        uint32_t v = (uint32_t)data[i] << 16;
+        out->push_back(kB64[(v >> 18) & 63]);
+        out->push_back(kB64[(v >> 12) & 63]);
+        out->push_back('=');
+        out->push_back('=');
+    } else if (i + 2 == len) {
+        uint32_t v = ((uint32_t)data[i] << 16) | ((uint32_t)data[i + 1] << 8);
+        out->push_back(kB64[(v >> 18) & 63]);
+        out->push_back(kB64[(v >> 12) & 63]);
+        out->push_back(kB64[(v >> 6) & 63]);
+        out->push_back('=');
+    }
+}
+
+static void be32_append(std::string *out, uint32_t v) {
+    out->push_back((char)(v >> 24));
+    out->push_back((char)(v >> 16));
+    out->push_back((char)(v >> 8));
+    out->push_back((char)v);
+}
+
+static void png_chunk_append(std::string *out, const char type[4],
+                             const uint8_t *payload, size_t len) {
+    be32_append(out, (uint32_t)len);
+    size_t crc_start = out->size();
+    out->append(type, 4);
+    out->append((const char *)payload, len);
+    uint32_t crc = (uint32_t)libdeflate_crc32(
+        0, out->data() + crc_start, 4 + len);
+    be32_append(out, crc);
+}
+
+// encode_png_from_filtered mirror: IHDR + one IDAT + IEND, Sub-filtered
+// scanlines compressed with libdeflate at the same level the python
+// path uses -- identical bytes by identical library.
+static std::string encode_png_from_filtered(const uint8_t *raw, size_t rawlen,
+                                            int w, int h, int level,
+                                            bool with_alpha) {
+    struct libdeflate_compressor *comp = libdeflate_alloc_compressor(level);
+    std::string idat;
+    if (comp) {
+        size_t bound = libdeflate_zlib_compress_bound(comp, rawlen);
+        idat.resize(bound);
+        size_t n = libdeflate_zlib_compress(comp, raw, rawlen, &idat[0],
+                                            bound);
+        libdeflate_free_compressor(comp);
+        idat.resize(n);
+        if (n == 0) idat.clear();
+    }
+    std::string out("\x89PNG\r\n\x1a\n", 8);
+    uint8_t ihdr[13];
+    ihdr[0] = (uint8_t)(w >> 24); ihdr[1] = (uint8_t)(w >> 16);
+    ihdr[2] = (uint8_t)(w >> 8);  ihdr[3] = (uint8_t)w;
+    ihdr[4] = (uint8_t)(h >> 24); ihdr[5] = (uint8_t)(h >> 16);
+    ihdr[6] = (uint8_t)(h >> 8);  ihdr[7] = (uint8_t)h;
+    ihdr[8] = 8;
+    ihdr[9] = with_alpha ? 6 : 2;
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    png_chunk_append(&out, "IHDR", ihdr, 13);
+    png_chunk_append(&out, "IDAT", (const uint8_t *)idat.data(), idat.size());
+    png_chunk_append(&out, "IEND", nullptr, 0);
+    return out;
+}
+
+// fast._reliable_write mirror (stop on broken pipe / w<=0).
+static void reliable_write(int fd, const char *buf, size_t len) {
+    while (len > 0) {
+        ssize_t n = write(fd, buf, len);
+        if (n <= 0) {
+            if (n < 0 && errno == EINTR) continue;
+            return;
+        }
+        buf += n;
+        len -= (size_t)n;
+    }
+}
+
+// ---------------------------------------------------------------------
+// Argument parsing.  fast.py parses with argparse (args.py table, a
+// getopt mirror of ref timg.cc:495-524).  Any token this parser is not
+// POSITIVE about falls back to the python launcher, which reproduces
+// argparse's exact messages and codes.
+// ---------------------------------------------------------------------
+static const char *const BARE = "\x01";  // marker for a bare optional flag
+
+struct Args {
+    const char *pixelation = nullptr;          // -p
+    bool center = false;                       // -C
+    std::vector<const char *> title;           // --title (BARE or value)
+    std::vector<const char *> filelist;        // -f
+    std::vector<const char *> filelist_rel;    // -F
+    const char *bg_color = "auto";             // -b
+    const char *bg_pattern_color = nullptr;    // -B
+    long pattern_size = 1;                     // --pattern-size
+    const char *rotate = "exif";               // --rotate
+    bool fit_width = false;                    // -W
+    int upscale_short = 0;                     // -U count
+    std::vector<const char *> upscale;         // --upscale
+    std::vector<const char *> clear_vals;      // --clear
+    bool no_antialias = false;                 // -a
+    const char *wait = nullptr;                // -w
+    const char *geometry = nullptr;            // -g
+    const char *outfile = nullptr;             // -o
+    bool no_hide_cursor = false;               // -E
+    std::vector<const char *> compress;        // --compress
+    bool color8 = false;                       // --color8
+    bool has_duration = false;                 // -t
+    double duration = 0.0;
+    bool debug_no_frame_delay = false;
+    const char *dither = "libsixel";           // --dither
+    std::vector<const char *> files;
+};
+
+// argparse consumes a separate token as an option's value only when it
+// does not itself look like an option: anything not starting with '-',
+// a bare "-", or a negative number (argparse._negative_number_matcher,
+// active because no option string of ours is numeric).
+static bool looks_like_value(const char *tok) {
+    if (tok[0] != '-') return true;
+    if (tok[1] == 0) return true;  // "-"
+    const char *p = tok + 1;
+    bool digits = false;
+    while (*p >= '0' && *p <= '9') {
+        ++p;
+        digits = true;
+    }
+    if (*p == 0) return digits;          // -\d+
+    if (*p != '.') return false;
+    ++p;
+    bool frac = false;
+    while (*p >= '0' && *p <= '9') {
+        ++p;
+        frac = true;
+    }
+    return frac && *p == 0;              // -\d*\.\d+
+}
+
+// Parse argv into Args.  Returns false -> exec_fallback (unknown flag,
+// parse error, or a flag whose presence routes to the full path).
+static bool parse_args(int argc, char **argv, Args *a) {
+    bool positional_only = false;
+    for (int i = 1; i < argc; ++i) {
+        const char *tok = argv[i];
+        if (positional_only || tok[0] != '-' || tok[1] == 0) {
+            a->files.push_back(tok);
+            continue;
+        }
+        if (strcmp(tok, "--") == 0) {
+            positional_only = true;
+            continue;
+        }
+        if (tok[1] == '-') {
+            // Long option.  Exact names only: argparse accepts
+            // unambiguous abbreviations, which fall back to python.
+            const char *eq = strchr(tok, '=');
+            std::string name(tok, eq ? (size_t)(eq - tok) : strlen(tok));
+            const char *attached = eq ? eq + 1 : nullptr;
+            // Flags whose mere presence is outside the envelope:
+            if (name == "--grid" || name == "--scroll" ||
+                name == "--delta-move" || name == "--auto-crop" ||
+                name == "--version" || name == "--verbose" ||
+                name == "--help" || name == "--frames" ||
+                name == "--devices")
+                return false;
+            if (name == "--frame-offset") {
+                // --frame-offset=0 stays in the envelope (fast.py bails
+                // only on a nonzero offset).
+                const char *v = attached;
+                if (!v) {
+                    if (i + 1 >= argc || !looks_like_value(argv[i + 1]))
+                        return false;
+                    v = argv[++i];
+                }
+                long off;
+                if (!parse_int_strict(v, &off) || off != 0) return false;
+                continue;
+            }
+            auto required = [&](const char **slot) -> bool {
+                if (attached) {
+                    *slot = attached;
+                    return true;
+                }
+                // A following option-looking token is an argparse
+                // "expected one argument" error -> python reproduces it.
+                if (i + 1 >= argc || !looks_like_value(argv[i + 1]))
+                    return false;
+                *slot = argv[++i];
+                return true;
+            };
+            if (name == "--pixelation") {
+                if (!required(&a->pixelation)) return false;
+            } else if (name == "--center") {
+                a->center = true;
+            } else if (name == "--title") {
+                a->title.push_back(attached ? attached : BARE);
+            } else if (name == "--pattern-size") {
+                const char *v;
+                if (!required(&v)) return false;
+                if (!parse_int_strict(v, &a->pattern_size)) return false;
+            } else if (name == "--rotate") {
+                if (!required(&a->rotate)) return false;
+            } else if (name == "--fit-width") {
+                a->fit_width = true;
+            } else if (name == "--upscale") {
+                a->upscale.push_back(attached ? attached : BARE);
+            } else if (name == "--clear") {
+                a->clear_vals.push_back(attached ? attached : BARE);
+            } else if (name == "--compress") {
+                a->compress.push_back(attached ? attached : BARE);
+            } else if (name == "--threads") {
+                const char *v;
+                long unused;
+                if (!required(&v)) return false;
+                if (!parse_int_strict(v, &unused)) return false;
+                // decode-pool sizing: inert for the one-shot still path
+            } else if (name == "--color8") {
+                a->color8 = true;
+            } else if (name == "--loops") {
+                // optional_argument, inert for stills (loops forced 1)
+                (void)attached;
+            } else if (name == "--debug-no-frame-delay") {
+                a->debug_no_frame_delay = true;
+            } else if (name == "--dither") {
+                const char *v;
+                if (!required(&v)) return false;
+                if (strcmp(v, "adaptive") && strcmp(v, "cube") &&
+                    strcmp(v, "libsixel"))
+                    return false;  // argparse choice error -> python
+                a->dither = v;
+            } else {
+                return false;  // unknown / abbreviated long flag
+            }
+            continue;
+        }
+        // Short option cluster.  argparse semantics: a value short
+        // takes the rest of the token, else the next token.
+        for (const char *p = tok + 1; *p; ++p) {
+            char c = *p;
+            const char *rest = p + 1;
+            auto value = [&](const char **slot) -> bool {
+                if (*rest) {
+                    *slot = rest;
+                    return true;
+                }
+                if (i + 1 >= argc || !looks_like_value(argv[i + 1]))
+                    return false;
+                *slot = argv[++i];
+                return true;
+            };
+            bool consumed_rest = false;
+            switch (c) {
+                case 'p':
+                    if (!value(&a->pixelation)) return false;
+                    consumed_rest = true;
+                    break;
+                case 'f': {
+                    const char *v;
+                    if (!value(&v)) return false;
+                    a->filelist.push_back(v);
+                    consumed_rest = true;
+                    break;
+                }
+                case 'F': {
+                    const char *v;
+                    if (!value(&v)) return false;
+                    a->filelist_rel.push_back(v);
+                    consumed_rest = true;
+                    break;
+                }
+                case 'b':
+                    if (!value(&a->bg_color)) return false;
+                    consumed_rest = true;
+                    break;
+                case 'B':
+                    if (!value(&a->bg_pattern_color)) return false;
+                    consumed_rest = true;
+                    break;
+                case 'w':
+                    if (!value(&a->wait)) return false;
+                    consumed_rest = true;
+                    break;
+                case 'g':
+                    if (!value(&a->geometry)) return false;
+                    consumed_rest = true;
+                    break;
+                case 'o':
+                    if (!value(&a->outfile)) return false;
+                    consumed_rest = true;
+                    break;
+                case 't': {
+                    const char *v;
+                    if (!value(&v)) return false;
+                    if (!parse_float_strict(v, &a->duration)) return false;
+                    a->has_duration = true;
+                    consumed_rest = true;
+                    break;
+                }
+                case 'c': {
+                    // --loops short form: argparse nargs='?' consumes
+                    // an attached rest or a non-flag next token; inert
+                    // for stills either way.
+                    if (*rest) {
+                        consumed_rest = true;
+                    } else if (i + 1 < argc && looks_like_value(argv[i + 1])) {
+                        ++i;
+                    }
+                    break;
+                }
+                case 'C': a->center = true; break;
+                case 'W': a->fit_width = true; break;
+                case 'U': a->upscale_short++; break;
+                case 'I': break;  // image-only: stills are images
+                case 'a': a->no_antialias = true; break;
+                case 'E': a->no_hide_cursor = true; break;
+                case 'v': break;  // in the optstring, no handler (ref)
+                case 'V':         // video-only
+                case 'd':         // delta-move
+                case 'h':         // help
+                default:
+                    return false;
+            }
+            if (consumed_rest) break;
+        }
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------------
+// Rendering: decode one PNG still -> planes (fast._NativeStill mirror).
+// ---------------------------------------------------------------------
+struct Display {
+    int width = 0, height = 0;
+    int cell_x = 1, cell_y = 2;
+    double width_stretch = 1.0;
+    bool upscale = false, upscale_integer = false;
+    bool fill_width = false;
+    bool antialias = true;
+    bool exif_rotate = true;
+    long pattern_size = 1;
+    RGBA bg_pattern_color;
+    bool quarter = false;
+    bool use_upper = false;
+    enum Mode { HALF, QUARTER, SIXEL, KITTY, ITERM2 } mode = QUARTER;
+};
+
+struct Planes {
+    bool missing = false;       // error message instead of pixels
+    std::string error;
+    // blocks
+    bool is_blocks = false;
+    std::vector<int32_t> glyph;
+    std::vector<uint8_t> fg, bg;
+    int hcells = 0, wcells = 0;
+    // pixel-direct
+    std::vector<uint8_t> frame;  // composed RGBA
+    std::string sixel_stream;    // pre-built DCS payload (sixel mode)
+    int target_w = 0, target_h = 0;
+    int orig_w = 0, orig_h = 0;
+};
+
+struct BgCache {
+    bool have = false;
+    RGBA value;
+};
+
+static RGBA bg_get(BgCache *cache, const char *bg_color) {
+    if (!cache->have) {
+        if (strcasecmp(bg_color, "auto") == 0) {
+            RGBA v;
+            if (!query_background_color(&v)) v = RGBA();  // transparent
+            cache->value = v;
+        } else {
+            cache->value = parse_color(bg_color);
+        }
+        cache->have = true;
+    }
+    return cache->value;
+}
+
+// Returns false -> outside the envelope (exec fallback).
+static bool render_still(const char *fname, const Display &disp,
+                         BgCache *bgc, const char *bg_color, Planes *out) {
+    FILE *f = fopen(fname, "rb");
+    if (!f) return false;
+    std::string data;
+    char buf[65536];
+    size_t n;
+    while ((n = fread(buf, 1, sizeof(buf), f)) > 0) data.append(buf, n);
+    bool rerr = ferror(f);
+    fclose(f);
+    if (rerr) return false;
+
+    uint8_t *rgba = nullptr;
+    int iw = 0, ih = 0, flags = 0;
+    if (timg_png_decode((const uint8_t *)data.data(), (long)data.size(),
+                        &rgba, &iw, &ih, &flags) != 0)
+        return false;
+    bool ok = false;
+    do {
+        if (flags & 1) break;                       // APNG -> video path
+        if (disp.exif_rotate && (flags & 2)) break; // eXIf present
+        out->orig_w = iw;
+        out->orig_h = ih;
+        int tw = 0, th = 0;
+        timg_calc_scale(iw, ih, disp.width, disp.height,
+                        disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                        disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
+                        disp.cell_x, disp.cell_y, 0, &tw, &th);
+        if (disp.quarter && (tw % 2)) break;  // odd-width overrun case
+        std::vector<uint8_t> frame((size_t)th * tw * 4);
+        if (ih != th || iw != tw) {
+            if (!disp.antialias) {
+                timg_resize_nearest(rgba, ih, iw, frame.data(), th, tw);
+            } else {
+                int32_t *starts_v = nullptr, *starts_h = nullptr;
+                float *coeffs_v = nullptr, *coeffs_h = nullptr;
+                int widest_v = timg_build_taps(ih, th, 0, &starts_v,
+                                               &coeffs_v);
+                int widest_h = timg_build_taps(iw, tw, 1, &starts_h,
+                                               &coeffs_h);
+                long rc = -1;
+                if (widest_v >= 1 && widest_h >= 1) {
+                    int vfirst = timg_plan_passes(ih, iw, th, tw, 1);
+                    rc = timg_resize_polyphase(rgba, 1, ih, iw, frame.data(),
+                                               th, tw, starts_v, coeffs_v,
+                                               widest_v, starts_h, coeffs_h,
+                                               widest_h, vfirst, 1);
+                }
+                timg_buf_free(starts_v);
+                timg_buf_free(coeffs_v);
+                timg_buf_free(starts_h);
+                timg_buf_free(coeffs_h);
+                if (rc != 0) break;
+            }
+        } else {
+            memcpy(frame.data(), rgba, (size_t)th * tw * 4);
+        }
+
+        // Lazy background compose (ref framebuffer.cc:113-121).
+        if (timg_has_translucency(frame.data(), (long)th * tw)) {
+            RGBA bg = bg_get(bgc, bg_color);
+            if (bg.a != 0) {
+                int pw = (int)(disp.pattern_size * disp.cell_x);
+                int ph = (int)(disp.pattern_size * disp.cell_y / 2);
+                uint8_t bg4[4] = {bg.r, bg.g, bg.b, bg.a};
+                uint8_t pat4[4] = {disp.bg_pattern_color.r,
+                                   disp.bg_pattern_color.g,
+                                   disp.bg_pattern_color.b,
+                                   disp.bg_pattern_color.a};
+                timg_alpha_over_bg(frame.data(), th, tw, bg4, pat4, pw, ph,
+                                   0);
+            }
+        }
+        out->target_w = tw;
+        out->target_h = th;
+
+        if (disp.mode == Display::SIXEL || disp.mode == Display::KITTY ||
+            disp.mode == Display::ITERM2) {
+            out->frame = std::move(frame);
+            ok = true;
+            break;
+        }
+
+        // Odd-height empty-line shift (ref unicode-block-canvas.cc:
+        // 356-365): append when TIMG_USE_UPPER_BLOCK, else prepend.
+        int padded_h = th;
+        if (th % 2) {
+            size_t row = (size_t)tw * 4;
+            if (disp.use_upper)
+                frame.insert(frame.end(), row, 0);
+            else
+                frame.insert(frame.begin(), row, 0);
+            padded_h += 1;
+        }
+        int hcells = padded_h / 2;
+        int wcells = disp.quarter ? tw / 2 : tw;
+        out->glyph.resize((size_t)hcells * wcells);
+        out->fg.resize((size_t)hcells * wcells * 4);
+        out->bg.resize((size_t)hcells * wcells * 4);
+        if (disp.quarter)
+            timg_quarter_blocks(frame.data(), padded_h, tw,
+                                disp.use_upper ? 1 : 0, out->glyph.data(),
+                                out->fg.data(), out->bg.data());
+        else
+            timg_half_blocks(frame.data(), padded_h, tw,
+                             disp.use_upper ? 1 : 0, out->glyph.data(),
+                             out->fg.data(), out->bg.data());
+        out->hcells = hcells;
+        out->wcells = wcells;
+        out->is_blocks = true;
+        ok = true;
+    } while (false);
+    timg_buf_free(rgba);
+    return ok;
+}
+
+// fast._sixel_payload mirror: pad height to %6 with a bg strip, then
+// the reference-exact libsixel quant.c pipeline + RLE assembly.
+static bool sixel_payload(const std::vector<uint8_t> &frame, int w, int h,
+                          BgCache *bgc, const char *bg_color,
+                          std::string *out) {
+    int padded_h = (h + 5) - (h + 5) % 6;
+    std::vector<uint8_t> buf(frame.begin(),
+                             frame.begin() + (size_t)h * w * 4);
+    if (padded_h > h) {
+        RGBA bg = bg_get(bgc, bg_color);
+        size_t extra = (size_t)(padded_h - h) * w;
+        if (bg.a != 0) {
+            uint8_t px[4] = {bg.r, bg.g, bg.b, 255};
+            buf.reserve(buf.size() + extra * 4);
+            for (size_t i = 0; i < extra; ++i)
+                buf.insert(buf.end(), px, px + 4);
+        } else {
+            buf.insert(buf.end(), extra * 4, 0);
+        }
+    }
+    std::vector<uint8_t> pal(256 * 3), idx((size_t)padded_h * w);
+    int rc = timg_libsixel_quant(buf.data(), padded_h, w, (long)w * 4, 256,
+                                 pal.data(), idx.data());
+    if (rc < 0) return false;
+    int ncolors = rc & 0xFFFF;
+    long n_bands = (padded_h + 5) / 6;
+    size_t cap = (size_t)n_bands * ncolors * (w + 12) + ncolors * 20 + 256;
+    std::vector<char> six(cap);
+    long sn = timg_sixel_encode(idx.data(), padded_h, w, w, pal.data(),
+                                ncolors, six.data());
+    if (sn < 0) return false;
+    out->assign(six.data(), (size_t)sn);
+    return true;
+}
+
+// Kitty image ids (fast._kitty_create_id mirror; time-seeded like the
+// reference, ref kitty-canvas.cc:48-53).
+static uint32_t s_kitty_id_start = 0;
+static uint32_t s_kitty_id_counter = 0;
+
+static uint32_t kitty_create_id() {
+    if (s_kitty_id_start == 0)
+        s_kitty_id_start =
+            (uint32_t)(((uint64_t)time(nullptr) << 7) & 0xFFFFFFFFu);
+    s_kitty_id_counter += 1;
+    return s_kitty_id_start + s_kitty_id_counter;
+}
+
+static const size_t kB64Chunk = 4096;                 // protocol max
+static const size_t kByteChunk = kB64Chunk / 4 * 3;   // pre-encode bytes
+
+static std::string kitty_payload(const std::string &png, int level) {
+    (void)level;
+    uint32_t image_id = kitty_create_id();
+    std::string out;
+    char head[96];
+    snprintf(head, sizeof(head), "\033_Ga=T,i=%u,q=2,f=100,m=%d;", image_id,
+             png.size() > kByteChunk ? 1 : 0);
+    out += head;
+    size_t pos = 0;
+    while (pos < png.size()) {
+        size_t nchunk = png.size() - pos;
+        if (nchunk > kByteChunk) nchunk = kByteChunk;
+        b64_append(&out, (const uint8_t *)png.data() + pos, nchunk);
+        pos += nchunk;
+        if (pos < png.size()) {
+            snprintf(head, sizeof(head), "\033\\\033_Gq=2,m=%d;",
+                     png.size() - pos > kByteChunk ? 1 : 0);
+            out += head;
+        }
+    }
+    out += "\033\\\n";
+    return out;
+}
+
+// ---------------------------------------------------------------------
+// Title helpers (fast._format_title/_trim_title mirrors).  The python
+// mirrors measure in code points; the gate pre-checks everything is
+// ASCII so bytes == code points here.
+// ---------------------------------------------------------------------
+static std::string format_title(const char *fmt, const char *filename,
+                                int w, int h) {
+    std::string out;
+    const char *base = strrchr(filename, '/');
+    base = base ? base + 1 : filename;
+    char num[16];
+    for (const char *p = fmt; *p; ++p) {
+        if (*p != '%' || !p[1]) {
+            out.push_back(*p);
+            continue;
+        }
+        ++p;
+        switch (*p) {
+            case 'f': out += filename; break;
+            case 'b': out += base; break;
+            case 'w':
+                snprintf(num, sizeof(num), "%d", w);
+                out += num;
+                break;
+            case 'h':
+                snprintf(num, sizeof(num), "%d", h);
+                out += num;
+                break;
+            case 'D': out += "pil"; break;
+            default: out.push_back(*p); break;
+        }
+    }
+    return out;
+}
+
+static std::string trim_title(const std::string &title, int requested_width,
+                              bool center) {
+    std::string result = title;
+    if ((int)result.size() > requested_width) {
+        size_t keep =
+            requested_width >= 3 ? (size_t)(requested_width - 3) : 0;
+        result = "..." + result.substr(result.size() - keep);
+    } else if (center) {
+        int start_spaces = (requested_width - (int)result.size()) / 2;
+        if (start_spaces > 0)
+            result = std::string((size_t)start_spaces, ' ') + result;
+    }
+    return result + "\n";
+}
+
+static bool is_ascii(const char *s) {
+    for (; *s; ++s)
+        if ((unsigned char)*s >= 0x80) return false;
+    return true;
+}
+
+// ---------------------------------------------------------------------
+// main -- step order mirrors fast.try_fast_main exactly.
+// ---------------------------------------------------------------------
+int main(int argc, char **argv) {
+    g_argc = argc;
+    g_argv = argv;
+    signal(SIGPIPE, SIG_IGN);  // python-default: write errors, no kill
+
+    // Force-backend envs route to the numpy/device pipelines.
+    const char *forced[] = {"TIMG_TPU_NO_FASTPATH", "TIMG_TPU_FORCE_NUMPY",
+                            "TIMG_TPU_FORCE_DEVICE",
+                            "TIMG_TPU_NO_NATIVE_LAUNCHER"};
+    for (const char *name : forced) {
+        const char *v = getenv(name);
+        if (v && *v) exec_fallback();
+    }
+
+    Args args;
+    if (!parse_args(argc, argv, &args)) exec_fallback();
+
+    // Warn-y flag values bail BEFORE anything prints.
+    static const char *kPixMap[] = {"half", "quarter", "kitty", "iterm2",
+                                    "sixel"};
+    static const char kPixKeys[] = {'h', 'q', 'k', 'i', 's'};
+    auto pix_lookup = [&](char c) -> const char * {
+        if (c >= 'A' && c <= 'Z') c += 32;
+        for (int k = 0; k < 5; ++k)
+            if (kPixKeys[k] == c) return kPixMap[k];
+        return nullptr;
+    };
+    if (args.pixelation && !pix_lookup(args.pixelation[0])) exec_fallback();
+    for (const char *v : args.upscale) {
+        if (v == BARE) continue;
+        char c = v[0];
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (c != 'i') exec_fallback();
+    }
+    if (strcasecmp(args.bg_color, "auto") != 0 &&
+        color_would_warn(args.bg_color))
+        exec_fallback();
+    if (args.bg_pattern_color && color_would_warn(args.bg_pattern_color))
+        exec_fallback();
+
+    TermSize tsize = determine_term_size();
+
+    // Resolve pixelation (fast.py mirror of ref timg.cc:742-793).
+    const char *pixelation = nullptr;  // NOT_CHOSEN
+    const char *env_pix = getenv("TIMG_PIXELATION");
+    if (env_pix && *env_pix) {
+        const char *m = pix_lookup(env_pix[0]);
+        if (m) pixelation = m;
+    }
+    if (args.pixelation) {
+        const char *m = pix_lookup(args.pixelation[0]);
+        if (m) pixelation = m;
+    }
+    bool pixel_named = pixelation &&
+                       (strcmp(pixelation, "iterm2") == 0 ||
+                        strcmp(pixelation, "kitty") == 0 ||
+                        strcmp(pixelation, "sixel") == 0);
+    bool cell_unknown_pixel_mode =
+        pixel_named &&
+        (tsize.font_width_px < 0 || tsize.font_height_px < 0);
+    bool have_sixel_opts = false;
+    bool sixel_broken_cursor = false, sixel_full_cell_jump = false;
+    if (!pixelation) {
+        pixelation = "quarter";
+        if (tsize.font_width_px > 0 && tsize.font_height_px > 0) {
+            GraphicsInfo gi = query_graphics();
+            if (gi.preferred == G_ITERM2) {
+                pixelation = "iterm2";
+            } else if (gi.preferred == G_KITTY) {
+                if (gi.in_tmux) exec_fallback();  // passthrough: full path
+                pixelation = "kitty";
+            } else if (gi.preferred == G_SIXEL) {
+                pixelation = "sixel";
+                have_sixel_opts = true;
+                sixel_broken_cursor = gi.sixel_broken_cursor;
+                sixel_full_cell_jump = gi.sixel_full_cell_jump;
+            }
+        }
+    } else if (strcmp(pixelation, "kitty") == 0) {
+        if (query_graphics().in_tmux) exec_fallback();
+    } else if (strcmp(pixelation, "sixel") == 0) {
+        GraphicsInfo gi = query_graphics();
+        have_sixel_opts = true;
+        sixel_broken_cursor = gi.sixel_broken_cursor;
+        sixel_full_cell_jump = gi.sixel_full_cell_jump;
+    }
+    (void)sixel_full_cell_jump;  // stills never jump cells
+    if (strcmp(pixelation, "sixel") == 0 &&
+        strcmp(args.dither, "libsixel") != 0)
+        exec_fallback();  // cube/adaptive run on the numpy/device path
+
+    // ---- flag handling (fast.py mirror of ref timg.cc:521-718) ----
+    int geometry_width = tsize.cols - 2;
+    int geometry_height = tsize.rows - 2;
+    if (args.geometry) {
+        const char *x = strchr(args.geometry, 'x');
+        std::string gw(args.geometry,
+                       x ? (size_t)(x - args.geometry)
+                         : strlen(args.geometry));
+        std::string gh(x ? x + 1 : "");
+        long v;
+        bool bad = false;
+        if (!gw.empty()) {
+            if (parse_int_strict(gw.c_str(), &v))
+                geometry_width = (int)v;
+            else
+                bad = true;
+        }
+        if (!bad && !gh.empty()) {
+            if (parse_int_strict(gh.c_str(), &v))
+                geometry_height = (int)v;
+            else
+                bad = true;
+        }
+        if (bad) {
+            fprintf(stderr, "Invalid size spec '%s'\n", args.geometry);
+            return EXIT_PARAMETER_ERROR;
+        }
+    }
+
+    double duration_between_images_ms = 0.0;
+    double duration_for_row_ms = 0.0;
+    if (args.wait) {
+        if (args.wait[0] == 'r')
+            duration_for_row_ms = py_round(c_atof(args.wait + 1) * 1000.0);
+        else
+            duration_between_images_ms =
+                py_round(c_atof(args.wait) * 1000.0);
+    }
+
+    double duration_per_image_ms = INFINITY;
+    if (args.has_duration)
+        duration_per_image_ms = py_round(args.duration * 1000.0);
+
+    int clear_screen = 0;  // 0 NOT, 1 BEFORE_FIRST, 2 BEFORE_EACH
+    for (const char *v : args.clear_vals) {
+        if (v == BARE) {
+            clear_screen = 1;
+        } else {
+            std::string lv = lowered(v);
+            if (lv.size() <= 5 &&
+                strncmp("every", lv.c_str(), lv.size()) == 0) {
+                clear_screen = 2;
+            } else {
+                fprintf(stderr, "Parameter for --clear can be 'every', "
+                                "got %s\n", v);
+                return EXIT_PARAMETER_ERROR;
+            }
+        }
+    }
+
+    bool antialias = !args.no_antialias;
+    std::string bg_color = args.bg_color;
+    bool center = args.center;
+    bool upscale = ((args.upscale.size() + args.upscale_short) % 2) != 0;
+    bool upscale_integer = false;
+    for (const char *v : args.upscale) {
+        if (v == BARE) continue;
+        char c = v[0];
+        if (c == 'i' || c == 'I') upscale_integer = true;
+    }
+    std::string rotate_low = lowered(args.rotate);
+    bool exif_rotate = rotate_low != "off";
+    if (rotate_low != "exif" && rotate_low != "off") {
+        fprintf(stderr, "--rotate=%s: expected 'exif' or 'off'\n",
+                args.rotate);
+        return EXIT_PARAMETER_ERROR;
+    }
+
+    bool show_title = (args.title.size() % 2) != 0;
+    const char *env_title = getenv("TIMG_DEFAULT_TITLE");
+    std::string title_format =
+        (env_title && *env_title) ? env_title : "%f";
+    for (const char *v : args.title)
+        if (v != BARE) title_format = v;
+
+    int output_fd = 1;
+    bool opened_fd = false;
+    if (args.outfile) {
+        output_fd = open(args.outfile, O_WRONLY | O_CREAT | O_TRUNC, 0664);
+        if (output_fd < 0) {
+            fprintf(stderr, "%s: %s\n", args.outfile, strerror(errno));
+            return EXIT_CANT_OPEN_OUTPUT;
+        }
+        opened_fd = true;
+    }
+    auto finish = [&](int code) {
+        if (opened_fd) close(output_fd);
+        return code;
+    };
+    auto finish_fallback = [&]() {
+        if (opened_fd) close(output_fd);
+        exec_fallback();
+    };
+
+    int compress_level = 1;  // ref display-options.h:52
+    for (const char *v : args.compress) {
+        int level = (v == BARE) ? 1 : c_atoi(v);
+        compress_level = (level >= 0 && level <= 9) ? level : 1;
+    }
+    bool use_256 = args.color8;
+    bool hide_cursor = !args.no_hide_cursor;
+
+    // Filelists (fast.append_to_filelist mirror, ref timg.cc:288-309).
+    std::vector<std::string> filelist;
+    auto append_filelist = [&](const char *flf, bool relative) -> bool {
+        const char *path = strcmp(flf, "-") == 0 ? "/dev/stdin" : flf;
+        FILE *f = fopen(path, "r");
+        if (!f) {
+            fprintf(stderr, "%s: %s\n", flf, strerror(errno));
+            return false;
+        }
+        std::string content;
+        char rb[8192];
+        size_t n;
+        while ((n = fread(rb, 1, sizeof(rb), f)) > 0) content.append(rb, n);
+        fclose(f);
+        const char *slash = strrchr(flf, '/');
+        std::string prefix =
+            slash ? std::string(flf, (size_t)(slash - flf) + 1) : "";
+        size_t start = 0;
+        while (start <= content.size()) {
+            size_t nl = content.find('\n', start);
+            std::string line = content.substr(
+                start, nl == std::string::npos ? std::string::npos
+                                               : nl - start);
+            if (!line.empty() && line.back() == '\r') line.pop_back();
+            if (!line.empty()) {
+                if (relative && line[0] != '/' && !prefix.empty())
+                    line = prefix + line;
+                filelist.push_back(line);
+            }
+            if (nl == std::string::npos) break;
+            start = nl + 1;
+        }
+        return true;
+    };
+    for (const char *fl : args.filelist)
+        if (!append_filelist(fl, false)) return finish(EXIT_FILELIST_PROBLEM);
+    for (const char *fl : args.filelist_rel)
+        if (!append_filelist(fl, true)) return finish(EXIT_FILELIST_PROBLEM);
+
+    // ---- sanity sieve (ref timg.cc:726-905) ----
+    if (geometry_width < 1 || geometry_height < 1) {
+        if (tsize.cols < 0 || tsize.rows < 0)
+            fprintf(stderr, "Failed to read size from terminal; Please "
+                            "supply -g<width>x<height> directly.\n");
+        else
+            fprintf(stderr, "%dx%d is a rather unusual size\n",
+                    geometry_width, geometry_height);
+        return finish(EXIT_NOT_A_TERMINAL);
+    }
+
+    Display disp;
+    bool pixel_direct = strcmp(pixelation, "half") != 0 &&
+                        strcmp(pixelation, "quarter") != 0;
+    if ((strcmp(pixelation, "iterm2") == 0 ||
+         strcmp(pixelation, "kitty") == 0) &&
+        strcasecmp(bg_color.c_str(), "auto") == 0)
+        bg_color = "none";  // ref timg.cc:810-813 (terminal-side alpha)
+    bool local_alpha = strcasecmp(bg_color.c_str(), "none") != 0;
+
+    int fw = tsize.font_width_px, fh = tsize.font_height_px;
+    double width_stretch;
+    if (pixel_direct)
+        width_stretch = 1.0;
+    else
+        width_stretch = (fw != 0) ? 0.5 * fh / fw : INFINITY;
+    width_stretch = get_float_env("TIMG_FONT_WIDTH_CORRECT", width_stretch);
+    int cell_x, cell_y;
+    if (strcmp(pixelation, "half") == 0) {
+        cell_x = 1;
+        cell_y = 2;
+    } else if (strcmp(pixelation, "quarter") == 0) {
+        width_stretch *= 2;
+        cell_x = 2;
+        cell_y = 2;
+    } else {
+        cell_x = 1;
+        cell_y = 2;  // DisplayOptions defaults
+        if (cell_unknown_pixel_mode) {
+            cell_x = 9;
+            cell_y = 18;  // ref timg.cc:742-767
+            compress_level = 1;
+        } else {
+            if (tsize.font_width_px > 0) cell_x = tsize.font_width_px;
+            if (tsize.font_height_px > 0) cell_y = tsize.font_height_px;
+        }
+    }
+
+    int width = geometry_width * cell_x;
+    int height = geometry_height * cell_y;
+
+    for (const char *f : args.files) filelist.push_back(f);
+    if (filelist.empty()) {
+        fprintf(stderr,
+                "Expected image filename(s) on command line or via -f\n");
+        return finish(EXIT_IMAGE_READ_ERROR);
+    }
+
+    if (show_title) height -= cell_y;  // grid_rows == 1 (ref :902-905)
+
+    RGBA bg_pattern_color =
+        parse_color(args.bg_pattern_color ? args.bg_pattern_color : nullptr);
+    bool use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK", false);
+
+    // Non-ASCII titles: the python mirrors trim in code points; bail
+    // so bytes==code-points holds for everything we commit to.
+    if (show_title) {
+        if (!is_ascii(title_format.c_str())) finish_fallback();
+        for (const std::string &f : filelist)
+            if (!is_ascii(f.c_str())) finish_fallback();
+    }
+
+    // ---- input gate: every file an eligible PNG still or cleanly
+    // missing (error diagnosis replicated) ----
+    std::vector<std::string> missing_msg(filelist.size());
+    std::vector<bool> is_missing(filelist.size(), false);
+    for (size_t i = 0; i < filelist.size(); ++i) {
+        const std::string &fname = filelist[i];
+        if (fname == "-") finish_fallback();
+        struct stat st;
+        if (stat(fname.c_str(), &st) != 0) {
+            missing_msg[i] = fname + ": No such file or directory";
+            is_missing[i] = true;
+            continue;
+        }
+        if (S_ISDIR(st.st_mode)) {
+            missing_msg[i] = fname + ": is a directory";
+            is_missing[i] = true;
+            continue;
+        }
+        if (access(fname.c_str(), R_OK) != 0) {
+            missing_msg[i] = fname + ": Permission denied";
+            is_missing[i] = true;
+            continue;
+        }
+        if (!S_ISREG(st.st_mode)) finish_fallback();
+        FILE *f = fopen(fname.c_str(), "rb");
+        if (!f) finish_fallback();
+        unsigned char sig[16];
+        size_t n = fread(sig, 1, sizeof(sig), f);
+        fclose(f);
+        static const unsigned char kPng[8] = {0x89, 'P', 'N', 'G', '\r',
+                                              '\n', 0x1a, '\n'};
+        // Non-PNG stills (JPEG/GIF/BMP/WebP) decode through PIL in the
+        // python fastpath -- outside this binary's envelope.
+        if (n < 8 || memcmp(sig, kPng, 8) != 0) finish_fallback();
+    }
+
+    disp.width = width;
+    disp.height = height;
+    disp.cell_x = cell_x;
+    disp.cell_y = cell_y;
+    disp.width_stretch = width_stretch;
+    disp.upscale = upscale;
+    disp.upscale_integer = upscale_integer;
+    disp.fill_width = args.fit_width;
+    disp.antialias = antialias;
+    disp.exif_rotate = exif_rotate;
+    disp.pattern_size = args.pattern_size;
+    disp.bg_pattern_color = bg_pattern_color;
+    disp.quarter = strcmp(pixelation, "quarter") == 0;
+    disp.use_upper = use_upper;
+    disp.mode = strcmp(pixelation, "half") == 0     ? Display::HALF
+                : strcmp(pixelation, "quarter") == 0 ? Display::QUARTER
+                : strcmp(pixelation, "sixel") == 0   ? Display::SIXEL
+                : strcmp(pixelation, "kitty") == 0   ? Display::KITTY
+                                                     : Display::ITERM2;
+    (void)have_sixel_opts;
+
+    // Decode/render pass: any bail aborts before a byte is written.
+    BgCache bgc;
+    std::vector<Planes> rendered(filelist.size());
+    for (size_t i = 0; i < filelist.size(); ++i) {
+        if (is_missing[i]) {
+            rendered[i].missing = true;
+            rendered[i].error = missing_msg[i];
+            continue;
+        }
+        if (!render_still(filelist[i].c_str(), disp, &bgc,
+                          bg_color.c_str(), &rendered[i]))
+            finish_fallback();
+        if (disp.mode == Display::SIXEL) {
+            if (!sixel_payload(rendered[i].frame, rendered[i].target_w,
+                               rendered[i].target_h, &bgc, bg_color.c_str(),
+                               &rendered[i].sixel_stream))
+                finish_fallback();
+        }
+    }
+
+    // ---- emission (fast.py mirror of cli._present_images for stills) --
+    std::vector<std::string> errors;
+    bool load_failed = false;
+    std::string prefix;
+    bool is_first = true;
+    double wait_time_ms = duration_between_images_ms > duration_for_row_ms
+                              ? duration_between_images_ms
+                              : duration_for_row_ms;
+    std::vector<char> emit_buf;
+
+    for (size_t i = 0; i < filelist.size(); ++i) {
+        if (s_interrupted) break;
+        Planes &planes = rendered[i];
+        if (planes.missing) {
+            load_failed = true;
+            errors.push_back(planes.error);
+            continue;
+        }
+        signal(SIGINT, sig_handler);
+        signal(SIGTERM, sig_handler);
+        if (hide_cursor) prefix += "\033[?25l";
+        if (clear_screen == 2 || (clear_screen == 1 && is_first))
+            prefix += "\033c";
+        if (show_title) {
+            std::string title = format_title(
+                title_format.c_str(), filelist[i].c_str(), planes.orig_w,
+                planes.orig_h);
+            prefix += trim_title(title, width / cell_x, center);
+        }
+        if (0.0 < duration_per_image_ms) {
+            std::string body;
+            if (!planes.is_blocks) {
+                int target_w = planes.target_w, target_h = planes.target_h;
+                int indent = center ? (width - target_w) / 2 : 0;
+                int dx_cells = indent / cell_x;
+                if (dx_cells > 0) {
+                    char mv[24];
+                    snprintf(mv, sizeof(mv), "\033[%dC", dx_cells);
+                    prefix += mv;
+                }
+                if (disp.mode == Display::SIXEL) {
+                    if (sixel_broken_cursor)
+                        body = "\033[80l\033[?7730l\033[?8452h" +
+                               planes.sixel_stream + "\n";
+                    else
+                        body = "\033[80h\033[?7730h\033[?8452l" +
+                               planes.sixel_stream + "\r";
+                } else {
+                    int channels = local_alpha ? 3 : 4;
+                    std::vector<uint8_t> raw(
+                        (size_t)target_h * (1 + (size_t)target_w * channels));
+                    timg_png_sub_filter(planes.frame.data(), target_h,
+                                        target_w, channels, raw.data());
+                    std::string png = encode_png_from_filtered(
+                        raw.data(), raw.size(), target_w, target_h,
+                        compress_level, !local_alpha);
+                    if (disp.mode == Display::ITERM2) {
+                        char head[96];
+                        snprintf(head, sizeof(head),
+                                 "\033]1337;File=size=%zu;width=%dpx;"
+                                 "height=%dpx;inline=1:",
+                                 png.size(), target_w, target_h);
+                        body = head;
+                        b64_append(&body, (const uint8_t *)png.data(),
+                                   png.size());
+                        body += "\007\n";
+                    } else {
+                        body = kitty_payload(png, compress_level);
+                    }
+                }
+            } else {
+                int indent = center ? (width - planes.target_w) / 2 : 0;
+                int x = disp.quarter ? indent / 2 : indent;
+                size_t cap =
+                    (size_t)planes.hcells * (planes.wcells * 48 + 24) + 64;
+                if (cap > emit_buf.size()) emit_buf.resize(cap);
+                long bn = timg_ansi_emit(planes.glyph.data(),
+                                         planes.fg.data(), planes.bg.data(),
+                                         nullptr, planes.hcells,
+                                         planes.wcells, x, use_256 ? 1 : 0,
+                                         emit_buf.data());
+                body.assign(emit_buf.data(), (size_t)bn);
+            }
+            std::string out = prefix + body;
+            reliable_write(output_fd, out.data(), out.size());
+            prefix.clear();
+        }
+        if (hide_cursor) reliable_write(output_fd, "\033[?25h", 6);
+        signal(SIGINT, SIG_DFL);
+        signal(SIGTERM, SIG_DFL);
+        if (wait_time_ms > 0) {
+            struct timespec ts;
+            ts.tv_sec = (time_t)(wait_time_ms / 1000.0);
+            ts.tv_nsec = (long)((wait_time_ms / 1000.0 - (double)ts.tv_sec) *
+                                1e9);
+            nanosleep(&ts, nullptr);
+        }
+        is_first = false;
+    }
+
+    if (!prefix.empty())  // canvas.close(): leftover prefix flushed
+        reliable_write(output_fd, prefix.data(), prefix.size());
+
+    int exit_code = EXIT_OK;
+    if (!errors.empty() || load_failed) exit_code = EXIT_IMAGE_READ_ERROR;
+    for (size_t i = 0; i < errors.size() && i < 4; ++i)
+        fprintf(stderr, "%s\n", errors[i].c_str());
+    if (errors.size() >= 4)
+        fprintf(stderr, "... total of %zu errors\n", errors.size());
+
+    if (s_interrupted)
+        fprintf(stderr, "\033[0m\033[%dB\n",
+                tsize.rows > 1 ? tsize.rows : 1);
+
+    return finish(exit_code);
+}
