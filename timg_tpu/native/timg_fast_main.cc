@@ -103,6 +103,24 @@ enum {
 static volatile sig_atomic_t s_interrupted = 0;
 static void sig_handler(int) { s_interrupted = 1; }
 
+// TIMG_TPU_FAST_TIMING=1: per-stage wall times on stderr (diagnostic
+// only -- the python launcher has no equivalent, so parity tests never
+// set it).
+static bool s_timing = false;
+static double now_ms() {
+    struct timespec t;
+    clock_gettime(CLOCK_MONOTONIC, &t);
+    return t.tv_sec * 1e3 + t.tv_nsec * 1e-6;
+}
+static double s_t_last = 0;
+static void stage(const char *name) {
+    if (!s_timing) return;
+    double t = now_ms();
+    if (s_t_last != 0)
+        fprintf(stderr, "[timing] %-12s %6.2f ms\n", name, t - s_t_last);
+    s_t_last = t;
+}
+
 // ---------------------------------------------------------------------
 // Fallback: exec the tracked python launcher with the original argv.
 // The launcher (./timg-tpu, shebang `env -S python3 -S`) retries the
@@ -988,9 +1006,11 @@ static bool render_still(const char *fname, const Display &disp,
 
     uint8_t *rgba = nullptr;
     int iw = 0, ih = 0, flags = 0;
+    stage("read");
     if (timg_png_decode((const uint8_t *)data.data(), (long)data.size(),
                         &rgba, &iw, &ih, &flags) != 0)
         return false;
+    stage("png_decode");
     bool ok = false;
     do {
         if (flags & 1) break;                       // APNG -> video path
@@ -1031,6 +1051,7 @@ static bool render_still(const char *fname, const Display &disp,
         } else {
             memcpy(frame.data(), rgba, (size_t)th * tw * 4);
         }
+        stage("resize");
 
         // Lazy background compose (ref framebuffer.cc:113-121).
         if (timg_has_translucency(frame.data(), (long)th * tw)) {
@@ -1081,6 +1102,7 @@ static bool render_still(const char *fname, const Display &disp,
             timg_half_blocks(frame.data(), padded_h, tw,
                              disp.use_upper ? 1 : 0, out->glyph.data(),
                              out->fg.data(), out->bg.data());
+        stage("blocks");
         out->hcells = hcells;
         out->wcells = wcells;
         out->is_blocks = true;
@@ -1114,6 +1136,7 @@ static bool sixel_payload(const std::vector<uint8_t> &frame, int w, int h,
     int rc = timg_libsixel_quant(buf.data(), padded_h, w, (long)w * 4, 256,
                                  pal.data(), idx.data());
     if (rc < 0) return false;
+    stage("sixel_quant");
     int ncolors = rc & 0xFFFF;
     long n_bands = (padded_h + 5) / 6;
     size_t cap = (size_t)n_bands * ncolors * (w + 12) + ncolors * 20 + 256;
@@ -1121,6 +1144,7 @@ static bool sixel_payload(const std::vector<uint8_t> &frame, int w, int h,
     long sn = timg_sixel_encode(idx.data(), padded_h, w, w, pal.data(),
                                 ncolors, six.data());
     if (sn < 0) return false;
+    stage("sixel_rle");
     out->assign(six.data(), (size_t)sn);
     return true;
 }
@@ -1228,6 +1252,13 @@ int main(int argc, char **argv) {
     g_argc = argc;
     g_argv = argv;
     signal(SIGPIPE, SIG_IGN);  // python-default: write errors, no kill
+    {
+        const char *tv = getenv("TIMG_TPU_FAST_TIMING");
+        if (tv && *tv) {
+            s_timing = true;
+            s_t_last = now_ms();
+        }
+    }
 
     // Force-backend envs route to the numpy/device pipelines.
     const char *forced[] = {"TIMG_TPU_NO_FASTPATH", "TIMG_TPU_FORCE_NUMPY",
@@ -1668,9 +1699,11 @@ int main(int argc, char **argv) {
                         (size_t)target_h * (1 + (size_t)target_w * channels));
                     timg_png_sub_filter(planes.frame.data(), target_h,
                                         target_w, channels, raw.data());
+                    stage("sub_filter");
                     std::string png = encode_png_from_filtered(
                         raw.data(), raw.size(), target_w, target_h,
                         compress_level, !local_alpha);
+                    stage("deflate");
                     if (disp.mode == Display::ITERM2) {
                         char head[96];
                         snprintf(head, sizeof(head),
@@ -1729,5 +1762,6 @@ int main(int argc, char **argv) {
         fprintf(stderr, "\033[0m\033[%dB\n",
                 tsize.rows > 1 ? tsize.rows : 1);
 
+    stage("emit+rest");
     return finish(exit_code);
 }
