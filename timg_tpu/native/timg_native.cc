@@ -567,6 +567,17 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
         free(data);
         return -1;
     }
+    // SoA palette + distance staging for the cache-miss argmin: the
+    // distance fill vectorizes (the AoS strict-< scan was the one-shot
+    // sixel hot spot on low-coherence images -- every novel 15-bit
+    // bucket pays a 256-wide scan).  First-minimum selection below is
+    // exactly quant.c's strict-< "lowest index wins".
+    int pal_r[256], pal_g[256], pal_b[256], dist[256];
+    for (int i = 0; i < ncolors; ++i) {
+        pal_r[i] = out_pal[i * 3 + 0];
+        pal_g[i] = out_pal[i * 3 + 1];
+        pal_b[i] = out_pal[i * 3 + 2];
+    }
     for (int y = 0; y < h; ++y) {
         for (int x = 0; x < w; ++x) {
             uint8_t *p = data + ((long)y * w + x) * 3;
@@ -576,19 +587,18 @@ int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
             if (cache[hashv]) {
                 idx = cache[hashv] - 1;
             } else {
-                long bestd = 0x7FFFFFFFL;
-                idx = 0;
+                const int pr_ = p[0], pg_ = p[1], pb_ = p[2];
                 for (int i = 0; i < ncolors; ++i) {
-                    const int dr = p[0] - out_pal[i * 3 + 0];
-                    const int dg = p[1] - out_pal[i * 3 + 1];
-                    const int db = p[2] - out_pal[i * 3 + 2];
-                    const long d = (long)dr * dr + (long)dg * dg +
-                                   (long)db * db;
-                    if (d < bestd) {  // strict <: lowest index wins
-                        bestd = d;
-                        idx = i;
-                    }
+                    const int dr = pr_ - pal_r[i];
+                    const int dg = pg_ - pal_g[i];
+                    const int db = pb_ - pal_b[i];
+                    dist[i] = dr * dr + dg * dg + db * db;
                 }
+                int bestd = dist[0];
+                for (int i = 1; i < ncolors; ++i)
+                    if (dist[i] < bestd) bestd = dist[i];
+                idx = 0;
+                while (dist[idx] != bestd) ++idx;
                 cache[hashv] = (uint16_t)(idx + 1);
             }
             out_idx[(long)y * w + x] = (uint8_t)idx;
