@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""AddressSanitizer sweep for the pure-C one-shot launcher.
+
+Everything timg_fast_main.cc parses is attacker-controlled: argv, env
+values, scripted-terminal query responses, filelist contents and PNG
+bytes.  This drives the ASan build (make -C timg_tpu/native fast-asan
+-> timg_tpu/native/timg-fast-asan) over hostile variants of each
+surface under a pty whose master feeds garbage/truncated/oversized
+escape replies.  ASan reports abort the child with a distinctive exit;
+clean runs must exit with a documented CLI code (0-5).
+
+The binary's bail path execs ../../timg-tpu; the sweep sets
+TIMG_FAST_ASAN_NO_FALLBACK is not needed -- instead argv0's directory
+has no timg-tpu, so exec falls to python3 -S with no script and the
+child exits 2 fast.  What matters here is the C parsing that runs
+BEFORE any fallback.
+
+Run:
+    make -C timg_tpu/native fast-asan
+    ASAN_OPTIONS=halt_on_error=1:detect_leaks=0 \\
+    python scripts/asan_fastlauncher_check.py
+Exit 0 = clean.
+"""
+
+import fcntl
+import os
+import pty
+import random
+import struct
+import subprocess
+import sys
+import tempfile
+import termios
+import threading
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BIN = os.path.join(REPO, "timg_tpu", "native", "timg-fast-asan")
+sys.path.insert(0, REPO)
+
+OK_CODES = {0, 1, 2, 3, 4, 5}
+
+
+def run_pty(args, responder, env=None, timeout=60):
+    """Run the binary with std fds on a pty; master answers every read
+    with responder(data) bytes.  Returns (exitcode, stderr_tail)."""
+    master, slave = pty.openpty()
+    fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                struct.pack("HHHH", 24, 80, 640, 384))
+
+    captured = bytearray()
+
+    def pump():
+        try:
+            while True:
+                data = os.read(master, 4096)
+                if not data:
+                    return
+                captured.extend(data)
+                reply = responder(data)
+                if reply:
+                    os.write(master, reply)
+        except OSError:
+            return
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    e = dict(env if env is not None else os.environ)
+    e.setdefault("ASAN_OPTIONS", "halt_on_error=1:detect_leaks=0")
+    try:
+        r = subprocess.run([BIN, *args], stdin=slave, stdout=slave,
+                           stderr=subprocess.PIPE, env=e, timeout=timeout)
+        return r.returncode, r.stderr[-800:]
+    finally:
+        os.close(slave)
+        os.close(master)
+
+
+def check(rc, err, what):
+    text = err.decode("latin-1", "replace")
+    if "AddressSanitizer" in text or "runtime error" in text:
+        print(f"ASAN REPORT in {what}:\n{text}")
+        sys.exit(1)
+    if rc not in OK_CODES and rc < 128:
+        # exec-fallback children may exit 2 (no launcher script found
+        # next to the asan binary); signals (>=128) indicate a crash.
+        print(f"unexpected exit {rc} in {what}: {text[:200]}")
+        sys.exit(1)
+    if rc >= 128:
+        print(f"CRASH (signal {rc - 128}) in {what}: {text[:400]}")
+        sys.exit(1)
+
+
+def main() -> int:
+    if not os.path.exists(BIN):
+        subprocess.run(["make", "-C",
+                        os.path.join(REPO, "timg_tpu", "native"), "-s",
+                        "fast-asan"], check=True, timeout=300)
+    from tests.corpus import build_corpus
+    corpus = build_corpus(os.path.join(tempfile.gettempdir(),
+                                       "timg_tpu_corpus"))
+    img = corpus["noise_64x48.png"]
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("TIMG_")}
+    env["TERM"] = "xterm-256color"
+    rng = random.Random(7)
+
+    # --- hostile terminal responses against every query path ---------
+    hostile_replies = [
+        b"",
+        b"\033[",                                # truncated CSI
+        b"\033[6;99999999999999999;3t",          # huge cell size
+        b"\033[6;;t\033[6;1;1t",
+        b"\033]11;rgb:" + b"f" * 4096 + b"\\",   # oversized component
+        b"\033]11;rgb:1/2/3\033\\",
+        b"\033P>|" + bytes(rng.randrange(256) for _ in range(512)) +
+        b"\033\\\033[0n",
+        b"\033[?" + b";4" * 2000 + b"c",         # giant DA1
+        b"\033[0n" * 100,
+        bytes(rng.randrange(1, 256) for _ in range(2048)),
+        b"\033[>q\033]11;?" * 50,                # echo the queries back
+    ]
+    for i, reply in enumerate(hostile_replies):
+        def responder(data, reply=reply):
+            return reply
+        # auto-detect (no -p) exercises CSI >q + DA1 + cell-size;
+        # -b auto exercises OSC 11.
+        rc, err = run_pty(["-g20x10", "--debug-no-frame-delay", img],
+                          responder, env=env)
+        check(rc, err, f"hostile tty #{i} (auto)")
+        rc, err = run_pty(["-ps", "-g20x10", "-b", "auto",
+                           "--debug-no-frame-delay", img],
+                          responder, env=env)
+        check(rc, err, f"hostile tty #{i} (sixel bg auto)")
+
+    # --- hostile argv -------------------------------------------------
+    hostile_argv = [
+        ["-g" + "9" * 300 + "x" + "9" * 300, img],
+        ["-p", "q" * 5000, img],
+        ["--title=" + "%f" * 2000, "-g20x10", img],
+        ["--pattern-size", "99999999", "-g20x10", "-pq", "-b", "black",
+         img],
+        ["-b", "rgb(" + "9" * 200 + ",1,2)", "-pq", "-g20x10", img],
+        ["-b", "#" + "a" * 500, "-pq", "-g20x10", img],
+        ["-w", "1e309", "-pq", "-g20x10", "-b", "black", img],
+        ["-t", "-1e309", "-pq", "-g20x10", "-b", "black", img],
+        ["--clear=" + "e" * 4000, "-pq", "-g20x10", img],
+        ["--" + "a" * 3000, img],
+        ["-" + "".join(rng.choice("pqbgowtcfFCWUEIav") for _ in
+                       range(40)), img, img],
+        [img] * 200 + ["-pq", "-g10x5", "-b", "black"],
+        ["-pq", "-g20x10", "-b", "black", "\xff\xfe bad \x01 name.png"],
+    ]
+    for i, args in enumerate(hostile_argv):
+        rc, err = run_pty(args, lambda d: b"", env=env)
+        check(rc, err, f"hostile argv #{i}")
+
+    # --- hostile filelists -------------------------------------------
+    with tempfile.TemporaryDirectory() as td:
+        lists = [
+            b"\x00" * 1000,
+            bytes(rng.randrange(256) for _ in range(4096)),
+            (img + "\n").encode() * 500,
+            b"/" * 4000 + b"\n",
+            b"a\rb\rc\r",                      # CR-separated
+            ("x" * 10000 + "\n").encode(),
+        ]
+        for i, content in enumerate(lists):
+            p = os.path.join(td, f"l{i}")
+            with open(p, "wb") as f:
+                f.write(content)
+            rc, err = run_pty(["-pq", "-g20x10", "-b", "black", "-f", p],
+                              lambda d: b"", env=env)
+            check(rc, err, f"hostile filelist #{i}")
+            rc, err = run_pty(["-pq", "-g20x10", "-b", "black", "-F", p],
+                              lambda d: b"", env=env)
+            check(rc, err, f"hostile rel filelist #{i}")
+
+    # --- hostile env values ------------------------------------------
+    for name, val in [
+        ("TIMG_PIXELATION", "\xff" * 100),
+        ("TIMG_DEFAULT_TITLE", "%" * 5000),
+        ("TIMG_FONT_WIDTH_CORRECT", "nan"),
+        ("TIMG_FONT_WIDTH_CORRECT", "9" * 400),
+        ("TIMG_SIXEL_NEWLINE_WORKAROUND", "-" + "9" * 100),
+        ("TIMG_USE_UPPER_BLOCK", "\xffyes\xff"),
+    ]:
+        e = dict(env)
+        e[name] = val
+        args = ["-g20x10", "-b", "black", img]
+        if name != "TIMG_PIXELATION":
+            args.insert(0, "-pq")
+        if name == "TIMG_DEFAULT_TITLE":
+            args.append("--title")
+        rc, err = run_pty(args, lambda d: b"", env=e)
+        check(rc, err, f"hostile env {name}")
+
+    # --- malformed PNGs through the launcher gate --------------------
+    data = open(img, "rb").read()
+    with tempfile.TemporaryDirectory() as td:
+        cases = []
+        for frac in (0.05, 0.3, 0.7, 0.97):
+            cases.append(data[:int(len(data) * frac)])
+        for _ in range(10):
+            mut = bytearray(data)
+            for pos in [rng.randrange(8, len(data)) for _ in range(12)]:
+                mut[pos] ^= 1 << rng.randrange(8)
+            cases.append(bytes(mut))
+        cases.append(data[:8] + b"\x00" * 64)
+        for i, blob in enumerate(cases):
+            p = os.path.join(td, f"m{i}.png")
+            with open(p, "wb") as f:
+                f.write(blob)
+            rc, err = run_pty(["-pq", "-g20x10", "-b", "black", p],
+                              lambda d: b"", env=env)
+            check(rc, err, f"malformed png #{i}")
+
+    print("asan fastlauncher sweep: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
