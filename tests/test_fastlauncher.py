@@ -127,6 +127,8 @@ def test_error_paths(binary, corpus, tmp_path):
         (["-pq", "-g", "-W"], [img]),   # argparse "expected one argument"
         (["-pq", "-g40x20", "-b"], [img]),          # same, at argv end
         (["-pq", "-g40x20", "-w", "-1", "-b", "black"], [img]),  # neg value
+        (["-pq", "-g40x20", "--center=x", "-b", "black"], [img]),
+        (["-pq", "-g40x20", "--color8=1", "-b", "black"], [img]),
     ]:
         c, py = _both(binary, args, files, tmp_path)
         assert c == py, (args, c, py)

@@ -804,6 +804,7 @@ static bool parse_args(int argc, char **argv, Args *a) {
             if (name == "--pixelation") {
                 if (!required(&a->pixelation)) return false;
             } else if (name == "--center") {
+                if (attached) return false;  // argparse: explicit-arg error
                 a->center = true;
             } else if (name == "--title") {
                 a->title.push_back(attached ? attached : BARE);
@@ -814,6 +815,7 @@ static bool parse_args(int argc, char **argv, Args *a) {
             } else if (name == "--rotate") {
                 if (!required(&a->rotate)) return false;
             } else if (name == "--fit-width") {
+                if (attached) return false;
                 a->fit_width = true;
             } else if (name == "--upscale") {
                 a->upscale.push_back(attached ? attached : BARE);
@@ -828,11 +830,13 @@ static bool parse_args(int argc, char **argv, Args *a) {
                 if (!parse_int_strict(v, &unused)) return false;
                 // decode-pool sizing: inert for the one-shot still path
             } else if (name == "--color8") {
+                if (attached) return false;
                 a->color8 = true;
             } else if (name == "--loops") {
                 // optional_argument, inert for stills (loops forced 1)
                 (void)attached;
             } else if (name == "--debug-no-frame-delay") {
+                if (attached) return false;
                 a->debug_no_frame_delay = true;
             } else if (name == "--dither") {
                 const char *v;
