@@ -189,28 +189,59 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
         masks_cap = masks ? masks_need : 0;
         if (!masks) return -1;
     }
-    bool color_present[256];
+    // Per-color active column range: a sparse color's row is a long
+    // leading zero-run, its set columns, and omitted trailing blanks.
+    // The scatter tracks [minx, maxx]; emission writes the leading
+    // zero-run directly (the exact bytes append_sixel_runs produces
+    // for it) and scans only the active range -- byte-identical
+    // output, and the per-band cost drops from ncolors*w to
+    // ncolors*range (the assembler is per-frame host work in the
+    // sixel video path, so this is throughput, not just one-shots).
+    int cminx[256], cmaxx[256];
     for (int band = 0; band < n_bands; ++band) {
         const int y0 = band * 6;
         const int rows = (h - y0) < 6 ? (h - y0) : 6;
-        memset(color_present, 0, sizeof(color_present));
+        for (int c = 0; c < 256; ++c) {
+            cminx[c] = w;
+            cmaxx[c] = -1;
+        }
         for (int r = 0; r < rows; ++r) {
             const uint8_t *line = indices + (long)(y0 + r) * pitch;
             const uint8_t bit = (uint8_t)(1 << r);
             for (int x = 0; x < w; ++x) {
-                masks[(long)line[x] * w + x] |= bit;
-                color_present[line[x]] = true;
+                const int c = line[x];
+                masks[(long)c * w + x] |= bit;
+                if (x < cminx[c]) cminx[c] = x;
+                if (x > cmaxx[c]) cmaxx[c] = x;
             }
         }
         bool first = true;
         for (int color = 0; color < n_colors; ++color) {
-            if (!color_present[color]) continue;
+            if (cmaxx[color] < 0) continue;
             if (!first) *pos++ = '$';
             first = false;
             *pos++ = '#';
             pos = append_dec_fast(pos, color);
-            pos = append_sixel_runs(pos, masks + (long)color * w, w);
-            memset(masks + (long)color * w, 0, w);
+            const int minx = cminx[color], maxx = cmaxx[color];
+            if (minx > 0) {
+                // Leading blank run, as append_sixel_runs emits it.
+                if (minx > 3) {
+                    *pos++ = '!';
+                    pos = append_dec_fast(pos, minx);
+                    *pos++ = '?';
+                } else {
+                    pos[0] = '?';
+                    pos[1] = '?';
+                    pos[2] = '?';
+                    pos += minx;
+                }
+            }
+            // bits[minx] and bits[maxx] are set, so the slice has no
+            // leading/trailing blanks and trailing-blank omission past
+            // maxx matches the full-width scan exactly.
+            pos = append_sixel_runs(pos, masks + (long)color * w + minx,
+                                    maxx - minx + 1);
+            memset(masks + (long)color * w + minx, 0, maxx - minx + 1);
         }
         if (band != n_bands - 1) *pos++ = '-';
     }
