@@ -194,6 +194,39 @@ def main() -> int:
         rc, err = run_pty(args, lambda d: b"", env=e)
         check(rc, err, f"hostile env {name}")
 
+    # --- malformed JPEGs through the dlopen'd decoder ----------------
+    try:
+        import io
+        import numpy as np
+        from PIL import Image
+        buf = io.BytesIO()
+        arr = np.random.default_rng(4).integers(
+            0, 256, (60, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(buf, format="JPEG", quality=70)
+        jdata = buf.getvalue()
+    except ImportError:
+        jdata = None
+    if jdata:
+        with tempfile.TemporaryDirectory() as td:
+            jcases = [jdata[:k] for k in (4, 20, len(jdata) // 2,
+                                          len(jdata) - 2)]
+            for t in range(12):
+                mut = bytearray(jdata)
+                for pos in [rng.randrange(2, len(jdata))
+                            for _ in range(10)]:
+                    mut[pos] ^= 1 << rng.randrange(8)
+                jcases.append(bytes(mut))
+            jcases.append(jdata[:3] + b"\xe1\x7f\xff" + b"Exif\0\0" +
+                          b"II*\0" + b"\xff" * 200)   # hostile EXIF
+            jcases.append(jdata[:3] + b"\xe2\x00\x08MPF\0" + jdata[2:])
+            for i, blob in enumerate(jcases):
+                p = os.path.join(td, f"j{i}.jpg")
+                with open(p, "wb") as f:
+                    f.write(blob)
+                rc, err = run_pty(["-pq", "-g20x10", "-b", "black", p],
+                                  lambda d: b"", env=env)
+                check(rc, err, f"malformed jpeg #{i}")
+
     # --- malformed PNGs through the launcher gate --------------------
     data = open(img, "rb").read()
     with tempfile.TemporaryDirectory() as td:

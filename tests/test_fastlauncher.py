@@ -158,6 +158,59 @@ def test_filelist_inputs(binary, corpus, tmp_path):
         os.unlink(rel_listing)
 
 
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    """JPEG envelope corpus: baseline/progressive/grayscale/quality
+    variants, a draft-triggering large image, EXIF orientation 1 and 6,
+    CMYK -- the C decoder must byte-match PIL (it dlopens Pillow's own
+    bundled libjpeg) or bail (orientation != 1, CMYK, MPO)."""
+    import numpy as np
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(2)
+    smooth = (np.linspace(0, 255, 640)[None, :, None] *
+              np.ones((480, 1, 3))).astype(np.uint8)
+    noise = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    out = {}
+
+    def mk(name, img, **kw):
+        p = str(tmp / name)
+        img.save(p, **kw)
+        out[name] = p
+
+    mk("smooth_q85.jpg", Image.fromarray(smooth), quality=85)
+    mk("noise_q50.jpg", Image.fromarray(noise), quality=50)
+    mk("prog.jpg", Image.fromarray(smooth), quality=70, progressive=True)
+    mk("gray.jpg", Image.fromarray(
+        rng.integers(0, 256, (100, 130), dtype=np.uint8)), quality=80)
+    mk("big_draft.jpg", Image.fromarray(
+        rng.integers(0, 256, (1200, 1600, 3), dtype=np.uint8)), quality=60)
+    mk("subs0.jpg", Image.fromarray(smooth), quality=90, subsampling=0)
+    img = Image.fromarray(noise)
+    ex = img.getexif()
+    ex[0x0112] = 6
+    mk("exif6.jpg", img, exif=ex)          # bail -> python transposes
+    ex[0x0112] = 1
+    mk("exif1.jpg", img, exif=ex)
+    mk("cmyk.jpg", Image.fromarray(noise).convert("CMYK"))  # bail
+    return out
+
+
+@pytest.mark.parametrize("flags", [
+    ["-pq", "-g80x24", "-b", "black"],
+    ["-pi", "-g40x20"],
+    ["-ps", "-g40x20", "-b", "black"],
+    ["-pq", "-g80x24", "-b", "black", "--title"],
+    ["-pq", "-g80x24", "-b", "black", "--rotate", "off"],
+])
+def test_jpeg_matches_python_launcher(binary, jpegs, flags, tmp_path):
+    for name, path in sorted(jpegs.items()):
+        c, py = _both(binary, flags + ["--debug-no-frame-delay"], [path],
+                      tmp_path)
+        assert c == py, (name, flags)
+
+
 def test_fallback_paths_delegate(binary, corpus, tmp_path):
     """Out-of-envelope invocations exec the python launcher: identical
     output, exercised here for a PIL-decoded GIF still and an explicit

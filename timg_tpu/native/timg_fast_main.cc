@@ -995,8 +995,313 @@ static RGBA bg_get(BgCache *cache, const char *bg_color) {
     return cache->value;
 }
 
+// ---------------------------------------------------------------------
+// JPEG stills (fast._render_pil JPEG-path mirror).
+//
+// PIL decodes JPEG through the libjpeg-turbo it BUNDLES
+// (site-packages/pillow.libs/libjpeg-*.so); dlopening that exact
+// library with Pillow's decoder settings (default ISLOW DCT + fancy
+// upsampling, scale_denom from draft()) reproduces PIL's bytes, so the
+// python fastpath and this launcher stay byte-identical.  Falls back
+// to the system libjpeg.so.62 (same frozen v62 ABI), and bails to the
+// python launcher whenever anything is off-script: CMYK, MPO (APP2
+// MPF), EXIF orientation != 1, decoder warnings, parse anomalies.
+// ---------------------------------------------------------------------
+#include <dlfcn.h>
+#include <glob.h>
+#include <jpeglib.h>
+#include <setjmp.h>
+
+struct JpegApi {
+    struct jpeg_error_mgr *(*std_error)(struct jpeg_error_mgr *);
+    void (*create_decompress)(j_decompress_ptr, int, size_t);
+    void (*mem_src)(j_decompress_ptr, const unsigned char *,
+                    unsigned long);
+    int (*read_header)(j_decompress_ptr, boolean);
+    boolean (*start_decompress)(j_decompress_ptr);
+    JDIMENSION (*read_scanlines)(j_decompress_ptr, JSAMPARRAY, JDIMENSION);
+    boolean (*finish_decompress)(j_decompress_ptr);
+    void (*destroy_decompress)(j_decompress_ptr);
+};
+
+static JpegApi *jpeg_api() {
+    static JpegApi api;
+    static int state = 0;  // 0 untried, 1 ok, -1 failed
+    if (state) return state > 0 ? &api : nullptr;
+    state = -1;
+    void *h = nullptr;
+    const char *override = getenv("TIMG_TPU_PILLOW_JPEG");
+    if (override && *override) h = dlopen(override, RTLD_NOW | RTLD_LOCAL);
+    if (!h) {
+        // Pillow's bundled libjpeg-turbo (name is hash-mangled).
+        static const char *pats[] = {
+            "/opt/venv/lib/python3*/site-packages/pillow.libs/"
+            "libjpeg-*.so*",
+            "/usr/lib/python3*/site-packages/pillow.libs/libjpeg-*.so*",
+            "/usr/local/lib/python3*/site-packages/pillow.libs/"
+            "libjpeg-*.so*",
+        };
+        for (const char *pat : pats) {
+            glob_t g;
+            if (glob(pat, 0, nullptr, &g) == 0 && g.gl_pathc > 0)
+                h = dlopen(g.gl_pathv[0], RTLD_NOW | RTLD_LOCAL);
+            globfree(&g);
+            if (h) break;
+        }
+    }
+    if (!h) h = dlopen("libjpeg.so.62", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return nullptr;
+    api.std_error = (struct jpeg_error_mgr * (*)(struct jpeg_error_mgr *))
+        dlsym(h, "jpeg_std_error");
+    api.create_decompress = (void (*)(j_decompress_ptr, int, size_t))dlsym(
+        h, "jpeg_CreateDecompress");
+    api.mem_src = (void (*)(j_decompress_ptr, const unsigned char *,
+                            unsigned long))dlsym(h, "jpeg_mem_src");
+    api.read_header =
+        (int (*)(j_decompress_ptr, boolean))dlsym(h, "jpeg_read_header");
+    api.start_decompress =
+        (boolean (*)(j_decompress_ptr))dlsym(h, "jpeg_start_decompress");
+    api.read_scanlines = (JDIMENSION (*)(j_decompress_ptr, JSAMPARRAY,
+                                         JDIMENSION))
+        dlsym(h, "jpeg_read_scanlines");
+    api.finish_decompress =
+        (boolean (*)(j_decompress_ptr))dlsym(h, "jpeg_finish_decompress");
+    api.destroy_decompress =
+        (void (*)(j_decompress_ptr))dlsym(h, "jpeg_destroy_decompress");
+    if (!api.std_error || !api.create_decompress || !api.mem_src ||
+        !api.read_header || !api.start_decompress || !api.read_scanlines ||
+        !api.finish_decompress || !api.destroy_decompress)
+        return nullptr;
+    state = 1;
+    return &api;
+}
+
+struct JpegErr {
+    struct jpeg_error_mgr mgr;
+    jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+    JpegErr *e = (JpegErr *)cinfo->err;
+    longjmp(e->jb, 1);
+}
+static void jpeg_err_silent(j_common_ptr, int) {}
+static void jpeg_err_output(j_common_ptr) {}
+
+// Scan the pre-SOS marker segments: EXIF orientation (APP1 "Exif\0\0",
+// IFD0 tag 0x0112) and MPO detection (APP2 "MPF\0").  Mirrors what
+// PIL's _open/applist collection exposes to fast.py.  Returns false on
+// any anomaly the python path should arbitrate (bail).
+static bool jpeg_scan_markers(const uint8_t *d, size_t len,
+                              bool want_exif, int *orientation,
+                              bool *is_mpo) {
+    *orientation = 1;
+    *is_mpo = false;
+    bool exif_seen = false;
+    size_t p = 2;  // past SOI
+    while (p + 4 <= len) {
+        if (d[p] != 0xFF) return false;
+        uint8_t m = d[p + 1];
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01 ||
+            m == 0xFF) {
+            p += 2;
+            continue;
+        }
+        if (m == 0xDA || m == 0xD9) break;  // SOS / EOI: done
+        size_t seglen = ((size_t)d[p + 2] << 8) | d[p + 3];
+        if (seglen < 2 || p + 2 + seglen > len) return false;
+        const uint8_t *seg = d + p + 4;
+        size_t sl = seglen - 2;
+        if (m == 0xE2 && sl >= 4 && memcmp(seg, "MPF\0", 4) == 0)
+            *is_mpo = true;
+        if (m == 0xE1 && !exif_seen && sl >= 6 &&
+            memcmp(seg, "Exif\0\0", 6) == 0) {
+            exif_seen = true;
+            if (want_exif) {
+                // TIFF header at seg+6.
+                const uint8_t *t = seg + 6;
+                size_t tl = sl - 6;
+                if (tl < 8) return false;
+                bool le;
+                if (t[0] == 'I' && t[1] == 'I')
+                    le = true;
+                else if (t[0] == 'M' && t[1] == 'M')
+                    le = false;
+                else
+                    return false;
+                auto r16 = [&](size_t off) -> unsigned {
+                    return le ? t[off] | (t[off + 1] << 8)
+                              : (t[off] << 8) | t[off + 1];
+                };
+                auto r32 = [&](size_t off) -> unsigned long {
+                    return le ? (unsigned long)t[off] |
+                                    ((unsigned long)t[off + 1] << 8) |
+                                    ((unsigned long)t[off + 2] << 16) |
+                                    ((unsigned long)t[off + 3] << 24)
+                              : ((unsigned long)t[off] << 24) |
+                                    ((unsigned long)t[off + 1] << 16) |
+                                    ((unsigned long)t[off + 2] << 8) |
+                                    (unsigned long)t[off + 3];
+                };
+                if (r16(2) != 42) return false;
+                unsigned long ifd = r32(4);
+                if (ifd + 2 > tl) return false;
+                unsigned nent = r16(ifd);
+                if (ifd + 2 + (unsigned long)nent * 12 > tl) return false;
+                for (unsigned i = 0; i < nent; ++i) {
+                    size_t e = ifd + 2 + (size_t)i * 12;
+                    if (r16(e) != 0x0112) continue;
+                    unsigned type = r16(e + 2);
+                    unsigned long count = r32(e + 4);
+                    if (count != 1) return false;
+                    if (type == 3)
+                        *orientation = (int)r16(e + 8);
+                    else if (type == 4)
+                        *orientation = (int)r32(e + 8);
+                    else
+                        return false;
+                    break;
+                }
+            }
+        }
+        p += 2 + seglen;
+    }
+    return true;
+}
+
+// Decode a JPEG still with PIL-identical settings.  Returns malloc'd
+// RGBA on success; *true_w/h = pre-draft dims, *out_w/h = decoded
+// (possibly drafted) dims.  nullptr -> bail to the python launcher.
+static uint8_t *decode_jpeg_still(const uint8_t *data, size_t len,
+                                  const Display &disp, int *out_w,
+                                  int *out_h, int *true_w, int *true_h) {
+    JpegApi *J = jpeg_api();
+    if (!J) return nullptr;
+    int orientation = 1;
+    bool is_mpo = false;
+    if (!jpeg_scan_markers(data, len, disp.exif_rotate, &orientation,
+                           &is_mpo))
+        return nullptr;
+    if (is_mpo) return nullptr;            // PIL shows MPO as multi-frame
+    if (orientation != 1) return nullptr;  // PIL would exif_transpose
+
+    struct jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    memset(&cinfo, 0, sizeof(cinfo));
+    cinfo.err = J->std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    jerr.mgr.emit_message = jpeg_err_silent;
+    jerr.mgr.output_message = jpeg_err_output;
+    uint8_t *rgba = nullptr;
+    uint8_t *rowbuf = nullptr;
+    if (setjmp(jerr.jb)) {
+        J->destroy_decompress(&cinfo);
+        free(rgba);
+        free(rowbuf);
+        return nullptr;
+    }
+    J->create_decompress(&cinfo, JPEG_LIB_VERSION,
+                         sizeof(struct jpeg_decompress_struct));
+    J->mem_src(&cinfo, data, (unsigned long)len);
+    if (J->read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        J->destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    const int ncomp = cinfo.num_components;
+    if (ncomp != 3 && ncomp != 1) {  // CMYK etc: python path decides
+        J->destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    *true_w = (int)cinfo.image_width;
+    *true_h = (int)cinfo.image_height;
+    if (*true_w <= 0 || *true_h <= 0 ||
+        (long)*true_w * *true_h > (1L << 30)) {
+        J->destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    // DCT-domain draft (fast.py mirror of PIL draft(), itself the
+    // analog of ref jpeg-source.cc:184-195): same guards, same
+    // 8/4/2/1 snap, ceil-div output dims via libjpeg scale_denom.
+    int tw = 0, th = 0;
+    timg_calc_scale(*true_w, *true_h, disp.width, disp.height,
+                    disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                    disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
+                    disp.cell_x, disp.cell_y, 0, &tw, &th);
+    if (tw > 0 && th > 0 && *true_w >= 2 * tw && *true_h >= 2 * th) {
+        int scale = *true_w / tw;
+        const int sh = *true_h / th;
+        if (sh < scale) scale = sh;
+        int s = 1;
+        for (int cand : {8, 4, 2, 1}) {
+            if (scale >= cand) {
+                s = cand;
+                break;
+            }
+        }
+        if (s > 1) {
+            cinfo.scale_num = 1;
+            cinfo.scale_denom = (unsigned)s;
+        }
+    }
+    // Pillow decoder defaults: ISLOW DCT, fancy upsampling, explicit
+    // out_color_space from the mode.
+    cinfo.out_color_space = (ncomp == 3) ? JCS_RGB : JCS_GRAYSCALE;
+    J->start_decompress(&cinfo);
+    const int w = (int)cinfo.output_width;
+    const int h = (int)cinfo.output_height;
+    const int oc = cinfo.output_components;
+    if (w <= 0 || h <= 0 || (oc != 3 && oc != 1)) {
+        J->destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    rgba = (uint8_t *)malloc((size_t)w * h * 4);
+    rowbuf = (uint8_t *)malloc((size_t)w * oc);
+    if (!rgba || !rowbuf) {
+        J->destroy_decompress(&cinfo);
+        free(rgba);
+        free(rowbuf);
+        return nullptr;
+    }
+    JSAMPROW rowp[1] = {rowbuf};
+    for (int y = 0; y < h; ++y) {
+        if (J->read_scanlines(&cinfo, rowp, 1) != 1) {
+            longjmp(jerr.jb, 1);  // truncated: python path's error text
+        }
+        uint8_t *dst = rgba + (size_t)y * w * 4;
+        if (oc == 3) {
+            for (int x = 0; x < w; ++x) {
+                dst[x * 4 + 0] = rowbuf[x * 3 + 0];
+                dst[x * 4 + 1] = rowbuf[x * 3 + 1];
+                dst[x * 4 + 2] = rowbuf[x * 3 + 2];
+                dst[x * 4 + 3] = 255;
+            }
+        } else {
+            for (int x = 0; x < w; ++x) {
+                dst[x * 4 + 0] = rowbuf[x];
+                dst[x * 4 + 1] = rowbuf[x];
+                dst[x * 4 + 2] = rowbuf[x];
+                dst[x * 4 + 3] = 255;
+            }
+        }
+    }
+    J->finish_decompress(&cinfo);
+    const long warnings = jerr.mgr.num_warnings;
+    J->destroy_decompress(&cinfo);
+    free(rowbuf);
+    if (warnings > 0) {  // corrupt-but-recoverable: let PIL arbitrate
+        free(rgba);
+        return nullptr;
+    }
+    *out_w = w;
+    *out_h = h;
+    return rgba;
+}
+
+enum StillKind { K_PNG, K_JPEG };
+
 // Returns false -> outside the envelope (exec fallback).
-static bool render_still(const char *fname, const Display &disp,
+static bool render_still(const char *fname, StillKind kind,
+                         const Display &disp,
                          BgCache *bgc, const char *bg_color, Planes *out) {
     FILE *f = fopen(fname, "rb");
     if (!f) return false;
@@ -1011,16 +1316,30 @@ static bool render_still(const char *fname, const Display &disp,
     uint8_t *rgba = nullptr;
     int iw = 0, ih = 0, flags = 0;
     stage("read");
-    if (timg_png_decode((const uint8_t *)data.data(), (long)data.size(),
-                        &rgba, &iw, &ih, &flags) != 0)
+    if (kind == K_JPEG) {
+        int true_w = 0, true_h = 0;
+        rgba = decode_jpeg_still((const uint8_t *)data.data(), data.size(),
+                                 disp, &iw, &ih, &true_w, &true_h);
+        if (!rgba) return false;
+        // Titles report the file's real dimensions even when the
+        // decode was DCT-drafted (fast.py _true_orig).
+        flags = 0;
+        out->orig_w = true_w;
+        out->orig_h = true_h;
+    } else if (timg_png_decode((const uint8_t *)data.data(),
+                               (long)data.size(), &rgba, &iw, &ih,
+                               &flags) != 0) {
         return false;
-    stage("png_decode");
+    }
+    stage("decode");
     bool ok = false;
     do {
         if (flags & 1) break;                       // APNG -> video path
         if (disp.exif_rotate && (flags & 2)) break; // eXIf present
-        out->orig_w = iw;
-        out->orig_h = ih;
+        if (kind == K_PNG) {
+            out->orig_w = iw;
+            out->orig_h = ih;
+        }
         int tw = 0, th = 0;
         timg_calc_scale(iw, ih, disp.width, disp.height,
                         disp.fill_width ? 1 : 0, 0, disp.width_stretch,
@@ -1577,6 +1896,7 @@ int main(int argc, char **argv) {
     // missing (error diagnosis replicated) ----
     std::vector<std::string> missing_msg(filelist.size());
     std::vector<bool> is_missing(filelist.size(), false);
+    std::vector<StillKind> kinds(filelist.size(), K_PNG);
     for (size_t i = 0; i < filelist.size(); ++i) {
         const std::string &fname = filelist[i];
         if (fname == "-") finish_fallback();
@@ -1604,9 +1924,18 @@ int main(int argc, char **argv) {
         fclose(f);
         static const unsigned char kPng[8] = {0x89, 'P', 'N', 'G', '\r',
                                               '\n', 0x1a, '\n'};
-        // Non-PNG stills (JPEG/GIF/BMP/WebP) decode through PIL in the
-        // python fastpath -- outside this binary's envelope.
-        if (n < 8 || memcmp(sig, kPng, 8) != 0) finish_fallback();
+        // PNG decodes in our own C; JPEG via the dlopen'd
+        // Pillow-bundled libjpeg (PIL-identical bytes).  Other stills
+        // (GIF/BMP/WebP) decode through PIL in the python fastpath --
+        // outside this binary's envelope.
+        if (n >= 8 && memcmp(sig, kPng, 8) == 0) {
+            kinds[i] = K_PNG;
+        } else if (n >= 3 && sig[0] == 0xFF && sig[1] == 0xD8 &&
+                   sig[2] == 0xFF && jpeg_api() != nullptr) {
+            kinds[i] = K_JPEG;
+        } else {
+            finish_fallback();
+        }
     }
 
     disp.width = width;
@@ -1639,7 +1968,7 @@ int main(int argc, char **argv) {
             rendered[i].error = missing_msg[i];
             continue;
         }
-        if (!render_still(filelist[i].c_str(), disp, &bgc,
+        if (!render_still(filelist[i].c_str(), kinds[i], disp, &bgc,
                           bg_color.c_str(), &rendered[i]))
             finish_fallback();
         if (disp.mode == Display::SIXEL) {
