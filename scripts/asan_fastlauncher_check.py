@@ -227,6 +227,43 @@ def main() -> int:
                                   lambda d: b"", env=env)
                 check(rc, err, f"malformed jpeg #{i}")
 
+    # --- malformed GIFs through the spec decoder ---------------------
+    try:
+        import io as _io
+        import numpy as _np
+        from PIL import Image as _Image
+        _buf = _io.BytesIO()
+        _arr = _np.random.default_rng(6).integers(
+            0, 64, (40, 50), dtype=_np.uint8)
+        _im = _Image.fromarray(_arr, "P")
+        _im.putpalette(bytes(range(192)))
+        _im.save(_buf, format="GIF", transparency=3)
+        gdata = _buf.getvalue()
+    except ImportError:
+        gdata = None
+    if gdata:
+        with tempfile.TemporaryDirectory() as td:
+            gcases = [gdata[:k] for k in (6, 13, 20, len(gdata) // 2,
+                                          len(gdata) - 1)]
+            for t in range(14):
+                mut = bytearray(gdata)
+                for pos in [rng.randrange(6, len(gdata))
+                            for _ in range(8)]:
+                    mut[pos] ^= 1 << rng.randrange(8)
+                gcases.append(bytes(mut))
+            # hostile LZW: giant code sizes / truncated sub-blocks
+            gcases.append(gdata[:13] + b"\x2c" + b"\x00" * 8 +
+                          b"\x40\x00\x0c\xff" + b"\xff" * 64)
+            gcases.append(b"GIF89a\xff\xff\xff\xff\x80\x00\x00" +
+                          b"\x00" * 770)
+            for i, blob in enumerate(gcases):
+                p = os.path.join(td, f"g{i}.gif")
+                with open(p, "wb") as f:
+                    f.write(blob)
+                rc, err = run_pty(["-pq", "-g20x10", "-b", "black", p],
+                                  lambda d: b"", env=env)
+                check(rc, err, f"malformed gif #{i}")
+
     # --- malformed PNGs through the launcher gate --------------------
     data = open(img, "rb").read()
     with tempfile.TemporaryDirectory() as td:

@@ -54,6 +54,13 @@ def _norm(data: bytes) -> bytes:
     return re.sub(rb"i=\d+", b"i=ID", data)
 
 
+def _norm_err(err: bytes) -> bytes:
+    # library log lines carry timestamps (jax's axon platform warning);
+    # drop them -- the CLI's own stderr has none.
+    return b"\n".join(l for l in err.splitlines()
+                      if b"WARNING:" not in l and b"INFO:" not in l)
+
+
 def _both(binary, args, files, tmp_path, env=None):
     env = dict(env or _CLEAN_ENV)
     out_c = str(tmp_path / "c.out")
@@ -64,8 +71,8 @@ def _both(binary, args, files, tmp_path, env=None):
                         env=env, capture_output=True, timeout=600)
     bc = open(out_c, "rb").read() if os.path.exists(out_c) else b""
     bp = open(out_py, "rb").read() if os.path.exists(out_py) else b""
-    return (rc.returncode, _norm(bc), rc.stderr), \
-           (rp.returncode, _norm(bp), rp.stderr)
+    return (rc.returncode, _norm(bc), _norm_err(rc.stderr)), \
+           (rp.returncode, _norm(bp), _norm_err(rp.stderr))
 
 
 # ---------------------------------------------------------------------
@@ -208,6 +215,62 @@ def test_jpeg_matches_python_launcher(binary, jpegs, flags, tmp_path):
     for name, path in sorted(jpegs.items()):
         c, py = _both(binary, flags + ["--debug-no-frame-delay"], [path],
                       tmp_path)
+        assert c == py, (name, flags)
+
+
+@pytest.fixture(scope="module")
+def gifs(tmp_path_factory):
+    """GIF-still envelope corpus: palettes of every size class,
+    transparency (incl. index 0), interlace, RGB/L-saved quantized,
+    degenerate geometry, plus an animation (bails, python renders)."""
+    import numpy as np
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("gifs")
+    rng = np.random.default_rng(9)
+    out = {}
+
+    def save(name, im, **kw):
+        p = str(tmp / name)
+        im.save(p, **kw)
+        out[name] = p
+
+    for i, (h, w, nc) in enumerate([(40, 52, 256), (23, 31, 16), (8, 8, 2),
+                                    (1, 1, 2), (200, 3, 128)]):
+        arr = rng.integers(0, nc, (h, w)).astype(np.uint8)
+        im = Image.fromarray(arr, "P")
+        im.putpalette(bytes(rng.integers(0, 256, nc * 3).astype(np.uint8)))
+        save(f"p{i}.gif", im)
+    arr = rng.integers(0, 16, (30, 40)).astype(np.uint8)
+    im = Image.fromarray(arr, "P")
+    im.putpalette(bytes(range(48)))
+    save("trans.gif", im, transparency=7)
+    save("trans0.gif", im, transparency=0)
+    save("inter.gif", im, interlace=True)
+    save("rgb.gif", Image.fromarray(
+        rng.integers(0, 256, (33, 47, 3), dtype=np.uint8), "RGB"))
+    save("gray.gif", Image.fromarray(
+        rng.integers(0, 256, (25, 25), dtype=np.uint8), "L"))
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "RGB")
+        for _ in range(3)]
+    p = str(tmp / "anim.gif")
+    frames[0].save(p, save_all=True, append_images=frames[1:], duration=30,
+                   loop=0)
+    out["anim.gif"] = p
+    return out
+
+
+@pytest.mark.parametrize("flags", [
+    ["-pq", "-g40x20", "-b", "black"],
+    ["-pq", "-g40x20", "-b", "none"],
+    ["-pi", "-g40x20"],
+    ["-ps", "-g30x15", "-b", "#223344", "--title"],
+])
+def test_gif_matches_python_launcher(binary, gifs, flags, tmp_path):
+    for name, path in sorted(gifs.items()):
+        c, py = _both(binary, flags + ["--debug-no-frame-delay",
+                                       "--loops=1"], [path], tmp_path)
         assert c == py, (name, flags)
 
 

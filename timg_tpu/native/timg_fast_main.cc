@@ -1297,7 +1297,242 @@ static uint8_t *decode_jpeg_still(const uint8_t *data, size_t len,
     return rgba;
 }
 
-enum StillKind { K_PNG, K_JPEG };
+// ---------------------------------------------------------------------
+// GIF stills (fast._render_pil GIF-path mirror).
+//
+// PIL opens single-frame GIFs in mode "P" and convert("RGBA") applies
+// the active palette (zero-padded to 256) with the GCE transparency
+// index at alpha 0 -- fully deterministic, so a strict spec decoder
+// reproduces PIL's bytes.  ANY anomaly (second image descriptor =
+// animation, truncated LZW, out-of-screen frame box, missing palette)
+// bails to the python launcher, which arbitrates exactly as PIL does.
+// ---------------------------------------------------------------------
+static bool gif_lzw_decode(const uint8_t *d, size_t len, size_t *pos,
+                           int min_code_size, uint8_t *out, size_t need) {
+    if (min_code_size < 2 || min_code_size > 11) return false;
+    static const int kMax = 4096;
+    int16_t prefix[4096];
+    uint8_t suffix[4096];
+    uint8_t stack[4096];
+    const int clear_code = 1 << min_code_size;
+    const int end_code = clear_code + 1;
+    int code_size = min_code_size + 1;
+    int next_code = end_code + 1;
+    int prev = -1;
+    uint32_t bits = 0;
+    int nbits = 0;
+    size_t written = 0;
+    size_t p = *pos;
+    bool done = false;
+
+    // Expand `code` (known valid) onto the stack; returns the root
+    // (first) character, or -1 on a corrupt chain.
+    auto expand = [&](int code, int *sp) -> int {
+        int e = code;
+        *sp = 0;
+        while (e >= clear_code + 2) {
+            if (*sp >= kMax) return -1;
+            stack[(*sp)++] = suffix[e];
+            e = prefix[e];
+        }
+        return e < clear_code ? e : -1;
+    };
+    auto emit = [&](uint8_t v) {
+        if (written < need) out[written] = v;
+        ++written;
+    };
+
+    while (!done) {
+        if (p >= len) return false;
+        int block = d[p++];
+        if (block == 0) break;  // terminator
+        if (p + (size_t)block > len) return false;
+        for (int i = 0; i < block && !done; ++i) {
+            bits |= (uint32_t)d[p + i] << nbits;
+            nbits += 8;
+            while (nbits >= code_size) {
+                const int code = (int)(bits & ((1u << code_size) - 1));
+                bits >>= code_size;
+                nbits -= code_size;
+                if (code == clear_code) {
+                    code_size = min_code_size + 1;
+                    next_code = end_code + 1;
+                    prev = -1;
+                    continue;
+                }
+                if (code == end_code) {
+                    done = true;
+                    break;
+                }
+                int sp = 0;
+                int first;
+                if (prev < 0) {
+                    if (code >= clear_code) return false;
+                    emit((uint8_t)code);
+                    prev = code;
+                    continue;
+                }
+                if (code < next_code && code != clear_code &&
+                    code != end_code) {
+                    first = expand(code, &sp);
+                    if (first < 0) return false;
+                } else if (code == next_code && next_code < kMax) {
+                    // KwKwK: string(prev) + first(string(prev))
+                    first = expand(prev, &sp);
+                    if (first < 0) return false;
+                    // push first(prev) so it pops last
+                    if (sp >= kMax) return false;
+                    // shift: stack pops in reverse, so prepend by
+                    // inserting at position 0
+                    memmove(stack + 1, stack, (size_t)sp);
+                    stack[0] = (uint8_t)first;
+                    ++sp;
+                } else {
+                    return false;
+                }
+                emit((uint8_t)first);
+                while (sp > 0) emit(stack[--sp]);
+                if (next_code < kMax) {
+                    prefix[next_code] = (int16_t)prev;
+                    suffix[next_code] = (uint8_t)first;
+                    ++next_code;
+                    if (next_code == (1 << code_size) && code_size < 12)
+                        ++code_size;
+                }
+                prev = code;
+                if (written >= need) {
+                    done = true;  // frame full: PIL stops here too
+                    break;
+                }
+            }
+        }
+        p += (size_t)block;
+    }
+    if (written < need) return false;  // truncated stream
+    while (p < len && d[p] != 0) {     // skip remaining sub-blocks
+        size_t b = d[p];
+        if (p + 1 + b > len) return false;
+        p += 1 + b;
+    }
+    if (p >= len) return false;
+    ++p;  // terminator
+    *pos = p;
+    return true;
+}
+
+static uint8_t *decode_gif_still(const uint8_t *d, size_t len, int *out_w,
+                                 int *out_h) {
+    if (len < 13) return nullptr;
+    if (memcmp(d, "GIF87a", 6) != 0 && memcmp(d, "GIF89a", 6) != 0)
+        return nullptr;
+    const int sw = d[6] | (d[7] << 8);
+    const int sh = d[8] | (d[9] << 8);
+    if (sw <= 0 || sh <= 0 || (long)sw * sh > (1L << 28)) return nullptr;
+    const uint8_t flags = d[10];
+    size_t p = 13;
+    const uint8_t *gct = nullptr;
+    int gct_n = 0;
+    if (flags & 0x80) {
+        gct_n = 2 << (flags & 7);
+        gct = d + p;
+        if (p + (size_t)gct_n * 3 > len) return nullptr;
+        p += (size_t)gct_n * 3;
+    }
+    int trans = -1;       // active GCE transparency index
+    bool have_frame = false;
+    std::vector<uint8_t> canvas;
+    const uint8_t *pal = gct;
+    int pal_n = gct_n;
+    while (p < len) {
+        const uint8_t b = d[p];
+        if (b == 0x3B) break;  // trailer
+        if (b == 0x21) {       // extension
+            if (p + 2 > len) return nullptr;
+            const uint8_t label = d[p + 1];
+            p += 2;
+            if (label == 0xF9) {
+                if (p >= len || d[p] < 4 || p + 1 + d[p] > len)
+                    return nullptr;
+                const uint8_t *gce = d + p + 1;
+                trans = (gce[0] & 1) ? gce[3] : -1;
+            }
+            // skip sub-blocks
+            while (p < len && d[p] != 0) {
+                size_t sb = d[p];
+                if (p + 1 + sb > len) return nullptr;
+                p += 1 + sb;
+            }
+            if (p >= len) return nullptr;
+            ++p;
+            continue;
+        }
+        if (b == 0x2C) {  // image descriptor
+            if (have_frame) return nullptr;  // animation: python path
+            if (p + 10 > len) return nullptr;
+            const int left = d[p + 1] | (d[p + 2] << 8);
+            const int top = d[p + 3] | (d[p + 4] << 8);
+            const int fw = d[p + 5] | (d[p + 6] << 8);
+            const int fh = d[p + 7] | (d[p + 8] << 8);
+            const uint8_t iflags = d[p + 9];
+            p += 10;
+            if (fw <= 0 || fh <= 0 || left + fw > sw || top + fh > sh)
+                return nullptr;
+            if (iflags & 0x80) {  // local color table
+                pal_n = 2 << (iflags & 7);
+                pal = d + p;
+                if (p + (size_t)pal_n * 3 > len) return nullptr;
+                p += (size_t)pal_n * 3;
+            }
+            if (!pal) return nullptr;
+            if (p >= len) return nullptr;
+            const int min_code = d[p++];
+            std::vector<uint8_t> idx((size_t)fw * fh);
+            if (!gif_lzw_decode(d, len, &p, min_code, idx.data(),
+                                idx.size()))
+                return nullptr;
+            // PIL initializes the P buffer to index 0 outside the box.
+            canvas.assign((size_t)sw * sh, 0);
+            if (iflags & 0x40) {  // interlaced: 4-pass row order
+                static const int start[4] = {0, 4, 2, 1};
+                static const int step[4] = {8, 8, 4, 2};
+                int src = 0;
+                for (int pass = 0; pass < 4; ++pass)
+                    for (int y = start[pass]; y < fh; y += step[pass])
+                        memcpy(&canvas[(size_t)(top + y) * sw + left],
+                               &idx[(size_t)(src++) * fw], fw);
+            } else {
+                for (int y = 0; y < fh; ++y)
+                    memcpy(&canvas[(size_t)(top + y) * sw + left],
+                           &idx[(size_t)y * fw], fw);
+            }
+            have_frame = true;
+            continue;
+        }
+        return nullptr;  // unknown block
+    }
+    if (!have_frame) return nullptr;
+    // P -> RGBA: palette zero-padded to 256; transparency index alpha 0.
+    uint8_t lut[256][4];
+    memset(lut, 0, sizeof(lut));
+    for (int i = 0; i < 256; ++i) {
+        if (i < pal_n) {
+            lut[i][0] = pal[i * 3];
+            lut[i][1] = pal[i * 3 + 1];
+            lut[i][2] = pal[i * 3 + 2];
+        }
+        lut[i][3] = 255;
+    }
+    if (trans >= 0 && trans < 256) lut[trans][3] = 0;
+    uint8_t *rgba = (uint8_t *)malloc((size_t)sw * sh * 4);
+    if (!rgba) return nullptr;
+    for (size_t i = 0; i < (size_t)sw * sh; ++i)
+        memcpy(rgba + i * 4, lut[canvas[i]], 4);
+    *out_w = sw;
+    *out_h = sh;
+    return rgba;
+}
+
+enum StillKind { K_PNG, K_JPEG, K_GIF };
 
 // Returns false -> outside the envelope (exec fallback).
 static bool render_still(const char *fname, StillKind kind,
@@ -1326,6 +1561,13 @@ static bool render_still(const char *fname, StillKind kind,
         flags = 0;
         out->orig_w = true_w;
         out->orig_h = true_h;
+    } else if (kind == K_GIF) {
+        rgba = decode_gif_still((const uint8_t *)data.data(), data.size(),
+                                &iw, &ih);
+        if (!rgba) return false;
+        flags = 0;
+        out->orig_w = iw;
+        out->orig_h = ih;
     } else if (timg_png_decode((const uint8_t *)data.data(),
                                (long)data.size(), &rgba, &iw, &ih,
                                &flags) != 0) {
@@ -1933,6 +2175,9 @@ int main(int argc, char **argv) {
         } else if (n >= 3 && sig[0] == 0xFF && sig[1] == 0xD8 &&
                    sig[2] == 0xFF && jpeg_api() != nullptr) {
             kinds[i] = K_JPEG;
+        } else if (n >= 6 && (memcmp(sig, "GIF87a", 6) == 0 ||
+                              memcmp(sig, "GIF89a", 6) == 0)) {
+            kinds[i] = K_GIF;
         } else {
             finish_fallback();
         }
