@@ -274,6 +274,69 @@ def test_gif_matches_python_launcher(binary, gifs, flags, tmp_path):
         assert c == py, (name, flags)
 
 
+@pytest.fixture(scope="module")
+def grid_media(tmp_path_factory):
+    import numpy as np
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("grid")
+    rng = np.random.default_rng(11)
+    jpgs = []
+    for i in range(8):
+        p = str(tmp / f"img{i}.jpg")
+        Image.fromarray(rng.integers(0, 256, (480, 640, 3),
+                                     dtype=np.uint8), "RGB").save(
+            p, quality=80)
+        jpgs.append(p)
+    png = str(tmp / "odd.png")
+    Image.fromarray(rng.integers(0, 256, (123, 77, 4),
+                                 dtype=np.uint8), "RGBA").save(png)
+    return jpgs, png
+
+
+@pytest.mark.parametrize("flags,n", [
+    (["-ph", "--grid=4x2", "--title", "-g160x48", "-b", "black"], 8),
+    (["-pq", "--grid=3", "-g120x40", "-b", "black"], 7),
+    (["-ph", "--grid=2x2", "-g80x24", "-b", "black", "--title", "-C"], 4),
+    (["-ph", "--grid=1x2", "-g80x24", "-b", "black", "--title"], 2),
+    (["-pq", "--grid=5x1", "-g100x20", "-b", "none"], 6),
+    (["-ph", "--grid=4x2", "--title", "-g161x49", "-b", "#446688",
+      "-C"], 8),
+])
+def test_grid_matches_full_cli(binary, grid_media, flags, n, tmp_path):
+    """BASELINE config #2 class: multi-column contact sheets must be
+    byte-identical to the full CLI's MultiColumnRenderer (which is
+    golden-pinned against the reference binary)."""
+    jpgs, png = grid_media
+    files = (jpgs + [png])[:n]
+    c, py = _both(binary, flags + ["--debug-no-frame-delay"], files,
+                  tmp_path)
+    assert c == py
+
+
+def test_grid_missing_files_skip_columns(binary, grid_media, tmp_path):
+    """Failed sources never advance the grid column (cli skips None
+    sources before the renderer sees them)."""
+    jpgs, png = grid_media
+    files = [jpgs[0], "/nonexistent.png", png, jpgs[1]]
+    c, py = _both(binary, ["-pq", "--grid=2", "-g80x24", "-b", "black",
+                           "--debug-no-frame-delay"], files, tmp_path)
+    assert c == py
+    assert c[0] == 1
+
+
+def test_grid_bails_delegate(binary, grid_media, tmp_path):
+    """Out-of-envelope grids (pixel-direct, bad spec) delegate to the
+    python launcher with identical results."""
+    jpgs, _ = grid_media
+    for flags in (["-pi", "--grid=2x2", "-g80x24"],
+                  ["-pq", "--grid=bogus", "-g80x24"],
+                  ["-pq", "--grid=0", "-g80x24"]):
+        c, py = _both(binary, flags + ["--debug-no-frame-delay"],
+                      jpgs[:4], tmp_path)
+        assert c == py, flags
+
+
 def test_fallback_paths_delegate(binary, corpus, tmp_path):
     """Out-of-envelope invocations exec the python launcher: identical
     output, exercised here for a PIL-decoded GIF still and an explicit

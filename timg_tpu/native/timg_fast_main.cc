@@ -722,6 +722,7 @@ struct Args {
     double duration = 0.0;
     bool debug_no_frame_delay = false;
     const char *dither = "libsixel";           // --dither
+    const char *grid = nullptr;                // --grid
     std::vector<const char *> files;
 };
 
@@ -770,7 +771,7 @@ static bool parse_args(int argc, char **argv, Args *a) {
             std::string name(tok, eq ? (size_t)(eq - tok) : strlen(tok));
             const char *attached = eq ? eq + 1 : nullptr;
             // Flags whose mere presence is outside the envelope:
-            if (name == "--grid" || name == "--scroll" ||
+            if (name == "--scroll" ||
                 name == "--delta-move" || name == "--auto-crop" ||
                 name == "--version" || name == "--verbose" ||
                 name == "--help" || name == "--frames" ||
@@ -803,6 +804,8 @@ static bool parse_args(int argc, char **argv, Args *a) {
             };
             if (name == "--pixelation") {
                 if (!required(&a->pixelation)) return false;
+            } else if (name == "--grid") {
+                if (!required(&a->grid)) return false;
             } else if (name == "--center") {
                 if (attached) return false;  // argparse: explicit-arg error
                 a->center = true;
@@ -1989,12 +1992,40 @@ int main(int argc, char **argv) {
         return EXIT_PARAMETER_ERROR;
     }
 
+    // Grid spec (cli.py:293-300 mirror of ref timg.cc).  Block-mode
+    // grids render natively; pixel-direct grids bail below.
+    long grid_cols = 1, grid_rows = 1;
+    if (args.grid) {
+        const char *x = strchr(args.grid, 'x');
+        std::string gw(args.grid,
+                       x ? (size_t)(x - args.grid) : strlen(args.grid));
+        std::string gh(x ? x + 1 : "");
+        bool ok_g = parse_int_strict(gw.c_str(), &grid_cols);
+        if (ok_g) {
+            if (!gh.empty())
+                ok_g = parse_int_strict(gh.c_str(), &grid_rows);
+            else
+                grid_rows = grid_cols;
+        }
+        if (!ok_g) {
+            fprintf(stderr, "Invalid grid spec '%s'\n", args.grid);
+            return EXIT_PARAMETER_ERROR;
+        }
+        if (grid_cols <= 0 || grid_rows <= 0) exec_fallback();  // py path
+    }
+    if (grid_cols > 1 && strcmp(pixelation, "half") != 0 &&
+        strcmp(pixelation, "quarter") != 0)
+        exec_fallback();  // pixel-direct grid: full path
+
     bool show_title = (args.title.size() % 2) != 0;
     const char *env_title = getenv("TIMG_DEFAULT_TITLE");
     std::string title_format =
         (env_title && *env_title) ? env_title : "%f";
     for (const char *v : args.title)
         if (v != BARE) title_format = v;
+
+    if (clear_screen == 2 && (grid_cols != 1 || grid_rows != 1))
+        clear_screen = 1;  // ref: BEFORE_EACH collapses to BEFORE_FIRST
 
     int output_fd = 1;
     bool opened_fd = false;
@@ -2120,7 +2151,10 @@ int main(int argc, char **argv) {
         return finish(EXIT_IMAGE_READ_ERROR);
     }
 
-    if (show_title) height -= cell_y;  // grid_rows == 1 (ref :902-905)
+    if (show_title) height -= cell_y * (int)grid_rows;  // ref :902-905
+    // Less space per picture in a grid (ref timg.cc:937-939).
+    width /= (int)grid_cols;
+    height /= (int)grid_rows;
 
     RGBA bg_pattern_color =
         parse_color(args.bg_pattern_color ? args.bg_pattern_color : nullptr);
@@ -2234,6 +2268,122 @@ int main(int argc, char **argv) {
                               : duration_for_row_ms;
     std::vector<char> emit_buf;
 
+    auto prefix_move_dy = [&](int rows) {
+        if (rows == 0) return;
+        char b[24];
+        snprintf(b, sizeof(b), rows < 0 ? "\033[%dA" : "\033[%dB",
+                 rows < 0 ? -rows : rows);
+        prefix += b;
+    };
+    auto prefix_move_dx = [&](int cols_) {
+        if (cols_ == 0) return;
+        char b[24];
+        snprintf(b, sizeof(b), cols_ < 0 ? "\033[%dD" : "\033[%dC",
+                 cols_ < 0 ? -cols_ : cols_);
+        prefix += b;
+    };
+    // Block-canvas cell_height_for_pixels: trunc((pixels-1)/2)
+    // (render/ansi.py:85-87, ref unicode-block-canvas.h:42-45).
+    auto cell_height_for_pixels = [](int pixels) {
+        const int a = pixels - 1;
+        const int q = (a >= 0 ? a : -a) / 2;
+        return a >= 0 ? q : -q;
+    };
+
+    if (grid_cols > 1) {
+        // Multi-column contact sheet (render/renderer.py
+        // MultiColumnRenderer, ref renderer.cc:81-189): per-image
+        // column advance, cursor up to the row start, x-offset by
+        // column * column_width, row height equalization.  Block
+        // modes only (the sieve bailed pixel-direct grids above).
+        long col = -1;
+        int highest = 0, last = 0;
+        const int column_width = width;  // px per cell column
+        for (size_t i = 0; i < filelist.size(); ++i) {
+            if (s_interrupted) break;
+            Planes &planes = rendered[i];
+            if (planes.missing) {
+                load_failed = true;
+                errors.push_back(planes.error);
+                continue;
+            }
+            signal(SIGINT, sig_handler);
+            signal(SIGTERM, sig_handler);
+            if (hide_cursor) prefix += "\033[?25l";
+            if (clear_screen == 2 || (clear_screen == 1 && is_first))
+                prefix += "\033c";
+            // render_cb: advance_column (renderer.py:103-112; the
+            // pixel-unit cursor_down on wrap is the mirrored quirk).
+            col += 1;
+            if (col >= grid_cols) {
+                const int down = highest - last;
+                if (down > 0) prefix_move_dy(down);
+                col = 0;
+                highest = 0;
+            }
+            std::string title_s;
+            if (show_title)
+                title_s = trim_title(
+                    format_title(title_format.c_str(),
+                                 filelist[i].c_str(), planes.orig_w,
+                                 planes.orig_h),
+                    column_width / cell_x, center);
+            if (0.0 < duration_per_image_ms) {
+                int y_offset = col > 0 ? -last : 0;
+                const long x_offset = col * (long)column_width;
+                if (show_title) {  // headline (renderer.py:136-145)
+                    if (y_offset) {
+                        const int y_move = cell_height_for_pixels(y_offset);
+                        prefix_move_dy(y_move - 1);
+                    }
+                    prefix_move_dx((int)(x_offset / cell_x));
+                    prefix += title_s;
+                    y_offset = 0;
+                }
+                const int indent =
+                    center ? (column_width - planes.target_w) / 2 : 0;
+                const long x = indent + x_offset;
+                if (y_offset < 0)
+                    prefix_move_dy(cell_height_for_pixels(y_offset));
+                const int xcell = disp.quarter ? (int)(x / 2) : (int)x;
+                size_t cap = (size_t)planes.hcells *
+                                 (planes.wcells * 48 + 24) +
+                             64;
+                if (cap > emit_buf.size()) emit_buf.resize(cap);
+                long bn = timg_ansi_emit(
+                    planes.glyph.data(), planes.fg.data(),
+                    planes.bg.data(), nullptr, planes.hcells,
+                    planes.wcells, xcell, use_256 ? 1 : 0,
+                    emit_buf.data());
+                std::string out =
+                    prefix + std::string(emit_buf.data(), (size_t)bn);
+                reliable_write(output_fd, out.data(), out.size());
+                prefix.clear();
+                last = planes.target_h;
+                if (last > highest) highest = last;
+            }
+            if (hide_cursor) reliable_write(output_fd, "\033[?25h", 6);
+            signal(SIGINT, SIG_DFL);
+            signal(SIGTERM, SIG_DFL);
+            auto msleep = [](double ms) {
+                struct timespec ts;
+                ts.tv_sec = (time_t)(ms / 1000.0);
+                ts.tv_nsec =
+                    (long)((ms / 1000.0 - (double)ts.tv_sec) * 1e9);
+                nanosleep(&ts, nullptr);
+            };
+            if (duration_between_images_ms > 0)
+                msleep(duration_between_images_ms);
+            if (col == grid_cols - 1 && duration_for_row_ms > 0)
+                msleep(duration_for_row_ms);
+            is_first = false;
+        }
+        // renderer.finish() (renderer.py:163-168): cell-unit move.
+        if (col != 0 && col != -1) {
+            const int down = highest - last;
+            if (down > 0) prefix_move_dy(down / cell_y);
+        }
+    } else
     for (size_t i = 0; i < filelist.size(); ++i) {
         if (s_interrupted) break;
         Planes &planes = rendered[i];
