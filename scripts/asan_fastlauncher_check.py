@@ -239,8 +239,16 @@ def main() -> int:
         _im.putpalette(bytes(range(192)))
         _im.save(_buf, format="GIF", transparency=3)
         gdata = _buf.getvalue()
+        _buf2 = _io.BytesIO()
+        _frames = [_Image.fromarray(_np.random.default_rng(s).integers(
+            0, 256, (20, 26, 3), dtype=_np.uint8), "RGB")
+            for s in range(4)]
+        _frames[0].save(_buf2, format="GIF", save_all=True,
+                        append_images=_frames[1:], duration=30,
+                        disposal=2, loop=0)
+        gadata = _buf2.getvalue()
     except ImportError:
-        gdata = None
+        gdata = gadata = None
     if gdata:
         with tempfile.TemporaryDirectory() as td:
             gcases = [gdata[:k] for k in (6, 13, 20, len(gdata) // 2,
@@ -256,11 +264,25 @@ def main() -> int:
                           b"\x40\x00\x0c\xff" + b"\xff" * 64)
             gcases.append(b"GIF89a\xff\xff\xff\xff\x80\x00\x00" +
                           b"\x00" * 770)
+            # animated stream mutations (disposal/extent/LZW hostility
+            # through the multi-frame compositor)
+            for t in range(10):
+                mut = bytearray(gadata)
+                for pos in [rng.randrange(6, len(gadata))
+                            for _ in range(8)]:
+                    mut[pos] ^= 1 << rng.randrange(8)
+                gcases.append(bytes(mut))
+            gcases.extend(gadata[:k] for k in (len(gadata) // 3,
+                                               len(gadata) - 2))
             for i, blob in enumerate(gcases):
                 p = os.path.join(td, f"g{i}.gif")
                 with open(p, "wb") as f:
                     f.write(blob)
-                rc, err = run_pty(["-pq", "-g20x10", "-b", "black", p],
+                # bounded: a mutation that still parses as an animation
+                # would otherwise loop forever (reference semantics)
+                rc, err = run_pty(["-pq", "-g20x10", "-b", "black",
+                                   "--loops=2", "--debug-no-frame-delay",
+                                   p],
                                   lambda d: b"", env=env)
                 check(rc, err, f"malformed gif #{i}")
 

@@ -337,6 +337,79 @@ def test_grid_bails_delegate(binary, grid_media, tmp_path):
         assert c == py, flags
 
 
+@pytest.fixture(scope="module")
+def anim_gifs(tmp_path_factory):
+    """GIF animation corpus: RGB full-frame saves, P-mode with shared
+    palette + transparency, disposal methods 1/2/3, per-frame delays,
+    static frames (empty block diffs)."""
+    import numpy as np
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("anim")
+    rng = np.random.default_rng(21)
+    out = {}
+
+    def mk(name, frames, **kw):
+        p = str(tmp / name)
+        frames[0].save(p, save_all=True, append_images=frames[1:], **kw)
+        out[name] = p
+
+    fr = [Image.fromarray(rng.integers(0, 256, (24, 32, 3),
+                                       dtype=np.uint8), "RGB")
+          for _ in range(4)]
+    mk("basic.gif", fr, duration=30, loop=0)
+    mk("slowfast.gif", fr, duration=[500, 5, 20, 1000], loop=0)
+    pal = bytes(rng.integers(0, 256, 48).astype(np.uint8))
+    pf = []
+    for _ in range(4):
+        im = Image.fromarray(rng.integers(0, 16, (20, 28)).astype(
+            np.uint8), "P")
+        im.putpalette(pal)
+        pf.append(im)
+    mk("ptrans_d2.gif", pf, duration=40, loop=0, transparency=3,
+       disposal=2)
+    mk("ptrans_d1.gif", pf, duration=40, loop=0, transparency=3,
+       disposal=1)
+    mk("p_d3.gif", pf, duration=40, loop=0, disposal=3)
+    same = [Image.fromarray(np.full((16, 24, 3), 128, np.uint8), "RGB")
+            for _ in range(3)]
+    mk("static.gif", same, duration=25, loop=0)
+    return out
+
+
+@pytest.mark.parametrize("flags", [
+    ["-pq", "-g40x20", "-b", "black", "--loops=2"],
+    ["-ph", "-g40x20", "-b", "black", "--loops=1", "-C"],
+    ["-pk", "-g40x20", "--loops=2"],          # no tty: one-frame path
+    ["-pq", "-g40x20", "-b", "black", "-t", "0.12"],
+    ["-pq", "-g40x20", "-b", "none", "--loops=2", "--title"],
+])
+def test_gif_animation_matches_python(binary, anim_gifs, flags, tmp_path):
+    """Native GIF animations (Pillow-equivalent disposal compositing,
+    send_frames pacing, block diffs) must byte-match the full CLI."""
+    for name, path in sorted(anim_gifs.items()):
+        c, py = _both(binary, flags + ["--debug-no-frame-delay"], [path],
+                      tmp_path)
+        assert c == py, (name, flags)
+
+
+def test_kitty_animation_under_pty(binary, anim_gifs, tmp_path):
+    """With a known cell size and a kitty terminal, animations render
+    natively with flip-flop ids -- byte-identical modulo id (config #4
+    class; reference ~5 ms, the python path ~800 ms)."""
+    answers = _TERMS["kitty"]
+    args = ["-pk", "-g40x20", "--loops=3", "--debug-no-frame-delay",
+            "-b", "black"]
+    for name in ("basic.gif", "ptrans_d2.gif", "static.gif"):
+        files = [anim_gifs[name]]
+        rc_c, out_c = _pty_launcher(binary, args, files, answers,
+                                    str(tmp_path / "c.bin"), _CLEAN_ENV)
+        rc_p, out_p = _pty_launcher(PY_LAUNCHER, args, files, answers,
+                                    str(tmp_path / "p.bin"), _CLEAN_ENV)
+        assert (rc_c, out_c) == (rc_p, out_p), name
+        assert out_c
+
+
 def test_fallback_paths_delegate(binary, corpus, tmp_path):
     """Out-of-envelope invocations exec the python launcher: identical
     output, exercised here for a PIL-decoded GIF still and an explicit

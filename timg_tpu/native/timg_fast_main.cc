@@ -112,6 +112,11 @@ static double now_ms() {
     clock_gettime(CLOCK_MONOTONIC, &t);
     return t.tv_sec * 1e3 + t.tv_nsec * 1e-6;
 }
+static double now_s() {
+    struct timespec t;
+    clock_gettime(CLOCK_MONOTONIC, &t);
+    return (double)t.tv_sec + t.tv_nsec * 1e-9;
+}
 static double s_t_last = 0;
 static void stage(const char *name) {
     if (!s_timing) return;
@@ -723,6 +728,7 @@ struct Args {
     bool debug_no_frame_delay = false;
     const char *dither = "libsixel";           // --dither
     const char *grid = nullptr;                // --grid
+    std::vector<const char *> loops_vals;      // --loops / -c
     std::vector<const char *> files;
 };
 
@@ -836,8 +842,7 @@ static bool parse_args(int argc, char **argv, Args *a) {
                 if (attached) return false;
                 a->color8 = true;
             } else if (name == "--loops") {
-                // optional_argument, inert for stills (loops forced 1)
-                (void)attached;
+                a->loops_vals.push_back(attached ? attached : BARE);
             } else if (name == "--debug-no-frame-delay") {
                 if (attached) return false;
                 a->debug_no_frame_delay = true;
@@ -918,12 +923,14 @@ static bool parse_args(int argc, char **argv, Args *a) {
                 }
                 case 'c': {
                     // --loops short form: argparse nargs='?' consumes
-                    // an attached rest or a non-flag next token; inert
-                    // for stills either way.
+                    // an attached rest or a value-looking next token.
                     if (*rest) {
+                        a->loops_vals.push_back(rest);
                         consumed_rest = true;
                     } else if (i + 1 < argc && looks_like_value(argv[i + 1])) {
-                        ++i;
+                        a->loops_vals.push_back(argv[++i]);
+                    } else {
+                        a->loops_vals.push_back(BARE);
                     }
                     break;
                 }
@@ -964,9 +971,22 @@ struct Display {
     enum Mode { HALF, QUARTER, SIXEL, KITTY, ITERM2 } mode = QUARTER;
 };
 
+struct AnimFrame {
+    // block planes (quarter/half)
+    std::vector<int32_t> glyph;
+    std::vector<uint8_t> fg, bg, padded;
+    int hcells = 0, wcells = 0;
+    int padded_h = 0;
+    // kitty: composed RGBA at target size
+    std::vector<uint8_t> frame;
+    double delay_ms = 0.0;
+};
+
 struct Planes {
     bool missing = false;       // error message instead of pixels
     std::string error;
+    // animation (>= 2 entries); empty for stills
+    std::vector<AnimFrame> anim;
     // blocks
     bool is_blocks = false;
     std::vector<int32_t> glyph;
@@ -1423,123 +1443,464 @@ static bool gif_lzw_decode(const uint8_t *d, size_t len, size_t *pos,
     return true;
 }
 
-static uint8_t *decode_gif_still(const uint8_t *d, size_t len, int *out_w,
-                                 int *out_h) {
-    if (len < 13) return nullptr;
+// Pillow-equivalent GIF decode, stills AND animations.  Mirrors
+// GifImagePlugin (_open/_seek/load_prepare/load_end, strategy
+// RGB_AFTER_FIRST) frame for frame:
+//  * frame 0 decodes into a P canvas initialized to the GCE
+//    transparency index (else 0); emitted via the zero-padded palette
+//    with that index at alpha 0;
+//  * before frame 1 the canvas converts to RGBA (frame-0 transparency
+//    consumed) or RGB;
+//  * dispose ops are computed at "seek" time (before the frame
+//    paints): method 2 fills the frame extent with transparency-first
+//    color (alpha 0 on RGB(A) canvases), method 3 restores the
+//    pre-frame region (at frame 0: a transparency fill, Pillow quirk);
+//    the disposal method is sticky across GCEs with dispose bits 0;
+//  * frames >= 1 decode into a fresh P buffer filled with their own
+//    transparency index and paste masked (transparent source pixels
+//    keep the canvas).
+// Grayscale-identity palettes (Pillow's L-mode path), frames exceeding
+// the logical screen (canvas expansion) or any stream anomaly -> bail.
+struct GifFrame {
+    std::vector<uint8_t> rgba;
+    double delay_ms = 0.0;
+};
+
+static bool gif_palette_identity(const uint8_t *p, int n) {
+    for (int i = 0; i < n; ++i)
+        if (!(p[i * 3] == i && p[i * 3 + 1] == i && p[i * 3 + 2] == i))
+            return false;
+    return true;
+}
+
+static bool decode_gif(const uint8_t *d, size_t len,
+                       std::vector<GifFrame> *frames, int *out_w,
+                       int *out_h) {
+    if (len < 13) return false;
     if (memcmp(d, "GIF87a", 6) != 0 && memcmp(d, "GIF89a", 6) != 0)
-        return nullptr;
+        return false;
     const int sw = d[6] | (d[7] << 8);
     const int sh = d[8] | (d[9] << 8);
-    if (sw <= 0 || sh <= 0 || (long)sw * sh > (1L << 28)) return nullptr;
+    if (sw <= 0 || sh <= 0 || (long)sw * sh > (1L << 28)) return false;
     const uint8_t flags = d[10];
     size_t p = 13;
     const uint8_t *gct = nullptr;
     int gct_n = 0;
+    int background = -1;  // info["background"] only with a GCT
     if (flags & 0x80) {
         gct_n = 2 << (flags & 7);
+        if (p + (size_t)gct_n * 3 > len) return false;
         gct = d + p;
-        if (p + (size_t)gct_n * 3 > len) return nullptr;
+        background = d[11];
+        if (gif_palette_identity(gct, gct_n)) return false;  // L-mode
         p += (size_t)gct_n * 3;
     }
-    int trans = -1;       // active GCE transparency index
-    bool have_frame = false;
-    std::vector<uint8_t> canvas;
-    const uint8_t *pal = gct;
-    int pal_n = gct_n;
+
+    const size_t npx = (size_t)sw * sh;
+    std::vector<uint8_t> canvasP;     // frame-0 phase (P indices)
+    std::vector<uint8_t> canvasRGBA;  // after the mode transition
+
+    int info_transparency = -1;  // frame 0's GCE transparency (sticky
+                                 // until the mode transition consumes it)
+    int disposal_method = 0;     // sticky across GCEs with bits 0
+    // Pending dispose op, applied before the NEXT frame decodes.
+    enum { D_NONE, D_FILL_P, D_FILL_RGBA, D_RESTORE } dk = D_NONE;
+    int d_x0 = 0, d_y0 = 0, d_x1 = 0, d_y1 = 0;
+    uint8_t d_fill[4] = {0, 0, 0, 0};
+    uint8_t d_fill_p = 0;
+    std::vector<uint8_t> d_saved;  // RESTORE region (RGBA) / P at f0
+    bool d_saved_p = false;
+
+    int gce_trans = -1;
+    double gce_duration = -1.0;
+    int frame_no = 0;
+    const uint8_t *pal0 = nullptr;
+    int pal0_n = 0;
+
     while (p < len) {
         const uint8_t b = d[p];
         if (b == 0x3B) break;  // trailer
         if (b == 0x21) {       // extension
-            if (p + 2 > len) return nullptr;
+            if (p + 2 > len) return false;
             const uint8_t label = d[p + 1];
             p += 2;
             if (label == 0xF9) {
                 if (p >= len || d[p] < 4 || p + 1 + d[p] > len)
-                    return nullptr;
+                    return false;
                 const uint8_t *gce = d + p + 1;
-                trans = (gce[0] & 1) ? gce[3] : -1;
+                gce_trans = (gce[0] & 1) ? gce[3] : -1;
+                gce_duration = (double)(gce[1] | (gce[2] << 8)) * 10.0;
+                const int bits = (gce[0] >> 2) & 7;
+                if (bits) disposal_method = bits;  // sticky (Pillow)
             }
-            // skip sub-blocks
             while (p < len && d[p] != 0) {
                 size_t sb = d[p];
-                if (p + 1 + sb > len) return nullptr;
+                if (p + 1 + sb > len) return false;
                 p += 1 + sb;
             }
-            if (p >= len) return nullptr;
+            if (p >= len) return false;
             ++p;
             continue;
         }
-        if (b == 0x2C) {  // image descriptor
-            if (have_frame) return nullptr;  // animation: python path
-            if (p + 10 > len) return nullptr;
-            const int left = d[p + 1] | (d[p + 2] << 8);
-            const int top = d[p + 3] | (d[p + 4] << 8);
-            const int fw = d[p + 5] | (d[p + 6] << 8);
-            const int fh = d[p + 7] | (d[p + 8] << 8);
-            const uint8_t iflags = d[p + 9];
-            p += 10;
-            if (fw <= 0 || fh <= 0 || left + fw > sw || top + fh > sh)
-                return nullptr;
-            if (iflags & 0x80) {  // local color table
-                pal_n = 2 << (iflags & 7);
-                pal = d + p;
-                if (p + (size_t)pal_n * 3 > len) return nullptr;
-                p += (size_t)pal_n * 3;
+        if (b != 0x2C) return false;  // unknown block
+        // ---- image descriptor ----
+        if (p + 10 > len) return false;
+        const int left = d[p + 1] | (d[p + 2] << 8);
+        const int top = d[p + 3] | (d[p + 4] << 8);
+        const int fw = d[p + 5] | (d[p + 6] << 8);
+        const int fh = d[p + 7] | (d[p + 8] << 8);
+        const uint8_t iflags = d[p + 9];
+        p += 10;
+        if (fw <= 0 || fh <= 0 || left + fw > sw || top + fh > sh)
+            return false;  // canvas expansion: python path
+        const uint8_t *pal = gct;
+        int pal_n = gct_n;
+        if (iflags & 0x80) {
+            pal_n = 2 << (iflags & 7);
+            if (p + (size_t)pal_n * 3 > len) return false;
+            pal = d + p;
+            if (gif_palette_identity(pal, pal_n)) return false;
+            p += (size_t)pal_n * 3;
+        }
+        if (!pal) return false;
+        if (p >= len) return false;
+        const int min_code = d[p++];
+        const int ft = gce_trans;
+        const double delay =
+            gce_duration >= 0 ? gce_duration : 0.0;  // no GCE: 0 -> 100
+        gce_trans = -1;
+        gce_duration = -1.0;
+
+        // Pillow's _rgb(): palette clamp to index 0 when out of range.
+        auto pal_rgb = [&](int idx, uint8_t *rgb) {
+            if (idx < 0 || idx >= pal_n) idx = 0;
+            if (idx >= pal_n) {
+                rgb[0] = rgb[1] = rgb[2] = 0;
+                return;
             }
-            if (!pal) return nullptr;
-            if (p >= len) return nullptr;
-            const int min_code = d[p++];
-            std::vector<uint8_t> idx((size_t)fw * fh);
+            rgb[0] = pal[idx * 3];
+            rgb[1] = pal[idx * 3 + 1];
+            rgb[2] = pal[idx * 3 + 2];
+        };
+
+        if (frame_no == 0) {
+            pal0 = pal;
+            pal0_n = pal_n;
+            info_transparency = ft;
+            canvasP.assign(npx, (uint8_t)(ft >= 0 ? ft : 0));
+        } else {
+            if (frame_no == 1) {
+                // seek(1): apply frame 0's dispose in P space, then
+                // the P -> RGB(A) transition with frame 0's palette.
+                if (dk == D_FILL_P) {
+                    for (int y = d_y0; y < d_y1; ++y)
+                        memset(&canvasP[(size_t)y * sw + d_x0], d_fill_p,
+                               (size_t)(d_x1 - d_x0));
+                } else if (dk == D_RESTORE && d_saved_p) {
+                    for (int y = d_y0; y < d_y1; ++y)
+                        memcpy(&canvasP[(size_t)y * sw + d_x0],
+                               &d_saved[(size_t)(y - d_y0) * (d_x1 - d_x0)],
+                               (size_t)(d_x1 - d_x0));
+                }
+                uint8_t lut[256][4];
+                memset(lut, 0, sizeof(lut));
+                for (int i = 0; i < 256; ++i) {
+                    if (i < pal0_n) {
+                        lut[i][0] = pal0[i * 3];
+                        lut[i][1] = pal0[i * 3 + 1];
+                        lut[i][2] = pal0[i * 3 + 2];
+                    }
+                    lut[i][3] = 255;
+                }
+                if (info_transparency >= 0)
+                    lut[info_transparency][3] = 0;
+                canvasRGBA.resize(npx * 4);
+                for (size_t i = 0; i < npx; ++i)
+                    memcpy(&canvasRGBA[i * 4], lut[canvasP[i]], 4);
+                info_transparency = -1;  // del info["transparency"]
+            } else {
+                // apply the pending dispose on the RGB(A) canvas
+                if (dk == D_FILL_RGBA) {
+                    for (int y = d_y0; y < d_y1; ++y)
+                        for (int x = d_x0; x < d_x1; ++x)
+                            memcpy(&canvasRGBA[((size_t)y * sw + x) * 4],
+                                   d_fill, 4);
+                } else if (dk == D_RESTORE && !d_saved_p) {
+                    for (int y = d_y0; y < d_y1; ++y)
+                        memcpy(&canvasRGBA[((size_t)y * sw + d_x0) * 4],
+                               &d_saved[(size_t)(y - d_y0) *
+                                        (d_x1 - d_x0) * 4],
+                               (size_t)(d_x1 - d_x0) * 4);
+                }
+            }
+        }
+        dk = D_NONE;
+
+        // Compute THIS frame's dispose now -- "seek" time, before the
+        // frame paints (method 3 must restore the pre-frame canvas).
+        if (disposal_method >= 2) {
+            d_x0 = left;
+            d_y0 = top;
+            d_x1 = left + fw;
+            d_y1 = top + fh;
+            if (disposal_method == 2) {
+                if (frame_no == 0) {
+                    const int color = info_transparency >= 0
+                                          ? info_transparency
+                                          : (background >= 0 ? background
+                                                             : 0);
+                    dk = D_FILL_P;
+                    d_fill_p = (uint8_t)color;
+                } else {
+                    dk = D_FILL_RGBA;
+                    if (ft >= 0) {
+                        pal_rgb(ft, d_fill);
+                        d_fill[3] = 0;
+                    } else {
+                        pal_rgb(background >= 0 ? background : 0, d_fill);
+                        d_fill[3] = 255;
+                    }
+                }
+            } else {  // method 3: restore previous
+                if (frame_no == 0) {
+                    // Pillow quirk: no canvas yet -> transparency fill
+                    // (or no dispose at all without transparency).
+                    if (ft >= 0) {
+                        dk = D_FILL_P;
+                        d_fill_p = (uint8_t)ft;
+                    }
+                } else {
+                    dk = D_RESTORE;
+                    d_saved_p = false;
+                    d_saved.resize((size_t)(d_x1 - d_x0) *
+                                   (d_y1 - d_y0) * 4);
+                    for (int y = d_y0; y < d_y1; ++y)
+                        memcpy(&d_saved[(size_t)(y - d_y0) *
+                                        (d_x1 - d_x0) * 4],
+                               &canvasRGBA[((size_t)y * sw + d_x0) * 4],
+                               (size_t)(d_x1 - d_x0) * 4);
+                }
+            }
+        }
+
+        // ---- decode the frame's LZW data ----
+        std::vector<uint8_t> idx((size_t)fw * fh);
+        {
+            // region decodes into a buffer pre-filled with the frame's
+            // transparency index (load_prepare's fresh P fill); for
+            // frame 0 the fill only matters if LZW underruns -> bail.
             if (!gif_lzw_decode(d, len, &p, min_code, idx.data(),
                                 idx.size()))
-                return nullptr;
-            // PIL initializes the P buffer to index 0 outside the box.
-            canvas.assign((size_t)sw * sh, 0);
-            if (iflags & 0x40) {  // interlaced: 4-pass row order
-                static const int start[4] = {0, 4, 2, 1};
-                static const int step[4] = {8, 8, 4, 2};
+                return false;
+        }
+        auto blit_rows = [&](std::vector<uint8_t> &dst) {
+            if (iflags & 0x40) {  // interlaced
+                static const int istart[4] = {0, 4, 2, 1};
+                static const int istep[4] = {8, 8, 4, 2};
                 int src = 0;
                 for (int pass = 0; pass < 4; ++pass)
-                    for (int y = start[pass]; y < fh; y += step[pass])
-                        memcpy(&canvas[(size_t)(top + y) * sw + left],
-                               &idx[(size_t)(src++) * fw], fw);
+                    for (int y = istart[pass]; y < fh; y += istep[pass])
+                        memcpy(&dst[(size_t)(top + y) * sw + left],
+                               &idx[(size_t)(src++) * fw], (size_t)fw);
             } else {
                 for (int y = 0; y < fh; ++y)
-                    memcpy(&canvas[(size_t)(top + y) * sw + left],
-                           &idx[(size_t)y * fw], fw);
+                    memcpy(&dst[(size_t)(top + y) * sw + left],
+                           &idx[(size_t)y * fw], (size_t)fw);
             }
-            have_frame = true;
-            continue;
+        };
+
+        GifFrame out_frame;
+        out_frame.delay_ms = delay;
+        if (frame_no == 0) {
+            blit_rows(canvasP);
+            uint8_t lut[256][4];
+            memset(lut, 0, sizeof(lut));
+            for (int i = 0; i < 256; ++i) {
+                if (i < pal_n) {
+                    lut[i][0] = pal[i * 3];
+                    lut[i][1] = pal[i * 3 + 1];
+                    lut[i][2] = pal[i * 3 + 2];
+                }
+                lut[i][3] = 255;
+            }
+            if (ft >= 0) lut[ft][3] = 0;
+            out_frame.rgba.resize(npx * 4);
+            for (size_t i = 0; i < npx; ++i)
+                memcpy(&out_frame.rgba[i * 4], lut[canvasP[i]], 4);
+        } else {
+            // load_end: paste the frame region, transparent source
+            // pixels keeping the canvas.
+            uint8_t lut[256][4];
+            memset(lut, 0, sizeof(lut));
+            for (int i = 0; i < 256; ++i) {
+                if (i < pal_n) {
+                    lut[i][0] = pal[i * 3];
+                    lut[i][1] = pal[i * 3 + 1];
+                    lut[i][2] = pal[i * 3 + 2];
+                }
+                lut[i][3] = 255;
+            }
+            if (ft >= 0) lut[ft][3] = 0;
+            // deinterlace within the region
+            std::vector<uint8_t> region((size_t)fw * fh);
+            if (iflags & 0x40) {
+                static const int istart[4] = {0, 4, 2, 1};
+                static const int istep[4] = {8, 8, 4, 2};
+                int src = 0;
+                for (int pass = 0; pass < 4; ++pass)
+                    for (int y = istart[pass]; y < fh; y += istep[pass])
+                        memcpy(&region[(size_t)y * fw],
+                               &idx[(size_t)(src++) * fw], (size_t)fw);
+            } else {
+                region = idx;
+            }
+            for (int y = 0; y < fh; ++y) {
+                for (int x = 0; x < fw; ++x) {
+                    const uint8_t ci = region[(size_t)y * fw + x];
+                    if (ft >= 0 && ci == (uint8_t)ft) continue;  // mask
+                    memcpy(&canvasRGBA[((size_t)(top + y) * sw + left +
+                                        x) * 4],
+                           lut[ci], 4);
+                }
+            }
+            out_frame.rgba = canvasRGBA;
         }
-        return nullptr;  // unknown block
+        frames->push_back(std::move(out_frame));
+        ++frame_no;
+        if (frame_no > 4096) return false;  // runaway stream
+        (void)blit_rows;
     }
-    if (!have_frame) return nullptr;
-    // P -> RGBA: palette zero-padded to 256; transparency index alpha 0.
-    uint8_t lut[256][4];
-    memset(lut, 0, sizeof(lut));
-    for (int i = 0; i < 256; ++i) {
-        if (i < pal_n) {
-            lut[i][0] = pal[i * 3];
-            lut[i][1] = pal[i * 3 + 1];
-            lut[i][2] = pal[i * 3 + 2];
-        }
-        lut[i][3] = 255;
-    }
-    if (trans >= 0 && trans < 256) lut[trans][3] = 0;
-    uint8_t *rgba = (uint8_t *)malloc((size_t)sw * sh * 4);
-    if (!rgba) return nullptr;
-    for (size_t i = 0; i < (size_t)sw * sh; ++i)
-        memcpy(rgba + i * 4, lut[canvas[i]], 4);
+    if (frame_no == 0) return false;
     *out_w = sw;
     *out_h = sh;
-    return rgba;
+    return true;
 }
 
 enum StillKind { K_PNG, K_JPEG, K_GIF };
 
+// Animation processing: resize+compose every GIF canvas frame (one
+// batched polyphase call), then per-mode prep (block planes or the
+// composed RGBA for kitty).  Mirrors pil_source._process_frames +
+// base.send_frames's per-frame geometry.
+static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
+                                 int sh, const Display &disp, BgCache *bgc,
+                                 const char *bg_color, Planes *out) {
+    const int F = (int)gframes.size();
+    int tw = 0, th = 0;
+    timg_calc_scale(sw, sh, disp.width, disp.height,
+                    disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                    disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
+                    disp.cell_x, disp.cell_y, 0, &tw, &th);
+    if (disp.quarter && (tw % 2)) return false;
+    out->target_w = tw;
+    out->target_h = th;
+    // Batched resize (one call over all frames, like resize_batch_np).
+    std::vector<uint8_t> stack;
+    const size_t in_px = (size_t)sw * sh * 4;
+    const size_t out_px = (size_t)tw * th * 4;
+    std::vector<uint8_t> resized((size_t)F * out_px);
+    if (sh != th || sw != tw) {
+        stack.resize((size_t)F * in_px);
+        for (int f = 0; f < F; ++f)
+            memcpy(&stack[(size_t)f * in_px], gframes[f].rgba.data(),
+                   in_px);
+        if (!disp.antialias) {
+            for (int f = 0; f < F; ++f)
+                timg_resize_nearest(&stack[(size_t)f * in_px], sh, sw,
+                                    &resized[(size_t)f * out_px], th, tw);
+        } else {
+            int32_t *sv = nullptr, *sx = nullptr;
+            float *cv = nullptr, *cx = nullptr;
+            const int wv = timg_build_taps(sh, th, 0, &sv, &cv);
+            const int wh = timg_build_taps(sw, tw, 1, &sx, &cx);
+            long rc = -1;
+            if (wv >= 1 && wh >= 1) {
+                const int vf = timg_plan_passes(sh, sw, th, tw, 1);
+                rc = timg_resize_polyphase(stack.data(), F, sh, sw,
+                                           resized.data(), th, tw, sv, cv,
+                                           wv, sx, cx, wh, vf, 1);
+            }
+            timg_buf_free(sv);
+            timg_buf_free(cv);
+            timg_buf_free(sx);
+            timg_buf_free(cx);
+            if (rc != 0) return false;
+        }
+    } else {
+        for (int f = 0; f < F; ++f)
+            memcpy(&resized[(size_t)f * out_px], gframes[f].rgba.data(),
+                   out_px);
+    }
+    // Lazy background compose: ANY translucent frame composes the
+    // whole batch (pil_source._resize_compose).
+    bool translucent = false;
+    for (int f = 0; f < F && !translucent; ++f)
+        if (timg_has_translucency(&resized[(size_t)f * out_px],
+                                  (long)tw * th))
+            translucent = true;
+    if (translucent) {
+        RGBA bg = bg_get(bgc, bg_color);
+        if (bg.a != 0) {
+            const int pw = (int)(disp.pattern_size * disp.cell_x);
+            const int ph = (int)(disp.pattern_size * disp.cell_y / 2);
+            uint8_t bg4[4] = {bg.r, bg.g, bg.b, bg.a};
+            uint8_t pat4[4] = {disp.bg_pattern_color.r,
+                               disp.bg_pattern_color.g,
+                               disp.bg_pattern_color.b,
+                               disp.bg_pattern_color.a};
+            for (int f = 0; f < F; ++f)
+                timg_alpha_over_bg(&resized[(size_t)f * out_px], th, tw,
+                                   bg4, pat4, pw, ph, 0);
+        }
+    }
+    out->anim.resize((size_t)F);
+    for (int f = 0; f < F; ++f) {
+        AnimFrame &af = out->anim[(size_t)f];
+        af.delay_ms = gframes[(size_t)f].delay_ms < 10.0
+                          ? 100.0
+                          : gframes[(size_t)f].delay_ms;
+        if (disp.mode == Display::KITTY) {
+            af.frame.assign(resized.begin() + (long)f * out_px,
+                            resized.begin() + (long)(f + 1) * out_px);
+            continue;
+        }
+        // block planes (odd-height pad + argmin), ansi.send mirror
+        std::vector<uint8_t> padded(
+            resized.begin() + (long)f * out_px,
+            resized.begin() + (long)(f + 1) * out_px);
+        int padded_h = th;
+        if (th % 2) {
+            const size_t row = (size_t)tw * 4;
+            if (disp.use_upper)
+                padded.insert(padded.end(), row, 0);
+            else
+                padded.insert(padded.begin(), row, 0);
+            padded_h += 1;
+        }
+        const int hcells = padded_h / 2;
+        const int wcells = disp.quarter ? tw / 2 : tw;
+        af.glyph.resize((size_t)hcells * wcells);
+        af.fg.resize((size_t)hcells * wcells * 4);
+        af.bg.resize((size_t)hcells * wcells * 4);
+        if (disp.quarter)
+            timg_quarter_blocks(padded.data(), padded_h, tw,
+                                disp.use_upper ? 1 : 0, af.glyph.data(),
+                                af.fg.data(), af.bg.data());
+        else
+            timg_half_blocks(padded.data(), padded_h, tw,
+                             disp.use_upper ? 1 : 0, af.glyph.data(),
+                             af.fg.data(), af.bg.data());
+        af.hcells = hcells;
+        af.wcells = wcells;
+        af.padded_h = padded_h;
+        af.padded = std::move(padded);
+    }
+    return true;
+}
+
 // Returns false -> outside the envelope (exec fallback).
 static bool render_still(const char *fname, StillKind kind,
-                         const Display &disp,
+                         bool allow_anim, const Display &disp,
                          BgCache *bgc, const char *bg_color, Planes *out) {
     FILE *f = fopen(fname, "rb");
     if (!f) return false;
@@ -1565,12 +1926,21 @@ static bool render_still(const char *fname, StillKind kind,
         out->orig_w = true_w;
         out->orig_h = true_h;
     } else if (kind == K_GIF) {
-        rgba = decode_gif_still((const uint8_t *)data.data(), data.size(),
-                                &iw, &ih);
-        if (!rgba) return false;
+        std::vector<GifFrame> gframes;
+        if (!decode_gif((const uint8_t *)data.data(), data.size(),
+                        &gframes, &iw, &ih))
+            return false;
         flags = 0;
         out->orig_w = iw;
         out->orig_h = ih;
+        if (gframes.size() > 1) {
+            if (!allow_anim) return false;
+            return render_gif_animation(gframes, iw, ih, disp, bgc,
+                                        bg_color, out);
+        }
+        rgba = (uint8_t *)malloc(gframes[0].rgba.size());
+        if (!rgba) return false;
+        memcpy(rgba, gframes[0].rgba.data(), gframes[0].rgba.size());
     } else if (timg_png_decode((const uint8_t *)data.data(),
                                (long)data.size(), &rgba, &iw, &ih,
                                &flags) != 0) {
@@ -1733,9 +2103,8 @@ static uint32_t kitty_create_id() {
 static const size_t kB64Chunk = 4096;                 // protocol max
 static const size_t kByteChunk = kB64Chunk / 4 * 3;   // pre-encode bytes
 
-static std::string kitty_payload(const std::string &png, int level) {
-    (void)level;
-    uint32_t image_id = kitty_create_id();
+static std::string kitty_payload(const std::string &png,
+                                 uint32_t image_id) {
     std::string out;
     char head[96];
     snprintf(head, sizeof(head), "\033_Ga=T,i=%u,q=2,f=100,m=%d;", image_id,
@@ -2151,6 +2520,17 @@ int main(int argc, char **argv) {
         return finish(EXIT_IMAGE_READ_ERROR);
     }
 
+    // Loops (cli.py:235-238, 448-451; ref timg.cc:555-558, 897-900).
+    const long kNotInitialized = -(1L << 31);
+    long loops = kNotInitialized;
+    if (!args.loops_vals.empty()) {
+        const char *v = args.loops_vals.back();
+        loops = (v == BARE) ? -1 : c_atoi(v);
+    }
+    if (filelist.size() > 1 && loops == kNotInitialized &&
+        duration_per_image_ms == INFINITY)
+        loops = 1;  // ref timg.cc:897-900
+
     if (show_title) height -= cell_y * (int)grid_rows;  // ref :902-905
     // Less space per picture in a grid (ref timg.cc:937-939).
     width /= (int)grid_cols;
@@ -2238,6 +2618,16 @@ int main(int argc, char **argv) {
                                                      : Display::ITERM2;
     (void)have_sixel_opts;
 
+    // GIF animations render natively for single-column block/kitty
+    // sessions; everything else (pixel-direct sixel/iterm2 animations,
+    // grids, frame-skip env, unknown cell size) delegates.
+    const bool allow_anim =
+        grid_cols == 1 &&
+        (disp.mode == Display::QUARTER || disp.mode == Display::HALF ||
+         disp.mode == Display::KITTY) &&
+        !get_bool_env("TIMG_ALLOW_FRAME_SKIP", false) &&
+        !cell_unknown_pixel_mode;
+
     // Decode/render pass: any bail aborts before a byte is written.
     BgCache bgc;
     std::vector<Planes> rendered(filelist.size());
@@ -2247,9 +2637,10 @@ int main(int argc, char **argv) {
             rendered[i].error = missing_msg[i];
             continue;
         }
-        if (!render_still(filelist[i].c_str(), kinds[i], disp, &bgc,
-                          bg_color.c_str(), &rendered[i]))
+        if (!render_still(filelist[i].c_str(), kinds[i], allow_anim, disp,
+                          &bgc, bg_color.c_str(), &rendered[i]))
             finish_fallback();
+        if (!rendered[i].anim.empty()) continue;  // animation prepped
         if (disp.mode == Display::SIXEL) {
             if (!sixel_payload(rendered[i].frame, rendered[i].target_w,
                                rendered[i].target_h, &bgc, bg_color.c_str(),
@@ -2403,7 +2794,149 @@ int main(int argc, char **argv) {
                 planes.orig_h);
             prefix += trim_title(title, width / cell_x, center);
         }
-        if (0.0 < duration_per_image_ms) {
+        if (!planes.anim.empty()) {
+            // ---- GIF animation (base.send_frames + sequencer pacing
+            // mirror; blocks: ansi.send_planes diff; kitty: flip-flop
+            // ids, ref kitty-canvas.cc:143-172) ----
+            const bool loop_forever = loops < 0 || loops == kNotInitialized;
+            double tfff = 0.0;
+            int last_height = 0;
+            bool first_frame = true;
+            long k = 0;
+            double anim_start = 0.0, last_end_ms = 0.0;
+            uint32_t kitty_anim_id = 0;
+            long flip = 0;
+            const AnimFrame *prev_af = nullptr;
+            long last_x_cells = -1;
+            int last_h_px = 0;
+            const int indent =
+                center ? (width - planes.target_w) / 2 : 0;
+            std::vector<uint8_t> eq;
+            while ((loop_forever || k < loops) && !s_interrupted &&
+                   tfff < duration_per_image_ms) {
+                for (size_t f = 0; f < planes.anim.size(); ++f) {
+                    if (s_interrupted) break;
+                    const AnimFrame &af = planes.anim[f];
+                    tfff += af.delay_ms;
+                    const double end_of_frame =
+                        tfff < duration_per_image_ms ? tfff
+                                                     : duration_per_image_ms;
+                    const int dy = last_height > 0 ? -last_height : 0;
+                    std::string body;
+                    bool drop_prefix_on_empty = false;
+                    if (disp.mode == Display::KITTY) {
+                        if (dy < 0) {
+                            // kitty cell_height_for_pixels: ceil cells
+                            const int cells =
+                                -((-dy + cell_y - 1) / cell_y);
+                            prefix_move_dy(cells);
+                        }
+                        prefix_move_dx(indent / cell_x);
+                        uint32_t id;
+                        if (first_frame) {
+                            id = kitty_create_id();
+                            kitty_create_id();  // reserve flip buffer
+                            kitty_anim_id = id;
+                            flip = 0;
+                        } else {
+                            flip += 1;
+                            id = kitty_anim_id + (uint32_t)(flip % 2);
+                        }
+                        const int channels = local_alpha ? 3 : 4;
+                        std::vector<uint8_t> raw(
+                            (size_t)planes.target_h *
+                            (1 + (size_t)planes.target_w * channels));
+                        timg_png_sub_filter(af.frame.data(),
+                                            planes.target_h,
+                                            planes.target_w, channels,
+                                            raw.data());
+                        std::string png = encode_png_from_filtered(
+                            raw.data(), raw.size(), planes.target_w,
+                            planes.target_h, compress_level,
+                            !local_alpha);
+                        body = kitty_payload(png, id);
+                    } else {
+                        if (dy < 0)
+                            prefix_move_dy(cell_height_for_pixels(dy));
+                        const long x_cells =
+                            disp.quarter ? indent / 2 : indent;
+                        const bool emit_diff =
+                            x_cells == last_x_cells && last_h_px > 0 &&
+                            -dy == last_h_px && prev_af != nullptr &&
+                            prev_af->padded.size() == af.padded.size() &&
+                            prev_af->hcells == af.hcells &&
+                            prev_af->wcells == af.wcells;
+                        if (emit_diff) {
+                            eq.assign((size_t)af.hcells * af.wcells, 0);
+                            const int n = disp.quarter ? 2 : 1;
+                            const size_t rowpx = (size_t)af.wcells * n * 4;
+                            for (int r = 0; r < af.hcells; ++r)
+                                for (int c = 0; c < af.wcells; ++c) {
+                                    const size_t o0 =
+                                        (size_t)(r * 2) * rowpx +
+                                        (size_t)c * n * 4;
+                                    const size_t o1 = o0 + rowpx;
+                                    eq[(size_t)r * af.wcells + c] =
+                                        memcmp(&af.padded[o0],
+                                               &prev_af->padded[o0],
+                                               (size_t)n * 4) == 0 &&
+                                        memcmp(&af.padded[o1],
+                                               &prev_af->padded[o1],
+                                               (size_t)n * 4) == 0;
+                                }
+                        }
+                        size_t cap = (size_t)af.hcells *
+                                         (af.wcells * 48 + 24) +
+                                     64;
+                        if (cap > emit_buf.size()) emit_buf.resize(cap);
+                        long bn = timg_ansi_emit(
+                            af.glyph.data(), af.fg.data(), af.bg.data(),
+                            emit_diff ? eq.data() : nullptr, af.hcells,
+                            af.wcells, (int)x_cells, use_256 ? 1 : 0,
+                            emit_buf.data());
+                        body.assign(emit_buf.data(), (size_t)bn);
+                        drop_prefix_on_empty = true;
+                        last_x_cells = x_cells;
+                        last_h_px = planes.target_h;
+                        prev_af = &af;
+                    }
+                    // Sequencer pacing (render/sequencer.py:95-108):
+                    // START_OF_ANIMATION stamps t0; ANIMATION_FRAME
+                    // sleeps to t0 + previous frame's end time.
+                    if (first_frame) {
+                        anim_start = now_s();
+                    } else if (last_end_ms > 0 &&
+                               !args.debug_no_frame_delay) {
+                        const double finish =
+                            anim_start + last_end_ms / 1000.0;
+                        const double nw = now_s();
+                        if (finish > nw) {
+                            struct timespec ts;
+                            const double delta = finish - nw;
+                            ts.tv_sec = (time_t)delta;
+                            ts.tv_nsec = (long)((delta -
+                                                 (double)ts.tv_sec) * 1e9);
+                            nanosleep(&ts, nullptr);
+                        }
+                    }
+                    last_end_ms = end_of_frame;
+                    if (body.empty() && drop_prefix_on_empty) {
+                        // unchanged frame: zero-size write, prefix
+                        // dropped (ansi.send_planes, ref :390-395)
+                        prefix.clear();
+                    } else {
+                        std::string outb = prefix + body;
+                        reliable_write(output_fd, outb.data(),
+                                       outb.size());
+                        prefix.clear();
+                    }
+                    last_height = planes.target_h;
+                    if (tfff > duration_per_image_ms) break;
+                    first_frame = false;
+                }
+                ++k;
+            }
+        } else if (0.0 < duration_per_image_ms) {
             std::string body;
             if (!planes.is_blocks) {
                 int target_w = planes.target_w, target_h = planes.target_h;
@@ -2443,7 +2976,7 @@ int main(int argc, char **argv) {
                                    png.size());
                         body += "\007\n";
                     } else {
-                        body = kitty_payload(png, compress_level);
+                        body = kitty_payload(png, kitty_create_id());
                     }
                 }
             } else {
