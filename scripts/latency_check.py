@@ -167,6 +167,53 @@ def main() -> int:
                     "median": round(statistics.median(times), 1),
                     "min": round(min(times), 1)}
 
+    # BASELINE config #2: 4x2 grid of 640x480 JPEGs with titles (-ph),
+    # and config #4: animated 4-frame GIF x3 loops -- both render
+    # natively in the C launcher since round 3.
+    try:
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.default_rng(11)
+        gdir = os.path.join(tempfile.gettempdir(), "timg_tpu_lat_media")
+        os.makedirs(gdir, exist_ok=True)
+        jpgs = []
+        for i in range(8):
+            p = os.path.join(gdir, f"g{i}.jpg")
+            if not os.path.exists(p):
+                Image.fromarray(rng.integers(0, 256, (480, 640, 3),
+                                             dtype=np.uint8),
+                                "RGB").save(p, quality=80)
+            jpgs.append(p)
+        gif = os.path.join(gdir, "anim4.gif")
+        if not os.path.exists(gif):
+            frames = [Image.fromarray(rng.integers(0, 256, (24, 32, 3),
+                                                   dtype=np.uint8), "RGB")
+                      for _ in range(4)]
+            frames[0].save(gif, save_all=True, append_images=frames[1:],
+                           duration=30, loop=0)
+        grid_args = ["-ph", "--grid=4x2", "--title", "-g160x48", "-b",
+                     "black", "--debug-no-frame-delay", "-o", "/dev/null",
+                     *jpgs]
+        anim_args = ["-pq", "--loops=3", "-g80x24", "-b", "black",
+                     "--debug-no-frame-delay", "-o", "/dev/null", gif]
+        for key, cfg_args in (("grid_4x2_jpeg", grid_args),
+                              ("anim_gif_x3_pq", anim_args)):
+            if os.path.exists(native):
+                times, _ = measure([native, *cfg_args], base_env)
+                if times:
+                    out[f"native_{key}_ms"] = {
+                        "median": round(statistics.median(times), 1),
+                        "min": round(min(times), 1)}
+            if os.path.exists(REF):
+                times, _ = measure([REF, *cfg_args], base_env)
+                if times:
+                    out[f"reference_{key}_ms"] = {
+                        "median": round(statistics.median(times), 1),
+                        "min": round(min(times), 1)}
+    except ImportError:
+        pass
+
     print(json.dumps(out, indent=1))
     return 0
 
