@@ -1573,11 +1573,7 @@ static bool decode_gif(const uint8_t *d, size_t len,
 
         // Pillow's _rgb(): palette clamp to index 0 when out of range.
         auto pal_rgb = [&](int idx, uint8_t *rgb) {
-            if (idx < 0 || idx >= pal_n) idx = 0;
-            if (idx >= pal_n) {
-                rgb[0] = rgb[1] = rgb[2] = 0;
-                return;
-            }
+            if (idx < 0 || idx >= pal_n) idx = 0;  // Pillow _rgb clamp
             rgb[0] = pal[idx * 3];
             rgb[1] = pal[idx * 3 + 1];
             rgb[2] = pal[idx * 3 + 2];
@@ -1768,7 +1764,6 @@ static bool decode_gif(const uint8_t *d, size_t len,
         frames->push_back(std::move(out_frame));
         ++frame_no;
         if (frame_no > 4096) return false;  // runaway stream
-        (void)blit_rows;
     }
     if (frame_no == 0) return false;
     *out_w = sw;
