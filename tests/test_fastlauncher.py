@@ -383,6 +383,11 @@ def anim_gifs(tmp_path_factory):
     ["-pk", "-g40x20", "--loops=2"],          # no tty: one-frame path
     ["-pq", "-g40x20", "-b", "black", "-t", "0.12"],
     ["-pq", "-g40x20", "-b", "none", "--loops=2", "--title"],
+    # sixel animations run the bucket-table pipeline (the same frames
+    # the batched device path produces); iterm2 per-frame OSC PNG
+    ["-ps", "-g40x20", "-b", "black", "--loops=2"],
+    ["-ps", "-g40x20", "-b", "none", "--loops=1", "--title"],
+    ["-pi", "-g40x20", "--loops=2"],
 ])
 def test_gif_animation_matches_python(binary, anim_gifs, flags, tmp_path):
     """Native GIF animations (Pillow-equivalent disposal compositing,
@@ -391,6 +396,28 @@ def test_gif_animation_matches_python(binary, anim_gifs, flags, tmp_path):
         c, py = _both(binary, flags + ["--debug-no-frame-delay"], [path],
                       tmp_path)
         assert c == py, (name, flags)
+
+
+@pytest.mark.parametrize("term,mode", [
+    ("xterm-sixel", "-ps"),
+    ("iterm2", "-pi"),
+])
+def test_pixel_animations_under_pty(binary, anim_gifs, term, mode,
+                                    tmp_path):
+    """With a known cell size, sixel animations run the bucket-table
+    pipeline and iTerm2 per-frame OSC PNGs natively -- byte-identical
+    to the full CLI under the same scripted terminal."""
+    answers = _TERMS[term]
+    args = [mode, "-g40x20", "--loops=2", "--debug-no-frame-delay",
+            "-b", "black"]
+    for name in ("basic.gif", "ptrans_d2.gif"):
+        files = [anim_gifs[name]]
+        rc_c, out_c = _pty_launcher(binary, args, files, answers,
+                                    str(tmp_path / "c.bin"), _CLEAN_ENV)
+        rc_p, out_p = _pty_launcher(PY_LAUNCHER, args, files, answers,
+                                    str(tmp_path / "p.bin"), _CLEAN_ENV)
+        assert (rc_c, out_c) == (rc_p, out_p), name
+        assert out_c
 
 
 def test_kitty_animation_under_pty(binary, anim_gifs, tmp_path):

@@ -88,6 +88,14 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
                        const uint8_t *palette, int n_colors, char *out);
 int timg_libsixel_quant(const uint8_t *rgba, int h, int w, long pitch,
                         int reqcolors, uint8_t *out_pal, uint8_t *out_idx);
+int timg_libsixel_palette(const uint8_t *rgba, int h, int w, long pitch,
+                          int reqcolors, uint8_t *out_pal);
+void timg_libsixel_build_table(const uint8_t *pal, int ncolors,
+                               uint8_t *out_table);
+int timg_libsixel_apply_table(const uint8_t *rgba, int h, int w,
+                              long pitch, const uint8_t *table,
+                              const uint8_t *pal, int diffuse,
+                              uint8_t *out_idx);
 }
 
 // Exit codes (ref timg.cc:98-106).
@@ -977,8 +985,10 @@ struct AnimFrame {
     std::vector<uint8_t> fg, bg, padded;
     int hcells = 0, wcells = 0;
     int padded_h = 0;
-    // kitty: composed RGBA at target size
+    // kitty/iterm2: composed RGBA at target size
     std::vector<uint8_t> frame;
+    // sixel: pre-assembled DCS stream (bucket-table pipeline)
+    std::string sixel_stream;
     double delay_ms = 0.0;
 };
 
@@ -1854,9 +1864,57 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
         af.delay_ms = gframes[(size_t)f].delay_ms < 10.0
                           ? 100.0
                           : gframes[(size_t)f].delay_ms;
-        if (disp.mode == Display::KITTY) {
+        if (disp.mode == Display::KITTY ||
+            disp.mode == Display::ITERM2) {
             af.frame.assign(resized.begin() + (long)f * out_px,
                             resized.begin() + (long)(f + 1) * out_px);
+            continue;
+        }
+        if (disp.mode == Display::SIXEL) {
+            // Animation frames run the order-independent bucket-table
+            // pipeline, byte-consistent with the batched device path
+            // (sixel_render._enqueue_libsixel's animation branch /
+            // plane_cache._prime_libsixel).
+            const int padded_h = (th + 5) - (th + 5) % 6;
+            std::vector<uint8_t> buf(
+                resized.begin() + (long)f * out_px,
+                resized.begin() + (long)(f + 1) * out_px);
+            if (padded_h > th) {
+                RGBA bg = bg_get(bgc, bg_color);
+                const size_t extra = (size_t)(padded_h - th) * tw;
+                if (bg.a != 0) {
+                    uint8_t px[4] = {bg.r, bg.g, bg.b, 255};
+                    buf.reserve(buf.size() + extra * 4);
+                    for (size_t i = 0; i < extra; ++i)
+                        buf.insert(buf.end(), px, px + 4);
+                } else {
+                    buf.insert(buf.end(), extra * 4, 0);
+                }
+            }
+            std::vector<uint8_t> pal(256 * 3);
+            const int pr = timg_libsixel_palette(buf.data(), padded_h, tw,
+                                                 (long)tw * 4, 256,
+                                                 pal.data());
+            if (pr < 0) return false;
+            const int ncolors = pr & 0xFFFF;
+            const int diffuse = pr >> 16;
+            std::vector<uint8_t> table(1 << 15);
+            timg_libsixel_build_table(pal.data(), ncolors, table.data());
+            std::vector<uint8_t> sidx((size_t)padded_h * tw);
+            if (timg_libsixel_apply_table(buf.data(), padded_h, tw,
+                                          (long)tw * 4, table.data(),
+                                          pal.data(), diffuse,
+                                          sidx.data()) != 0)
+                return false;
+            const long n_bands = (padded_h + 5) / 6;
+            const size_t cap = (size_t)n_bands * ncolors * (tw + 12) +
+                               ncolors * 20 + 256;
+            std::vector<char> six(cap);
+            const long sn = timg_sixel_encode(sidx.data(), padded_h, tw,
+                                              tw, pal.data(), ncolors,
+                                              six.data());
+            if (sn < 0) return false;
+            af.sixel_stream.assign(six.data(), (size_t)sn);
             continue;
         }
         // block planes (odd-height pad + argmin), ansi.send mirror
@@ -2618,8 +2676,6 @@ int main(int argc, char **argv) {
     // grids, frame-skip env, unknown cell size) delegates.
     const bool allow_anim =
         grid_cols == 1 &&
-        (disp.mode == Display::QUARTER || disp.mode == Display::HALF ||
-         disp.mode == Display::KITTY) &&
         !get_bool_env("TIMG_ALLOW_FRAME_SKIP", false) &&
         !cell_unknown_pixel_mode;
 
@@ -2819,7 +2875,54 @@ int main(int argc, char **argv) {
                     const int dy = last_height > 0 ? -last_height : 0;
                     std::string body;
                     bool drop_prefix_on_empty = false;
-                    if (disp.mode == Display::KITTY) {
+                    if (disp.mode == Display::SIXEL) {
+                        if (dy < 0) {
+                            // sixel cell rounding (ref :157-172)
+                            const int px = -dy;
+                            const int rounded = (px + 5) - (px + 5) % 6;
+                            const int cells =
+                                sixel_full_cell_jump
+                                    ? -((rounded - 6) / cell_y + 1)
+                                    : -((rounded + cell_y - 1) / cell_y);
+                            prefix_move_dy(cells);
+                        }
+                        prefix_move_dx(indent / cell_x);
+                        if (sixel_broken_cursor)
+                            body = "\033[80l\033[?7730l\033[?8452h" +
+                                   af.sixel_stream + "\n";
+                        else
+                            body = "\033[80h\033[?7730h\033[?8452l" +
+                                   af.sixel_stream + "\r";
+                    } else if (disp.mode == Display::ITERM2) {
+                        if (dy < 0) {
+                            const int cells =
+                                -((-dy + cell_y - 1) / cell_y);
+                            prefix_move_dy(cells);
+                        }
+                        prefix_move_dx(indent / cell_x);
+                        const int channels = local_alpha ? 3 : 4;
+                        std::vector<uint8_t> raw(
+                            (size_t)planes.target_h *
+                            (1 + (size_t)planes.target_w * channels));
+                        timg_png_sub_filter(af.frame.data(),
+                                            planes.target_h,
+                                            planes.target_w, channels,
+                                            raw.data());
+                        std::string png = encode_png_from_filtered(
+                            raw.data(), raw.size(), planes.target_w,
+                            planes.target_h, compress_level,
+                            !local_alpha);
+                        char head[96];
+                        snprintf(head, sizeof(head),
+                                 "\033]1337;File=size=%zu;width=%dpx;"
+                                 "height=%dpx;inline=1:",
+                                 png.size(), planes.target_w,
+                                 planes.target_h);
+                        body = head;
+                        b64_append(&body, (const uint8_t *)png.data(),
+                                   png.size());
+                        body += "\007\n";
+                    } else if (disp.mode == Display::KITTY) {
                         if (dy < 0) {
                             // kitty cell_height_for_pixels: ceil cells
                             const int cells =
