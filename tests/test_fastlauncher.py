@@ -437,6 +437,19 @@ def test_kitty_animation_under_pty(binary, anim_gifs, tmp_path):
         assert out_c
 
 
+def test_mixed_stills_and_animations(binary, corpus, anim_gifs, jpegs,
+                                     tmp_path):
+    """One invocation mixing a PNG still, an animation, a JPEG and a
+    missing file: per-source canvas state (block diff boundaries,
+    cursor prefixes, error order) must match the full CLI."""
+    files = [corpus["noise_64x48.png"], anim_gifs["basic.gif"],
+             "/nonexistent.png", jpegs["smooth_q85.jpg"]]
+    c, py = _both(binary, ["-pq", "-g40x20", "-b", "black", "--loops=2",
+                           "--debug-no-frame-delay"], files, tmp_path)
+    assert c == py
+    assert c[0] == 1
+
+
 def test_fallback_paths_delegate(binary, corpus, tmp_path):
     """Out-of-envelope invocations exec the python launcher: identical
     output, exercised here for a PIL-decoded GIF still and an explicit
