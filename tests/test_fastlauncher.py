@@ -325,6 +325,29 @@ def test_grid_missing_files_skip_columns(binary, grid_media, tmp_path):
     assert c[0] == 1
 
 
+@pytest.mark.parametrize("term,mode", [
+    ("kitty", "-pk"), ("iterm2", "-pi"), ("xterm-sixel", "-ps"),
+])
+def test_pixel_grid_under_pty(binary, grid_media, term, mode, tmp_path):
+    """Pixel-direct contact sheets (known cell size): per-canvas cell
+    rounding in the renderer's headline/row moves, canvas-side cursor
+    moves, per-cell PNG/sixel bodies -- byte-identical to the full
+    CLI under the same scripted terminal."""
+    jpgs, png = grid_media
+    files = jpgs[:4] + [png]
+    for flags in ([mode, "--grid=2x2", "-g40x20"],
+                  [mode, "--grid=3", "-g60x20", "--title", "-b",
+                   "black"]):
+        args = flags + ["--debug-no-frame-delay"]
+        rc_c, out_c = _pty_launcher(binary, args, files, _TERMS[term],
+                                    str(tmp_path / "c.bin"), _CLEAN_ENV)
+        rc_p, out_p = _pty_launcher(PY_LAUNCHER, args, files,
+                                    _TERMS[term],
+                                    str(tmp_path / "p.bin"), _CLEAN_ENV)
+        assert (rc_c, out_c) == (rc_p, out_p), (term, flags)
+        assert out_c
+
+
 def test_grid_bails_delegate(binary, grid_media, tmp_path):
     """Out-of-envelope grids (pixel-direct, bad spec) delegate to the
     python launcher with identical results."""

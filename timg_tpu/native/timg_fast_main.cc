@@ -2436,8 +2436,8 @@ int main(int argc, char **argv) {
         if (grid_cols <= 0 || grid_rows <= 0) exec_fallback();  // py path
     }
     if (grid_cols > 1 && strcmp(pixelation, "half") != 0 &&
-        strcmp(pixelation, "quarter") != 0)
-        exec_fallback();  // pixel-direct grid: full path
+        strcmp(pixelation, "quarter") != 0 && cell_unknown_pixel_mode)
+        exec_fallback();  // cli collapses the grid + warns: full path
 
     bool show_title = (args.title.size() % 2) != 0;
     const char *env_title = getenv("TIMG_DEFAULT_TITLE");
@@ -2732,12 +2732,29 @@ int main(int argc, char **argv) {
         return a >= 0 ? q : -q;
     };
 
+    // Canvas-specific cell_height_for_pixels (renderer headline + dy
+    // moves are per-canvas: blocks trunc/2, sixel 6-rounding with the
+    // full_cell_jump quirk, kitty/iterm2 ceil by cell height).
+    auto canvas_cell_height = [&](int pixels) -> int {
+        if (disp.mode == Display::QUARTER || disp.mode == Display::HALF)
+            return cell_height_for_pixels(pixels);
+        if (disp.mode == Display::SIXEL) {
+            const int px = -pixels;
+            const int rounded = (px + 5) - (px + 5) % 6;
+            return sixel_full_cell_jump
+                       ? -((rounded - 6) / cell_y + 1)
+                       : -((rounded + cell_y - 1) / cell_y);
+        }
+        return -((-pixels + cell_y - 1) / cell_y);
+    };
+
     if (grid_cols > 1) {
         // Multi-column contact sheet (render/renderer.py
         // MultiColumnRenderer, ref renderer.cc:81-189): per-image
         // column advance, cursor up to the row start, x-offset by
-        // column * column_width, row height equalization.  Block
-        // modes only (the sieve bailed pixel-direct grids above).
+        // column * column_width, row height equalization.
+        const bool grid_blocks = disp.mode == Display::QUARTER ||
+                                 disp.mode == Display::HALF;
         long col = -1;
         int highest = 0, last = 0;
         const int column_width = width;  // px per cell column
@@ -2775,7 +2792,7 @@ int main(int argc, char **argv) {
                 const long x_offset = col * (long)column_width;
                 if (show_title) {  // headline (renderer.py:136-145)
                     if (y_offset) {
-                        const int y_move = cell_height_for_pixels(y_offset);
+                        const int y_move = canvas_cell_height(y_offset);
                         prefix_move_dy(y_move - 1);
                     }
                     prefix_move_dx((int)(x_offset / cell_x));
@@ -2786,19 +2803,63 @@ int main(int argc, char **argv) {
                     center ? (column_width - planes.target_w) / 2 : 0;
                 const long x = indent + x_offset;
                 if (y_offset < 0)
-                    prefix_move_dy(cell_height_for_pixels(y_offset));
-                const int xcell = disp.quarter ? (int)(x / 2) : (int)x;
-                size_t cap = (size_t)planes.hcells *
-                                 (planes.wcells * 48 + 24) +
-                             64;
-                if (cap > emit_buf.size()) emit_buf.resize(cap);
-                long bn = timg_ansi_emit(
-                    planes.glyph.data(), planes.fg.data(),
-                    planes.bg.data(), nullptr, planes.hcells,
-                    planes.wcells, xcell, use_256 ? 1 : 0,
-                    emit_buf.data());
-                std::string out =
-                    prefix + std::string(emit_buf.data(), (size_t)bn);
+                    prefix_move_dy(canvas_cell_height(y_offset));
+                std::string body;
+                if (grid_blocks) {
+                    const int xcell =
+                        disp.quarter ? (int)(x / 2) : (int)x;
+                    size_t cap = (size_t)planes.hcells *
+                                     (planes.wcells * 48 + 24) +
+                                 64;
+                    if (cap > emit_buf.size()) emit_buf.resize(cap);
+                    long bn = timg_ansi_emit(
+                        planes.glyph.data(), planes.fg.data(),
+                        planes.bg.data(), nullptr, planes.hcells,
+                        planes.wcells, xcell, use_256 ? 1 : 0,
+                        emit_buf.data());
+                    body.assign(emit_buf.data(), (size_t)bn);
+                } else {
+                    // pixel-direct canvases move the cursor themselves
+                    // (kitty/iterm2/sixel send(): move_dx(x/cell_x))
+                    prefix_move_dx((int)(x / cell_x));
+                    if (disp.mode == Display::SIXEL) {
+                        if (sixel_broken_cursor)
+                            body = "\033[80l\033[?7730l\033[?8452h" +
+                                   planes.sixel_stream + "\n";
+                        else
+                            body = "\033[80h\033[?7730h\033[?8452l" +
+                                   planes.sixel_stream + "\r";
+                    } else {
+                        const int channels = local_alpha ? 3 : 4;
+                        std::vector<uint8_t> raw(
+                            (size_t)planes.target_h *
+                            (1 + (size_t)planes.target_w * channels));
+                        timg_png_sub_filter(planes.frame.data(),
+                                            planes.target_h,
+                                            planes.target_w, channels,
+                                            raw.data());
+                        std::string png = encode_png_from_filtered(
+                            raw.data(), raw.size(), planes.target_w,
+                            planes.target_h, compress_level,
+                            !local_alpha);
+                        if (disp.mode == Display::ITERM2) {
+                            char head[96];
+                            snprintf(head, sizeof(head),
+                                     "\033]1337;File=size=%zu;"
+                                     "width=%dpx;height=%dpx;inline=1:",
+                                     png.size(), planes.target_w,
+                                     planes.target_h);
+                            body = head;
+                            b64_append(&body,
+                                       (const uint8_t *)png.data(),
+                                       png.size());
+                            body += "\007\n";
+                        } else {
+                            body = kitty_payload(png, kitty_create_id());
+                        }
+                    }
+                }
+                std::string out = prefix + body;
                 reliable_write(output_fd, out.data(), out.size());
                 prefix.clear();
                 last = planes.target_h;
