@@ -286,6 +286,37 @@ def main() -> int:
                                   lambda d: b"", env=env)
                 check(rc, err, f"malformed gif #{i}")
 
+    # --- malformed BMPs through the spec decoder ---------------------
+    try:
+        import io as _io2
+        import numpy as _np2
+        from PIL import Image as _Image2
+        _b = _io2.BytesIO()
+        _Image2.fromarray(_np2.random.default_rng(5).integers(
+            0, 256, (24, 36, 3), dtype=_np2.uint8), "RGB").save(
+            _b, format="BMP")
+        bdata = _b.getvalue()
+    except ImportError:
+        bdata = None
+    if bdata:
+        with tempfile.TemporaryDirectory() as td:
+            bcases = [bdata[:k] for k in (2, 14, 54, len(bdata) - 3)]
+            for t in range(10):
+                mut = bytearray(bdata)
+                for pos in [rng.randrange(2, len(bdata))
+                            for _ in range(8)]:
+                    mut[pos] ^= 1 << rng.randrange(8)
+                bcases.append(bytes(mut))
+            # hostile header fields: giant offsets/dims/colors_used
+            bcases.append(b"BM" + b"\xff" * 60)
+            for i, blob in enumerate(bcases):
+                p = os.path.join(td, f"b{i}.bmp")
+                with open(p, "wb") as f:
+                    f.write(blob)
+                rc, err = run_pty(["-pq", "-g20x10", "-b", "black", p],
+                                  lambda d: b"", env=env)
+                check(rc, err, f"malformed bmp #{i}")
+
     # --- malformed PNGs through the launcher gate --------------------
     data = open(img, "rb").read()
     with tempfile.TemporaryDirectory() as td:

@@ -460,6 +460,40 @@ def test_kitty_animation_under_pty(binary, anim_gifs, tmp_path):
         assert out_c
 
 
+def test_bmp_matches_python_launcher(binary, tmp_path_factory, tmp_path):
+    """BMP stills: 24-bit BGR, grayscale and palette 8-bit decode in C
+    (PIL raw-tile mirror); 32-bit BGRA delegates (fast.py's BGRX
+    rewire owns it)."""
+    import numpy as np
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("bmp")
+    rng = np.random.default_rng(8)
+    files = []
+
+    def mk(name, im):
+        p = str(tmp / name)
+        im.save(p)
+        files.append(p)
+
+    mk("rgb.bmp", Image.fromarray(rng.integers(0, 256, (33, 47, 3),
+                                               dtype=np.uint8), "RGB"))
+    mk("gray.bmp", Image.fromarray(rng.integers(0, 256, (20, 30),
+                                                dtype=np.uint8), "L"))
+    pimg = Image.fromarray(rng.integers(0, 16, (20, 30)).astype(np.uint8),
+                           "P")
+    pimg.putpalette(bytes(rng.integers(0, 256, 48).astype(np.uint8)))
+    mk("pal.bmp", pimg)
+    mk("rgba32.bmp", Image.fromarray(rng.integers(0, 256, (20, 20, 4),
+                                                  dtype=np.uint8),
+                                     "RGBA"))  # 32-bit: delegates
+    for flags in (["-pq", "-g40x20", "-b", "black"], ["-pi", "-g40x20"]):
+        for f in files:
+            c, py = _both(binary, flags + ["--debug-no-frame-delay"],
+                          [f], tmp_path)
+            assert c == py, (f, flags)
+
+
 def test_mixed_stills_and_animations(binary, corpus, anim_gifs, jpegs,
                                      tmp_path):
     """One invocation mixing a PNG still, an animation, a JPEG and a

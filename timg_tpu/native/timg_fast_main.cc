@@ -1781,7 +1781,78 @@ static bool decode_gif(const uint8_t *d, size_t len,
     return true;
 }
 
-enum StillKind { K_PNG, K_JPEG, K_GIF };
+// BMP stills (PIL BmpImagePlugin raw-tile mirror for the common
+// subset): "BM" + 40-byte BITMAPINFOHEADER, BI_RGB, 8-bit palette or
+// 24-bit BGR, bottom-up or top-down, 4-byte row alignment.  Everything
+// else (1/4/16/32-bit, RLE, bitfields, V4/V5 headers) bails -- PIL
+// handles those on the python path (32-bit BGRX deliberately so:
+// fast.py's numpy-mirror rewire owns it).
+static uint8_t *decode_bmp_still(const uint8_t *d, size_t len, int *out_w,
+                                 int *out_h) {
+    auto r16 = [&](size_t o) { return (int)(d[o] | (d[o + 1] << 8)); };
+    auto r32 = [&](size_t o) {
+        return (long)((unsigned long)d[o] | ((unsigned long)d[o + 1] << 8) |
+                      ((unsigned long)d[o + 2] << 16) |
+                      ((unsigned long)d[o + 3] << 24));
+    };
+    if (len < 54 || d[0] != 'B' || d[1] != 'M') return nullptr;
+    const long pixel_off = r32(10);
+    const long dib = r32(14);
+    if (dib != 40) return nullptr;  // V2-V5 etc: python path
+    const long w = r32(18);
+    long h = r32(22);
+    bool bottom_up = true;
+    if (h < 0) {
+        bottom_up = false;
+        h = -h;
+    }
+    const int planes = r16(26);
+    const int bpp = r16(28);
+    const long comp = r32(30);
+    long colors_used = r32(46);
+    if (planes != 1 || comp != 0 || (bpp != 8 && bpp != 24))
+        return nullptr;
+    if (w <= 0 || h <= 0 || w * h > (1L << 28)) return nullptr;
+    uint8_t pal[256][4];
+    if (bpp == 8) {
+        if (colors_used <= 0 || colors_used > 256) colors_used = 256;
+        if (54 + colors_used * 4 > (long)len) return nullptr;
+        memset(pal, 0, sizeof(pal));
+        for (long i = 0; i < colors_used; ++i) {
+            pal[i][0] = d[54 + i * 4 + 2];  // BGRX entries
+            pal[i][1] = d[54 + i * 4 + 1];
+            pal[i][2] = d[54 + i * 4 + 0];
+            pal[i][3] = 255;
+        }
+        for (long i = colors_used; i < 256; ++i) pal[i][3] = 255;
+    }
+    const long stride = ((w * bpp + 31) / 32) * 4;
+    if (pixel_off < 0 || pixel_off + stride * h > (long)len)
+        return nullptr;
+    uint8_t *rgba = (uint8_t *)malloc((size_t)w * h * 4);
+    if (!rgba) return nullptr;
+    for (long y = 0; y < h; ++y) {
+        const uint8_t *row =
+            d + pixel_off + (bottom_up ? (h - 1 - y) : y) * stride;
+        uint8_t *dst = rgba + (size_t)y * w * 4;
+        if (bpp == 24) {
+            for (long x = 0; x < w; ++x) {
+                dst[x * 4 + 0] = row[x * 3 + 2];
+                dst[x * 4 + 1] = row[x * 3 + 1];
+                dst[x * 4 + 2] = row[x * 3 + 0];
+                dst[x * 4 + 3] = 255;
+            }
+        } else {
+            for (long x = 0; x < w; ++x)
+                memcpy(dst + x * 4, pal[row[x]], 4);
+        }
+    }
+    *out_w = (int)w;
+    *out_h = (int)h;
+    return rgba;
+}
+
+enum StillKind { K_PNG, K_JPEG, K_GIF, K_BMP };
 
 // Animation processing: resize+compose every GIF canvas frame (one
 // batched polyphase call), then per-mode prep (block planes or the
@@ -1994,6 +2065,13 @@ static bool render_still(const char *fname, StillKind kind,
         rgba = (uint8_t *)malloc(gframes[0].rgba.size());
         if (!rgba) return false;
         memcpy(rgba, gframes[0].rgba.data(), gframes[0].rgba.size());
+    } else if (kind == K_BMP) {
+        rgba = decode_bmp_still((const uint8_t *)data.data(), data.size(),
+                                &iw, &ih);
+        if (!rgba) return false;
+        flags = 0;
+        out->orig_w = iw;
+        out->orig_h = ih;
     } else if (timg_png_decode((const uint8_t *)data.data(),
                                (long)data.size(), &rgba, &iw, &ih,
                                &flags) != 0) {
@@ -2645,6 +2723,8 @@ int main(int argc, char **argv) {
         } else if (n >= 6 && (memcmp(sig, "GIF87a", 6) == 0 ||
                               memcmp(sig, "GIF89a", 6) == 0)) {
             kinds[i] = K_GIF;
+        } else if (n >= 2 && sig[0] == 'B' && sig[1] == 'M') {
+            kinds[i] = K_BMP;
         } else {
             finish_fallback();
         }
