@@ -460,6 +460,30 @@ def test_kitty_animation_under_pty(binary, anim_gifs, tmp_path):
         assert out_c
 
 
+@pytest.mark.parametrize("flags", [
+    ["-pq", "-g40x20", "-b", "black", "--scroll", "-t", "0.4"],
+    ["-pq", "-g40x20", "-b", "black", "--scroll=20", "-d", "2:1", "-t",
+     "0.3"],
+    ["-ph", "-g40x20", "-b", "black", "--scroll", "-d", "-3:0",
+     "--loops=1"],
+    ["-pq", "-g40x20", "-b", "black", "--scroll", "-d", "0:2",
+     "--loops=1"],
+    ["-pq", "-g40x20", "-b", "black", "--scroll", "-d", "0:0", "-t",
+     "0.1"],                                   # warns, shows still
+    ["-pq", "-g40x20", "-b", "black", "--scroll", "-d", "bogus"],  # 2
+    ["-pq", "-g30x10", "-b", "none", "--scroll", "-d", "5:3",
+     "--loops=1", "--title"],
+])
+def test_scroll_matches_python_launcher(binary, corpus, flags, tmp_path):
+    """Scroll pans (wraparound crops, LCM cycle, negative-direction
+    start alignment, scroll.py's pre-frame budget check and raw frame
+    times) must byte-match the full CLI."""
+    for name in ("gradient_320x200.png", "noise_64x48.png"):
+        c, py = _both(binary, flags + ["--debug-no-frame-delay"],
+                      [corpus[name]], tmp_path)
+        assert c == py, (name, flags)
+
+
 def test_bmp_matches_python_launcher(binary, tmp_path_factory, tmp_path):
     """BMP stills: 24-bit BGR, grayscale and palette 8-bit decode in C
     (PIL raw-tile mirror); 32-bit BGRA delegates (fast.py's BGRX

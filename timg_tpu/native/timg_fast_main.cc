@@ -736,6 +736,8 @@ struct Args {
     bool debug_no_frame_delay = false;
     const char *dither = "libsixel";           // --dither
     const char *grid = nullptr;                // --grid
+    std::vector<const char *> scroll_vals;     // --scroll
+    const char *delta_move = nullptr;          // -d / --delta-move
     std::vector<const char *> loops_vals;      // --loops / -c
     std::vector<const char *> files;
 };
@@ -785,8 +787,7 @@ static bool parse_args(int argc, char **argv, Args *a) {
             std::string name(tok, eq ? (size_t)(eq - tok) : strlen(tok));
             const char *attached = eq ? eq + 1 : nullptr;
             // Flags whose mere presence is outside the envelope:
-            if (name == "--scroll" ||
-                name == "--delta-move" || name == "--auto-crop" ||
+            if (name == "--auto-crop" ||
                 name == "--version" || name == "--verbose" ||
                 name == "--help" || name == "--frames" ||
                 name == "--devices")
@@ -820,6 +821,10 @@ static bool parse_args(int argc, char **argv, Args *a) {
                 if (!required(&a->pixelation)) return false;
             } else if (name == "--grid") {
                 if (!required(&a->grid)) return false;
+            } else if (name == "--scroll") {
+                a->scroll_vals.push_back(attached ? attached : BARE);
+            } else if (name == "--delta-move") {
+                if (!required(&a->delta_move)) return false;
             } else if (name == "--center") {
                 if (attached) return false;  // argparse: explicit-arg error
                 a->center = true;
@@ -942,6 +947,10 @@ static bool parse_args(int argc, char **argv, Args *a) {
                     }
                     break;
                 }
+                case 'd':
+                    if (!value(&a->delta_move)) return false;
+                    consumed_rest = true;
+                    break;
                 case 'C': a->center = true; break;
                 case 'W': a->fit_width = true; break;
                 case 'U': a->upscale_short++; break;
@@ -950,7 +959,6 @@ static bool parse_args(int argc, char **argv, Args *a) {
                 case 'E': a->no_hide_cursor = true; break;
                 case 'v': break;  // in the optstring, no handler (ref)
                 case 'V':         // video-only
-                case 'd':         // delta-move
                 case 'h':         // help
                 default:
                     return false;
@@ -970,6 +978,10 @@ struct Display {
     double width_stretch = 1.0;
     bool upscale = false, upscale_integer = false;
     bool fill_width = false;
+    bool fill_height = false;
+    bool scroll_on = false;
+    int scroll_dx = 1, scroll_dy = 0;
+    double scroll_delay_ms = 50.0;
     bool antialias = true;
     bool exif_rotate = true;
     long pattern_size = 1;
@@ -997,6 +1009,9 @@ struct Planes {
     std::string error;
     // animation (>= 2 entries); empty for stills
     std::vector<AnimFrame> anim;
+    bool scroll = false;          // scroll semantics (pre-check budget,
+                                  // raw end-of-frame times)
+    double scroll_delay_ms = 50.0;
     // blocks
     bool is_blocks = false;
     std::vector<int32_t> glyph;
@@ -1257,7 +1272,8 @@ static uint8_t *decode_jpeg_still(const uint8_t *data, size_t len,
     // 8/4/2/1 snap, ceil-div output dims via libjpeg scale_denom.
     int tw = 0, th = 0;
     timg_calc_scale(*true_w, *true_h, disp.width, disp.height,
-                    disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                    disp.fill_width ? 1 : 0, disp.fill_height ? 1 : 0,
+                    disp.width_stretch,
                     disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
                     disp.cell_x, disp.cell_y, 0, &tw, &th);
     if (tw > 0 && th > 0 && *true_w >= 2 * tw && *true_h >= 2 * th) {
@@ -1854,6 +1870,10 @@ static uint8_t *decode_bmp_still(const uint8_t *d, size_t len, int *out_w,
 
 enum StillKind { K_PNG, K_JPEG, K_GIF, K_BMP };
 
+static bool prep_anim_frame(AnimFrame *afp, const uint8_t *rgba, int tw,
+                            int th, const Display &disp, BgCache *bgc,
+                            const char *bg_color);
+
 // Animation processing: resize+compose every GIF canvas frame (one
 // batched polyphase call), then per-mode prep (block planes or the
 // composed RGBA for kitty).  Mirrors pil_source._process_frames +
@@ -1864,7 +1884,8 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
     const int F = (int)gframes.size();
     int tw = 0, th = 0;
     timg_calc_scale(sw, sh, disp.width, disp.height,
-                    disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                    disp.fill_width ? 1 : 0, disp.fill_height ? 1 : 0,
+                    disp.width_stretch,
                     disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
                     disp.cell_x, disp.cell_y, 0, &tw, &th);
     if (disp.quarter && (tw % 2)) return false;
@@ -1935,11 +1956,26 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
         af.delay_ms = gframes[(size_t)f].delay_ms < 10.0
                           ? 100.0
                           : gframes[(size_t)f].delay_ms;
+        if (!prep_anim_frame(&af, &resized[(size_t)f * out_px], tw, th,
+                             disp, bgc, bg_color))
+            return false;
+    }
+    return true;
+}
+
+// Per-mode frame prep for an already resized+composed RGBA frame:
+// block planes, sixel bucket-table DCS stream, or the raw frame for
+// kitty/iTerm2.  Shared by GIF animations and scroll.
+static bool prep_anim_frame(AnimFrame *afp, const uint8_t *rgba, int tw,
+                            int th, const Display &disp, BgCache *bgc,
+                            const char *bg_color) {
+    AnimFrame &af = *afp;
+    const size_t out_px = (size_t)tw * th * 4;
+    {
         if (disp.mode == Display::KITTY ||
             disp.mode == Display::ITERM2) {
-            af.frame.assign(resized.begin() + (long)f * out_px,
-                            resized.begin() + (long)(f + 1) * out_px);
-            continue;
+            af.frame.assign(rgba, rgba + out_px);
+            return true;
         }
         if (disp.mode == Display::SIXEL) {
             // Animation frames run the order-independent bucket-table
@@ -1947,9 +1983,7 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
             // (sixel_render._enqueue_libsixel's animation branch /
             // plane_cache._prime_libsixel).
             const int padded_h = (th + 5) - (th + 5) % 6;
-            std::vector<uint8_t> buf(
-                resized.begin() + (long)f * out_px,
-                resized.begin() + (long)(f + 1) * out_px);
+            std::vector<uint8_t> buf(rgba, rgba + out_px);
             if (padded_h > th) {
                 RGBA bg = bg_get(bgc, bg_color);
                 const size_t extra = (size_t)(padded_h - th) * tw;
@@ -1986,12 +2020,10 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
                                               six.data());
             if (sn < 0) return false;
             af.sixel_stream.assign(six.data(), (size_t)sn);
-            continue;
+            return true;
         }
         // block planes (odd-height pad + argmin), ansi.send mirror
-        std::vector<uint8_t> padded(
-            resized.begin() + (long)f * out_px,
-            resized.begin() + (long)(f + 1) * out_px);
+        std::vector<uint8_t> padded(rgba, rgba + out_px);
         int padded_h = th;
         if (th % 2) {
             const size_t row = (size_t)tw * 4;
@@ -2018,6 +2050,65 @@ static bool render_gif_animation(std::vector<GifFrame> &gframes, int sw,
         af.wcells = wcells;
         af.padded_h = padded_h;
         af.padded = std::move(padded);
+    }
+    return true;
+}
+
+// Scroll: wraparound pan crops over the processed frame
+// (sources/scroll.py mirror; ref graphics-magick-source.cc:326-399).
+// The python path streams 16-step windows through the device; here the
+// cycle is prebuilt (bounded) and each crop preps like an animation
+// frame.
+static bool render_scroll(const uint8_t *img, int img_h, int img_w,
+                          const Display &disp, BgCache *bgc,
+                          const char *bg_color, Planes *out) {
+    const int display_w = disp.width < img_w ? disp.width : img_w;
+    const int display_h = disp.height < img_h ? disp.height : img_h;
+    if (display_w <= 0 || display_h <= 0) return false;
+    if (disp.quarter && (display_w % 2)) return false;
+    const int dx = disp.scroll_dx, dy = disp.scroll_dy;
+    auto steps_for_axis = [](int size, int delta) -> long {
+        if (delta == 0) return 1;
+        const int a = delta < 0 ? -delta : delta;
+        return size % a == 0 ? size / a : size;
+    };
+    const long x_steps = steps_for_axis(img_w, dx);
+    const long y_steps = steps_for_axis(img_h, dy);
+    long g = x_steps, b = y_steps;
+    while (b) {
+        const long t = g % b;
+        g = b;
+        b = t;
+    }
+    const long cycle = x_steps * y_steps / g;
+    if (cycle + 1 > 4096) return false;  // python path streams these
+    const long x_init = dx < 0 ? (img_w - display_w - dx * cycle) : 0;
+    const long y_init = dy < 0 ? (img_h - display_h - dy * cycle) : 0;
+    auto fmod_i = [](long a, long m) { return (int)(((a % m) + m) % m); };
+    out->scroll = true;
+    out->scroll_delay_ms = disp.scroll_delay_ms;
+    out->target_w = display_w;
+    out->target_h = display_h;
+    out->anim.resize((size_t)cycle + 1);
+    std::vector<uint8_t> crop((size_t)display_h * display_w * 4);
+    for (long k = 0; k <= cycle; ++k) {
+        for (int r = 0; r < display_h; ++r) {
+            const int sy = fmod_i(y_init + (long)dy * k + r, img_h);
+            const uint8_t *src = img + (size_t)sy * img_w * 4;
+            uint8_t *dst = crop.data() + (size_t)r * display_w * 4;
+            const int sx = fmod_i(x_init + (long)dx * k, img_w);
+            const int first = display_w < img_w - sx ? display_w
+                                                     : img_w - sx;
+            memcpy(dst, src + (size_t)sx * 4, (size_t)first * 4);
+            if (first < display_w)
+                memcpy(dst + (size_t)first * 4, src,
+                       (size_t)(display_w - first) * 4);
+        }
+        AnimFrame &af = out->anim[(size_t)k];
+        af.delay_ms = disp.scroll_delay_ms;
+        if (!prep_anim_frame(&af, crop.data(), display_w, display_h,
+                             disp, bgc, bg_color))
+            return false;
     }
     return true;
 }
@@ -2058,7 +2149,7 @@ static bool render_still(const char *fname, StillKind kind,
         out->orig_w = iw;
         out->orig_h = ih;
         if (gframes.size() > 1) {
-            if (!allow_anim) return false;
+            if (!allow_anim || disp.scroll_on) return false;
             return render_gif_animation(gframes, iw, ih, disp, bgc,
                                         bg_color, out);
         }
@@ -2088,7 +2179,8 @@ static bool render_still(const char *fname, StillKind kind,
         }
         int tw = 0, th = 0;
         timg_calc_scale(iw, ih, disp.width, disp.height,
-                        disp.fill_width ? 1 : 0, 0, disp.width_stretch,
+                        disp.fill_width ? 1 : 0, disp.fill_height ? 1 : 0,
+                    disp.width_stretch,
                         disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
                         disp.cell_x, disp.cell_y, 0, &tw, &th);
         if (disp.quarter && (tw % 2)) break;  // odd-width overrun case
@@ -2139,6 +2231,12 @@ static bool render_still(const char *fname, StillKind kind,
         }
         out->target_w = tw;
         out->target_h = th;
+
+        if (disp.scroll_on) {
+            ok = render_scroll(frame.data(), th, tw, disp, bgc, bg_color,
+                               out);
+            break;
+        }
 
         if (disp.mode == Display::SIXEL || disp.mode == Display::KITTY ||
             disp.mode == Display::ITERM2) {
@@ -2492,6 +2590,36 @@ int main(int argc, char **argv) {
         return EXIT_PARAMETER_ERROR;
     }
 
+    // Scroll (cli.py:257-268; ref timg.cc:583-588).
+    bool scroll_animation = !args.scroll_vals.empty();
+    double scroll_delay_ms = 50.0;
+    long scroll_dx = 1, scroll_dy = 0;
+    for (const char *v : args.scroll_vals)
+        if (v != BARE) scroll_delay_ms = (double)c_atoi(v);
+    if (args.delta_move) {
+        std::string dm(args.delta_move);
+        const size_t colon = dm.find(':');
+        long v0, v1;
+        bool ok_d =
+            parse_int_strict(dm.substr(0, colon).c_str(), &v0);
+        if (ok_d) scroll_dx = v0;
+        if (ok_d && colon != std::string::npos) {
+            // python split(":")[1]: up to the NEXT colon, if any
+            const size_t colon2 = dm.find(':', colon + 1);
+            const std::string part1 =
+                dm.substr(colon + 1,
+                          colon2 == std::string::npos
+                              ? std::string::npos
+                              : colon2 - colon - 1);
+            ok_d = parse_int_strict(part1.c_str(), &v1);
+            if (ok_d) scroll_dy = v1;
+        }
+        if (!ok_d) {
+            fprintf(stderr, "--delta-move=%s: invalid\n", args.delta_move);
+            return EXIT_PARAMETER_ERROR;
+        }
+    }
+
     // Grid spec (cli.py:293-300 mirror of ref timg.cc).  Block-mode
     // grids render natively; pixel-direct grids bail below.
     long grid_cols = 1, grid_rows = 1;
@@ -2602,6 +2730,12 @@ int main(int argc, char **argv) {
             fprintf(stderr, "%dx%d is a rather unusual size\n",
                     geometry_width, geometry_height);
         return finish(EXIT_NOT_A_TERMINAL);
+    }
+
+    if (scroll_dx == 0 && scroll_dy == 0 && scroll_animation) {
+        fprintf(stderr, "Scrolling chosen, but dx:dy = 0:0. "
+                        "Just showing image, no scroll.\n");
+        scroll_animation = false;
     }
 
     Display disp;
@@ -2737,7 +2871,9 @@ int main(int argc, char **argv) {
     disp.width_stretch = width_stretch;
     disp.upscale = upscale;
     disp.upscale_integer = upscale_integer;
-    disp.fill_width = args.fit_width;
+    disp.fill_width =
+        args.fit_width || (scroll_animation && scroll_dy != 0);
+    disp.fill_height = scroll_animation && scroll_dx != 0;
     disp.antialias = antialias;
     disp.exif_rotate = exif_rotate;
     disp.pattern_size = args.pattern_size;
@@ -2758,6 +2894,18 @@ int main(int argc, char **argv) {
         grid_cols == 1 &&
         !get_bool_env("TIMG_ALLOW_FRAME_SKIP", false) &&
         !cell_unknown_pixel_mode;
+
+    if (scroll_animation) {
+        // scroll shares the animation envelope: single-column, no
+        // frame-skip env, known cell size for pixel modes
+        if (grid_cols > 1 || get_bool_env("TIMG_ALLOW_FRAME_SKIP", false) ||
+            cell_unknown_pixel_mode)
+            finish_fallback();
+        disp.scroll_on = true;
+        disp.scroll_dx = (int)scroll_dx;
+        disp.scroll_dy = (int)scroll_dy;
+        disp.scroll_delay_ms = scroll_delay_ms;
+    }
 
     // Decode/render pass: any bail aborts before a byte is written.
     BgCache bgc;
@@ -3002,17 +3150,26 @@ int main(int argc, char **argv) {
             long last_x_cells = -1;
             int last_h_px = 0;
             const int indent =
-                center ? (width - planes.target_w) / 2 : 0;
+                planes.scroll ? 0
+                              : (center ? (width - planes.target_w) / 2
+                                        : 0);
             std::vector<uint8_t> eq;
             while ((loop_forever || k < loops) && !s_interrupted &&
                    tfff < duration_per_image_ms) {
                 for (size_t f = 0; f < planes.anim.size(); ++f) {
                     if (s_interrupted) break;
                     const AnimFrame &af = planes.anim[f];
+                    // scroll checks the budget BEFORE the frame and
+                    // passes raw times (sources/scroll.py:88-101);
+                    // animations clamp and check after (base.py:82-100)
+                    if (planes.scroll && tfff > duration_per_image_ms)
+                        break;
                     tfff += af.delay_ms;
                     const double end_of_frame =
-                        tfff < duration_per_image_ms ? tfff
-                                                     : duration_per_image_ms;
+                        planes.scroll ? tfff
+                        : (tfff < duration_per_image_ms
+                               ? tfff
+                               : duration_per_image_ms);
                     const int dy = last_height > 0 ? -last_height : 0;
                     std::string body;
                     bool drop_prefix_on_empty = false;
@@ -3170,7 +3327,8 @@ int main(int argc, char **argv) {
                         prefix.clear();
                     }
                     last_height = planes.target_h;
-                    if (tfff > duration_per_image_ms) break;
+                    if (!planes.scroll && tfff > duration_per_image_ms)
+                        break;
                     first_frame = false;
                 }
                 ++k;
