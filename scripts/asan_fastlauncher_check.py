@@ -309,6 +309,16 @@ def main() -> int:
                 bcases.append(bytes(mut))
             # hostile header fields: giant offsets/dims/colors_used
             bcases.append(b"BM" + b"\xff" * 60)
+            # w*h >= 2^63 overflow-to-negative guard bypass (the r3
+            # advisor repro): 2.5 KB file claiming a ~9-exapixel 8bpp
+            # image whose w*h*4 wrapped malloc to a tiny allocation.
+            import struct as _struct
+            _hdr = (b"BM" + _struct.pack("<IHHI", 2500, 0, 0, 54 + 1024))
+            _dib = _struct.pack(
+                "<IiiHHIIiiII", 40,
+                3037096712 - (1 << 32), 3036904291 - (1 << 32),
+                1, 8, 0, 0, 0, 0, 256, 0)
+            bcases.append(_hdr + _dib + bytes(1024) + bytes(1400))
             for i, blob in enumerate(bcases):
                 p = os.path.join(td, f"b{i}.bmp")
                 with open(p, "wb") as f:

@@ -59,6 +59,14 @@ def _add_site_packages() -> None:
         cand = os.path.join(prefix, "lib", ver, "site-packages")
         if os.path.isdir(cand) and cand not in sys.path:
             site.addsitedir(cand)
+    # Deps installed with `pip install --user` live in the user site
+    # dir (~/.local/...), which a prefix walk never finds.
+    try:
+        user_site = site.getusersitepackages()
+    except Exception:
+        user_site = None
+    if user_site and os.path.isdir(user_site) and user_site not in sys.path:
+        site.addsitedir(user_site)
 
 
 def _reexec_with_site(repo: str) -> None:
@@ -81,4 +89,14 @@ def boot(repo: str) -> int:
     except Exception:
         _reexec_with_site(repo)
         return 2  # unreachable (execv), keeps type checkers happy
-    return main(sys.argv[1:])
+    try:
+        return main(sys.argv[1:])
+    except ImportError:
+        # A dep cli imports lazily inside main() is missing under the
+        # slim boot (full site may still find it, e.g. a layout the
+        # site-dir walk above doesn't know).  Per-file decode errors
+        # are caught and queued by cli itself, so an ImportError
+        # escaping main() predates any stdout emission -- a clean
+        # full-site re-exec cannot duplicate output.
+        _reexec_with_site(repo)
+        return 2  # unreachable (execv)

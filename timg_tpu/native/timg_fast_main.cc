@@ -39,6 +39,7 @@
 #include <time.h>
 #include <unistd.h>
 
+#include <new>
 #include <string>
 #include <vector>
 
@@ -1790,6 +1791,10 @@ static bool decode_gif(const uint8_t *d, size_t len,
         frames->push_back(std::move(out_frame));
         ++frame_no;
         if (frame_no > 4096) return false;  // runaway stream
+        // Decoded-bytes budget: each frame stores a full-canvas RGBA
+        // copy, so a tiny crafted GIF (huge screen x many frames) can
+        // demand terabytes.  Bail to the python path at 512 MiB.
+        if ((uint64_t)frame_no * npx * 4 > (1ULL << 29)) return false;
     }
     if (frame_no == 0) return false;
     *out_w = sw;
@@ -1828,7 +1833,12 @@ static uint8_t *decode_bmp_still(const uint8_t *d, size_t len, int *out_w,
     long colors_used = r32(46);
     if (planes != 1 || comp != 0 || (bpp != 8 && bpp != 24))
         return nullptr;
-    if (w <= 0 || h <= 0 || w * h > (1L << 28)) return nullptr;
+    // r32 yields full unsigned 32-bit values; bound each dimension
+    // BEFORE any product so w*h / stride*h / pixel_off+stride*h can
+    // never overflow even in uint64 (hostile-BMP hardening).
+    if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24))
+        return nullptr;
+    if ((uint64_t)w * (uint64_t)h > (1ULL << 28)) return nullptr;
     uint8_t pal[256][4];
     if (bpp == 8) {
         if (colors_used <= 0 || colors_used > 256) colors_used = 256;
@@ -1843,9 +1853,11 @@ static uint8_t *decode_bmp_still(const uint8_t *d, size_t len, int *out_w,
         for (long i = colors_used; i < 256; ++i) pal[i][3] = 255;
     }
     const long stride = ((w * bpp + 31) / 32) * 4;
-    if (pixel_off < 0 || pixel_off + stride * h > (long)len)
+    if (pixel_off < 0 ||
+        (uint64_t)pixel_off + (uint64_t)stride * (uint64_t)h >
+            (uint64_t)len)
         return nullptr;
-    uint8_t *rgba = (uint8_t *)malloc((size_t)w * h * 4);
+    uint8_t *rgba = (uint8_t *)malloc((size_t)w * (size_t)h * 4);
     if (!rgba) return nullptr;
     for (long y = 0; y < h; ++y) {
         const uint8_t *row =
@@ -2916,9 +2928,18 @@ int main(int argc, char **argv) {
             rendered[i].error = missing_msg[i];
             continue;
         }
-        if (!render_still(filelist[i].c_str(), kinds[i], allow_anim, disp,
-                          &bgc, bg_color.c_str(), &rendered[i]))
-            finish_fallback();
+        bool still_ok = false;
+        try {
+            still_ok = render_still(filelist[i].c_str(), kinds[i],
+                                    allow_anim, disp, &bgc,
+                                    bg_color.c_str(), &rendered[i]);
+        } catch (const std::bad_alloc &) {
+            // A hostile container can pass the per-decoder budgets yet
+            // still exhaust memory at staging time; the python path
+            // owns those inputs rather than aborting uncaught.
+            still_ok = false;
+        }
+        if (!still_ok) finish_fallback();
         if (!rendered[i].anim.empty()) continue;  // animation prepped
         if (disp.mode == Display::SIXEL) {
             if (!sixel_payload(rendered[i].frame, rendered[i].target_w,
