@@ -128,6 +128,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.timg_sixel_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+    if hasattr(lib, "timg_sixel_encode_runs"):  # absent in older .so
+        lib.timg_sixel_encode_runs.restype = ctypes.c_long
+        lib.timg_sixel_encode_runs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
     if hasattr(lib, "timg_png_sub_filter"):  # absent in older .so
         lib.timg_png_sub_filter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -243,6 +243,151 @@ long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
                                     maxx - minx + 1);
             memset(masks + (long)color * w + minx, 0, maxx - minx + 1);
         }
+        // Indices outside the palette are dropped from the output, but
+        // their mask bits were still scattered; re-zero them or they
+        // corrupt the next frame encoded on this thread.
+        for (int color = n_colors; color < 256; ++color) {
+            if (cmaxx[color] < 0) continue;
+            memset(masks + (long)color * w + cminx[color], 0,
+                   cmaxx[color] - cminx[color] + 1);
+        }
+        if (band != n_bands - 1) *pos++ = '-';
+    }
+    *pos++ = '\033';
+    *pos++ = '\\';
+    return pos - out;
+}
+
+namespace {
+inline char *emit_sixel_run(char *pos, char ch, int run) {
+    // One maximal constant-bits run, exactly as append_sixel_runs
+    // emits it (trailing-blank omission is the caller's job).
+    if (run > 3) {
+        *pos++ = '!';
+        pos = append_dec_fast(pos, run);
+        *pos++ = ch;
+    } else {
+        pos[0] = ch;
+        pos[1] = ch;
+        pos[2] = ch;
+        pos += run;
+    }
+    return pos;
+}
+}  // namespace
+
+// Assembles the byte-identical DCS payload as timg_sixel_encode, but
+// from device-compacted column-run records (ops/sixel_runs.py layout)
+// instead of the raw index plane.  records: int32[2] per run,
+// band-major then by start column; word0 = band rows 0-3 palette
+// indices (little-endian bytes), word1 = rows 4-5 | x<<16.
+// band_counts: int32[(h+5)/6] runs per band.  Returns bytes written,
+// -1 on allocation failure or malformed records (non-monotonic x).
+long timg_sixel_encode_runs(const int32_t *records,
+                            const int32_t *band_counts, int h, int w,
+                            const uint8_t *palette, int n_colors,
+                            char *out) {
+    char *pos = out;
+    pos += sprintf(pos, "\033Pq\"1;1;%d;%d", w, h);
+    for (int i = 0; i < n_colors; ++i) {
+        const int r = (palette[i * 3] * 100 + 127) / 255;
+        const int g = (palette[i * 3 + 1] * 100 + 127) / 255;
+        const int b = (palette[i * 3 + 2] * 100 + 127) / 255;
+        *pos++ = '#';
+        pos = append_dec_fast(pos, i);
+        pos = append_str(pos, ";2;");
+        pos = append_dec_fast(pos, r); *pos++ = ';';
+        pos = append_dec_fast(pos, g); *pos++ = ';';
+        pos = append_dec_fast(pos, b);
+    }
+    const int n_bands = (h + 5) / 6;
+    // Per-color segment lists built in one pass over the band's runs;
+    // segments with equal bits that touch merge at insert time, so the
+    // emission loop walks maximal constant-bits runs -- the same runs
+    // the plane scan in timg_sixel_encode produces.
+    struct Seg {
+        int x, len, next;
+        uint8_t bits;
+    };
+    static thread_local Seg *segs = nullptr;
+    static thread_local size_t segs_cap = 0;
+    const size_t segs_need = 6 * (size_t)(w > 0 ? w : 1);
+    if (segs_cap < segs_need) {
+        free(segs);
+        segs = (Seg *)malloc(segs_need * sizeof(Seg));
+        segs_cap = segs ? segs_need : 0;
+        if (!segs) return -1;
+    }
+    int heads[256], tails[256];
+    long base = 0;
+    for (int band = 0; band < n_bands; ++band) {
+        const int y0 = band * 6;
+        const int rows = (h - y0) < 6 ? (h - y0) : 6;
+        const int k = band_counts[band];
+        if (k < 0 || k > w) return -1;
+        for (int c = 0; c < 256; ++c) heads[c] = tails[c] = -1;
+        int nseg = 0;
+        for (int i = 0; i < k; ++i) {
+            const uint32_t r0 = (uint32_t)records[2 * (base + i)];
+            const uint32_t r1 = (uint32_t)records[2 * (base + i) + 1];
+            const int x = (int)(r1 >> 16);
+            const int xend = (i + 1 < k)
+                ? (int)((uint32_t)records[2 * (base + i + 1) + 1] >> 16)
+                : w;
+            if (x < 0 || xend > w || xend <= x) return -1;
+            const int len = xend - x;
+            const uint8_t col[6] = {
+                (uint8_t)r0,        (uint8_t)(r0 >> 8),
+                (uint8_t)(r0 >> 16), (uint8_t)(r0 >> 24),
+                (uint8_t)r1,        (uint8_t)(r1 >> 8)};
+            uint8_t ucol[6], ubits[6];
+            int ncol = 0;
+            for (int r = 0; r < rows; ++r) {
+                const uint8_t cc = col[r];
+                int j = 0;
+                while (j < ncol && ucol[j] != cc) ++j;
+                if (j == ncol) {
+                    ucol[ncol] = cc;
+                    ubits[ncol++] = (uint8_t)(1 << r);
+                } else {
+                    ubits[j] |= (uint8_t)(1 << r);
+                }
+            }
+            for (int j = 0; j < ncol; ++j) {
+                const int c = ucol[j];
+                const int t = tails[c];
+                if (t >= 0 && segs[t].x + segs[t].len == x &&
+                    segs[t].bits == ubits[j]) {
+                    segs[t].len += len;  // contiguous same-bits: merge
+                    continue;
+                }
+                segs[nseg] = Seg{x, len, -1, ubits[j]};
+                if (t >= 0)
+                    segs[t].next = nseg;
+                else
+                    heads[c] = nseg;
+                tails[c] = nseg++;
+            }
+        }
+        base += k;
+        bool first = true;
+        for (int color = 0; color < n_colors; ++color) {
+            int s = heads[color];
+            if (s < 0) continue;
+            if (!first) *pos++ = '$';
+            first = false;
+            *pos++ = '#';
+            pos = append_dec_fast(pos, color);
+            int cursor = 0;
+            for (; s >= 0; s = segs[s].next) {
+                const int gap = segs[s].x - cursor;
+                if (gap > 0) pos = emit_sixel_run(pos, '?', gap);
+                pos = emit_sixel_run(pos, (char)(0x3F + segs[s].bits),
+                                     segs[s].len);
+                cursor = segs[s].x + segs[s].len;
+            }
+            // trailing blanks past the last segment are omitted
+        }
         if (band != n_bands - 1) *pos++ = '-';
     }
     *pos++ = '\033';

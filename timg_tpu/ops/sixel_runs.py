@@ -1,0 +1,168 @@
+"""Device-side sixel column-run compaction (the compact D2H transport).
+
+Why this exists (measured, see ROADMAP "run transport"): the sixel video
+path fetches FS-dithered index planes from the device (~1 B/px).  The
+reference's own stream (libsixel's encoder, ref src/sixel-canvas.cc:
+128-154) run-length-encodes per-color band rows, which compresses 30-70x
+on flat/UI/film content under adaptive palettes -- exact palette hits
+produce zero dither error, so whole columns repeat -- but ~1x on noisy
+photo content where FS dithering decorrelates every pixel.  This module
+computes the equivalent compression *before* the transfer: per sixel
+band (6 rows), adjacent equal columns collapse into one 8-byte run
+record, so D2H carries ~run-count bytes instead of h*w.  The CLI picks
+the transport per window from the device-computed run counts (the raw
+plane stays the fallback for incompressible frames).
+
+The run records are lossless: expanding them reproduces the index plane
+bit-for-bit, and the native assembler (timg_native.cc:
+timg_sixel_encode_runs) emits the byte-identical DCS stream directly
+from the records without materializing the plane.
+
+Record layout (2 x int32 little-endian words per run):
+  word0 = c0 | c1<<8 | c2<<16 | c3<<24     (band rows 0-3 palette idx)
+  word1 = c4 | c5<<8 | x<<16               (rows 4-5, start column)
+Rows past the image height (h % 6 pad of the last band) are zeroed.
+Records are ordered band-major then by x; per-band counts ship
+alongside ([nb] int32 per frame), so run lengths are next.x - x (the
+band's last run extends to w).
+
+Compaction strategy: adjacent-column change masks are dense VPU ops;
+the gather of the sparse run starts uses `jax.lax.sort` keyed on the
+flat position (measured 0.27 ms/frame at 720p on v5e-1 -- XLA's
+scatter lowering costs ~6.4 ms/frame for the same compaction, and
+searchsorted+gather ~10 ms/frame).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+_BIG = np.int32(2 ** 30)
+
+
+class SixelRuns(NamedTuple):
+    """Host-side compact representation of one frame's index plane."""
+    records: np.ndarray      # [n, 2] int32 (only the first sum(counts) used)
+    band_counts: np.ndarray  # [nb] int32
+    h: int
+    w: int
+
+
+def _column_words_jnp(planes, h: int, w: int):
+    """[B, >=h, >=w] u8 planes -> per-band column words [B, nb, w] i32."""
+    import jax.numpy as jnp
+
+    nb = (h + 5) // 6
+    x = planes[:, :h, :w].astype(jnp.int32)
+    pad = nb * 6 - h
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    r = x.reshape(x.shape[0], nb, 6, w)
+    w0 = (r[:, :, 0] | (r[:, :, 1] << 8) | (r[:, :, 2] << 16)
+          | (r[:, :, 3] << 24))
+    w1 = r[:, :, 4] | (r[:, :, 5] << 8)
+    return w0, w1
+
+
+def _start_mask_jnp(w0, w1):
+    import jax.numpy as jnp
+
+    change = (w0[:, :, 1:] != w0[:, :, :-1]) | (w1[:, :, 1:] != w1[:, :, :-1])
+    ones = jnp.ones(w0.shape[:2] + (1,), bool)
+    return jnp.concatenate([ones, change], axis=2)   # [B, nb, w]
+
+
+@partial(lambda f: f)
+def run_counts(planes, h: int, w: int):
+    """Total column-run count per frame, [B] int32 (device op).
+
+    Cheap dense pass used for the transport decision; jit at call site
+    (callers fold it into their own jits or wrap it)."""
+    w0, w1 = _column_words_jnp(planes, h, w)
+    return _start_mask_jnp(w0, w1).sum(axis=(1, 2), dtype=np.int32)
+
+
+def compact_runs(planes, h: int, w: int, cap: int):
+    """Compact column runs of [B,>=h,>=w] u8 planes (device op).
+
+    Returns (records [B, cap, 2] i32, band_counts [B, nb] i32).  Frames
+    with more than ``cap`` runs overflow silently (records truncated);
+    callers must check band_counts sums and fall back to the plane
+    transport for those frames.  jit at call site."""
+    import jax
+    import jax.numpy as jnp
+
+    if w >= (1 << 15):
+        raise ValueError("run transport requires w < 32768")
+    w0, w1 = _column_words_jnp(planes, h, w)
+    b = w0.shape[0]
+    start = _start_mask_jnp(w0, w1)
+    flat = start.reshape(b, -1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 1)
+    key = jnp.where(flat, pos, _BIG)
+    xcoord = jax.lax.broadcasted_iota(jnp.int32, start.shape[1:], 1)
+    rec1 = (w1 | (xcoord[None] << 16)).reshape(b, -1)
+    _, r0s, r1s = jax.lax.sort((key, w0.reshape(b, -1), rec1), num_keys=1)
+    records = jnp.stack([r0s[:, :cap], r1s[:, :cap]], axis=-1)
+    band_counts = start.sum(axis=2, dtype=jnp.int32)
+    return records, band_counts
+
+
+def default_cap(h: int, w: int) -> int:
+    """Record capacity bounding the transport at half the plane bytes
+    (8 B/record), padded to the lane width for clean slicing."""
+    cap = max((h * w) // 16, 256)
+    return (cap + 127) // 128 * 128
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors (strict bit-for-bit; used by the CPU path and as the
+# test oracle for the device op and the native assembler)
+# ---------------------------------------------------------------------------
+
+def column_words_np(plane: np.ndarray, h: int, w: int):
+    nb = (h + 5) // 6
+    x = np.zeros((nb * 6, w), np.uint32)
+    x[:h] = plane[:h, :w]
+    r = x.reshape(nb, 6, w)
+    w0 = r[:, 0] | (r[:, 1] << 8) | (r[:, 2] << 16) | (r[:, 3] << 24)
+    w1 = r[:, 4] | (r[:, 5] << 8)
+    return w0.view(np.int32), w1.view(np.int32)
+
+
+def compact_runs_np(plane: np.ndarray, h: int, w: int) -> SixelRuns:
+    """Reference compaction of one [>=h, >=w] u8 plane."""
+    w0, w1 = column_words_np(plane, h, w)
+    change = (w0[:, 1:] != w0[:, :-1]) | (w1[:, 1:] != w1[:, :-1])
+    start = np.concatenate(
+        [np.ones((w0.shape[0], 1), bool), change], axis=1)
+    band_counts = start.sum(axis=1).astype(np.int32)
+    xcoord = np.broadcast_to(np.arange(w, dtype=np.int32), start.shape)
+    rec1 = (w1.view(np.uint32)
+            | (xcoord.astype(np.uint32) << 16)).view(np.int32)
+    records = np.stack([w0[start], rec1[start]], axis=-1)
+    return SixelRuns(records.astype(np.int32), band_counts, h, w)
+
+
+def expand_runs_np(runs: SixelRuns) -> np.ndarray:
+    """Inverse of compact_runs_np: records -> [h, w] u8 plane (pad rows
+    of the last partial band are reconstructed as 0)."""
+    h, w = runs.h, runs.w
+    nb = (h + 5) // 6
+    plane = np.zeros((nb * 6, w), np.uint8)
+    rec = runs.records.view(np.uint32).reshape(-1, 2)
+    k = 0
+    for band in range(nb):
+        n = int(runs.band_counts[band])
+        xs = [int(rec[k + i, 1] >> 16) for i in range(n)] + [w]
+        for i in range(n):
+            r0, r1 = int(rec[k + i, 0]), int(rec[k + i, 1])
+            col = [(r0 >> (8 * j)) & 0xFF for j in range(4)] + \
+                  [r1 & 0xFF, (r1 >> 8) & 0xFF]
+            for j in range(6):
+                plane[band * 6 + j, xs[i]:xs[i + 1]] = col[j]
+        k += n
+    return plane[:h]

@@ -62,7 +62,8 @@ def data_mesh():
 
 
 def shard_batch_call(key: tuple, fn, batch_args: Sequence,
-                     rep_args: Sequence = ()) -> Optional[object]:
+                     rep_args: Sequence = (),
+                     fetch: bool = True) -> Optional[object]:
     """Run ``fn(*batch_args, *rep_args)`` with every batch arg's leading
     axis sharded over the data mesh; returns None when single-device
     (callers then run their unsharded dispatch).
@@ -73,6 +74,9 @@ def shard_batch_call(key: tuple, fn, batch_args: Sequence,
       of the last element and the outputs sliced back — frames are
       independent, so padding cannot change the kept results.
     * ``rep_args`` are replicated on every device (palette tables etc.).
+    * ``fetch=False`` returns device-resident jax arrays (pad rows
+      sliced lazily) so callers can run follow-up dispatches — e.g. the
+      sixel run-transport decision — before paying the D2H transfer.
     """
     mesh = data_mesh()
     if mesh is None:

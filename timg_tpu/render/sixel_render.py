@@ -83,6 +83,34 @@ def encode_sixel_stream(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return encode_sixel_stream_py(indices, palette)
 
 
+def encode_sixel_stream_runs(runs, palette: np.ndarray) -> bytes:
+    """SixelRuns (device-compacted column runs, ops/sixel_runs.py) ->
+    sixel DCS payload, byte-identical to encode_sixel_stream on the
+    expanded plane.  Uses the C assembler's records entry point (cost
+    scales with run count, not h*w); falls back to plane expansion."""
+    from timg_tpu.native import runtime
+
+    lib = runtime.load()
+    if (lib is not None and len(palette) <= 256
+            and hasattr(lib, "timg_sixel_encode_runs")):
+        import ctypes
+
+        records = np.ascontiguousarray(runs.records, dtype=np.int32)
+        band_counts = np.ascontiguousarray(runs.band_counts,
+                                           dtype=np.int32)
+        pal = np.ascontiguousarray(palette[:, :3], dtype=np.uint8)
+        n_bands = (runs.h + 5) // 6
+        cap = (n_bands * len(pal) * (runs.w + 12) + len(pal) * 20 + 256)
+        buf = _tls_buffer(cap)
+        n = lib.timg_sixel_encode_runs(
+            records.ctypes.data, band_counts.ctypes.data, runs.h,
+            runs.w, pal.ctypes.data, len(pal), buf)
+        if n >= 0:
+            return ctypes.string_at(buf, n)
+    from timg_tpu.ops.sixel_runs import expand_runs_np
+    return encode_sixel_stream(expand_runs_np(runs), palette)
+
+
 def encode_sixel_stream_py(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Pure-python sixel assembly (reference implementation)."""
     h, w = indices.shape
@@ -102,7 +130,9 @@ def encode_sixel_stream_py(indices: np.ndarray, palette: np.ndarray) -> bytes:
             rows = np.concatenate(
                 [rows, np.full((pad, w), -1, rows.dtype)], axis=0)
         colors = np.unique(rows)
-        colors = colors[colors >= 0]
+        # indices outside the palette are dropped, as the C assembler's
+        # emission loop (and libsixel itself) cap at n_colors
+        colors = colors[(colors >= 0) & (colors < n)]
         first = True
         for color in colors:
             mask = (rows == color)                     # [6, W]
@@ -373,10 +403,16 @@ class SixelCanvas(TerminalCanvas):
         """Assemble + hand to the sequencer; async when pooled."""
         prefix = self.consume_prefix()
 
+        from timg_tpu.ops.sixel_runs import SixelRuns
+
+        encode = (encode_sixel_stream_runs
+                  if isinstance(indices, SixelRuns) else
+                  encode_sixel_stream)
+
         def assemble() -> bytes:
             out = bytearray(prefix)
             out += self._before
-            out += encode_sixel_stream(indices, palette)
+            out += encode(indices, palette)
             out += self._after
             return bytes(out)
 
