@@ -148,3 +148,118 @@ def test_fuzz_byte_identity():
         np.testing.assert_array_equal(sr.expand_runs_np(runs), plane)
         assert (encode_sixel_stream_runs(runs, palette)
                 == encode_sixel_stream(plane, palette)), (h, w, ncol)
+
+
+# ---------------------------------------------------------------------------
+# Transport wiring (plane_cache -> canvas)
+# ---------------------------------------------------------------------------
+
+def _flat_frames(n=4, h=24, w=30):
+    """Compressible frames: few flat colors => adaptive palettes hit
+    exactly and the dithered planes collapse to a handful of runs."""
+    frames = []
+    for i in range(n):
+        f = np.zeros((h, w, 4), np.uint8)
+        f[..., 0] = 40 + 10 * i
+        f[..., 1] = 200
+        f[:, w // 2:, 2] = 180
+        f[..., 3] = 255
+        frames.append(f)
+    return frames
+
+
+def _prime(frames, transport, monkeypatch):
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render.plane_cache import (SIXEL_PLANES,
+                                             prime_sixel_planes)
+
+    # FORCE_DEVICE pins the routed dispatch to the jax path so the
+    # device-branch transport logic runs on the CPU backend too.
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+    monkeypatch.setenv("TIMG_TPU_SIXEL_TRANSPORT", transport)
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "libsixel"
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+    prime_sixel_planes(frames, opts, {}, sustained=True)
+    out = []
+    for f in frames:
+        primed = SIXEL_PLANES.pop(f)
+        assert primed is not None
+        out.append(primed)
+    return out
+
+
+def test_prime_transport_runs_matches_plane(monkeypatch):
+    frames = _flat_frames()
+    plane_entries = _prime([f.copy() for f in frames], "plane",
+                           monkeypatch)
+    runs_entries = _prime([f.copy() for f in frames], "runs", monkeypatch)
+    for (pi, ppal, _), (ri, rpal, _) in zip(plane_entries, runs_entries):
+        assert isinstance(ri, sr.SixelRuns)
+        np.testing.assert_array_equal(ppal, rpal)
+        np.testing.assert_array_equal(sr.expand_runs_np(ri),
+                                      np.asarray(pi))
+        assert (encode_sixel_stream_runs(ri, rpal)
+                == encode_sixel_stream(np.asarray(pi), ppal))
+
+
+def test_prime_transport_auto_policy(monkeypatch):
+    # flat content: auto picks run records
+    for entry in _prime(_flat_frames(), "auto", monkeypatch):
+        assert isinstance(entry[0], sr.SixelRuns)
+    # per-pixel noise: auto keeps the raw plane (runs would be larger)
+    rng = np.random.default_rng(5)
+    noisy = [rng.integers(0, 256, (24, 30, 4), dtype=np.uint8)
+             for _ in range(3)]
+    for f in noisy:
+        f[..., 3] = 255
+    for entry in _prime(noisy, "auto", monkeypatch):
+        assert isinstance(entry[0], np.ndarray)
+
+
+def test_cli_video_sixel_transport_byte_identity(tmp_path, monkeypatch):
+    """-ps video through the CLI (sustained multi-frame window): run
+    transport and plane transport must produce identical escape
+    streams.  Needs a pty with pixel dimensions: sixel animations are
+    gated on a known cell size (reference parity)."""
+    import os
+
+    from tests.test_protocols import _with_scripted_pty
+    from timg_tpu.cli import main as cli_main
+
+    y4m = tmp_path / "v.y4m"
+    w, h, n = 64, 48, 4
+    with open(y4m, "wb") as f:
+        f.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                 % (w, h)).encode())
+        for i in range(n):
+            f.write(b"FRAME\n")
+            y = np.full((h, w), 60 + 20 * i, np.uint8)
+            y[:, w // 2:] = 200 - 10 * i
+            f.write(y.tobytes())
+            f.write(np.full((h // 2, w // 2), 110, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 140, np.uint8).tobytes())
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+
+    def run(transport):
+        monkeypatch.setenv("TIMG_TPU_SIXEL_TRANSPORT", transport)
+        out = tmp_path / f"out.{transport}"
+
+        def inner(slave):
+            saved = os.dup(1)
+            try:
+                os.dup2(slave, 1)
+                rc = cli_main(["--debug-no-frame-delay", "-g40x20",
+                               "-ps", "-b", "black", "--loops=1",
+                               "-o", str(out), str(y4m)])
+            finally:
+                os.dup2(saved, 1)
+                os.close(saved)
+            assert rc == 0
+            return out.read_bytes()
+
+        return _with_scripted_pty(inner, {})
+
+    outs = {t: run(t) for t in ("plane", "runs", "auto")}
+    assert outs["plane"] == outs["runs"] == outs["auto"]
+    assert outs["plane"].count(b"\033Pq") == n

@@ -35,7 +35,6 @@ searchsorted+gather ~10 ms/frame).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -75,7 +74,6 @@ def _start_mask_jnp(w0, w1):
     return jnp.concatenate([ones, change], axis=2)   # [B, nb, w]
 
 
-@partial(lambda f: f)
 def run_counts(planes, h: int, w: int):
     """Total column-run count per frame, [B] int32 (device op).
 
@@ -116,6 +114,76 @@ def default_cap(h: int, w: int) -> int:
     (8 B/record), padded to the lane width for clean slicing."""
     cap = max((h * w) // 16, 256)
     return (cap + 127) // 128 * 128
+
+
+_JITS: dict = {}
+
+
+def run_counts_jit(planes, h: int, w: int):
+    """jitted run_counts (cached wrapper; h/w static)."""
+    import jax
+
+    fn = _JITS.get("counts")
+    if fn is None:
+        fn = _JITS["counts"] = jax.jit(run_counts, static_argnums=(1, 2))
+    return fn(planes, h, w)
+
+
+def compact_runs_jit(planes, h: int, w: int, cap: int):
+    """jitted compact_runs (cached wrapper; h/w/cap static)."""
+    import jax
+
+    fn = _JITS.get("compact")
+    if fn is None:
+        fn = _JITS["compact"] = jax.jit(compact_runs,
+                                        static_argnums=(1, 2, 3))
+    return fn(planes, h, w, cap)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Round a record count up to a power-of-two slice length so the
+    D2H slice program compiles O(log cap) distinct shapes."""
+    b = 128
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
+    """Transport decision for device-resident dither planes.
+
+    Fetches either raw [h, w] planes (one list entry per frame) or
+    SixelRuns records, whichever is smaller on the link — the run
+    records win 17-120x on flat/UI/film content under adaptive
+    palettes and lose on FS-dithered photo noise, where the plane is
+    the compact form (measured; see module docstring).  Policy knob:
+    TIMG_TPU_SIXEL_TRANSPORT = auto (default) | plane | runs.
+    """
+    import os
+
+    import numpy as np
+
+    mode = os.environ.get("TIMG_TPU_SIXEL_TRANSPORT", "auto")
+    if mode not in ("auto", "plane", "runs"):
+        mode = "auto"
+    nb = (h + 5) // 6
+    if mode != "plane" and w < (1 << 15):
+        counts = np.asarray(run_counts_jit(planes_dev, h, w))[:n_frames]
+        cap = default_cap(h, w)
+        rec_bytes = 8 * int(counts.sum()) + 4 * nb * n_frames
+        use_runs = (int(counts.max()) <= cap
+                    and (mode == "runs"
+                         or 2 * rec_bytes <= h * w * n_frames))
+        if use_runs:
+            records, band_counts = compact_runs_jit(planes_dev, h, w, cap)
+            keep = _bucket(int(counts.max()), cap)
+            records = np.asarray(records[:n_frames, :keep])
+            band_counts = np.asarray(band_counts[:n_frames])
+            return [SixelRuns(records[i, :counts[i]], band_counts[i],
+                              h, w)
+                    for i in range(n_frames)]
+    full = np.asarray(planes_dev)
+    return [full[i, :h, :w] for i in range(n_frames)]
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,10 @@ def shard_batch_call(key: tuple, fn, batch_args: Sequence,
             check_vma=False))  # pallas out_shapes carry no vma
         _FN_CACHE[cache_key] = wrapped
     out = wrapped(*batch_args, *rep_args)
+    if not fetch:
+        if pad:
+            return jax.tree.map(lambda x: x[:b], out)
+        return out
     if pad:
         return jax.tree.map(lambda x: np.asarray(x)[:b], out)
     return jax.tree.map(np.asarray, out)

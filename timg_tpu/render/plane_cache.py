@@ -122,14 +122,17 @@ def prime_sixel_planes(frames: list, options, state: dict,
 
             words_np = batch.view(np.int32).reshape(batch.shape[:3])
             full = auto.shard_batch_call(("sixel_cube_pallas",),
-                                         _cube_shard, [words_np])
+                                         _cube_shard, [words_np],
+                                         fetch=False)
             if full is None:
-                full = np.asarray(fs_dither_cube_fused(
+                full = fs_dither_cube_fused(
                     jax.numpy.asarray(words_np), padded_h, w,
-                    out_u8=True, out_padded=True))
-            # pitched views into the padded device planes: the C
-            # assembler takes a row pitch, so no repack is needed
-            indices = full[:len(frames), :padded_h, :w]
+                    out_u8=True, out_padded=True)
+            # run-transport decision, else pitched views into the
+            # padded device planes (the C assembler takes a row pitch,
+            # so no repack is needed)
+            from timg_tpu.ops.sixel_runs import fetch_planes_or_runs
+            indices = fetch_planes_or_runs(full, len(frames), padded_h, w)
         else:
             from timg_tpu.ops import sixel as sixel_op
             indices = auto.shard_batch_call(
@@ -160,14 +163,16 @@ def prime_sixel_planes(frames: list, options, state: dict,
             words_np = batch.view(np.int32).reshape(batch.shape[:3])
             full = auto.shard_batch_call(
                 ("sixel_tree_pallas",), _tree_shard, [words_np],
-                rep_args=[np.asarray(levels), np.asarray(leaves)])
+                rep_args=[np.asarray(levels), np.asarray(leaves)],
+                fetch=False)
             if full is None:
-                full = np.asarray(fs_dither_tree_fused(
+                full = fs_dither_tree_fused(
                     jax.numpy.asarray(words_np),
                     jax.numpy.asarray(levels),
                     jax.numpy.asarray(leaves), padded_h, w, out_u8=True,
-                    out_padded=True))
-            indices = full[:len(frames), :padded_h, :w]
+                    out_padded=True)
+            from timg_tpu.ops.sixel_runs import fetch_planes_or_runs
+            indices = fetch_planes_or_runs(full, len(frames), padded_h, w)
         else:
             from timg_tpu.ops import sixel as sixel_op
 
@@ -259,12 +264,17 @@ def _prime_libsixel(frames: list, batch: np.ndarray, host_mode: bool,
 
         diffs_np = np.asarray(diffs, np.int32)
         full = auto.shard_batch_call(("libsixel_table",), _shard,
-                                     [words_np, pals256, diffs_np])
+                                     [words_np, pals256, diffs_np],
+                                     fetch=False)
         if full is None:
-            full = np.asarray(_shard(
+            full = _shard(
                 jax.numpy.asarray(words_np), jax.numpy.asarray(pals256),
-                jax.numpy.asarray(diffs_np)))
-        indices = full[:len(frames)]
+                jax.numpy.asarray(diffs_np))
+        # Transport decision: compact column runs when they beat the
+        # raw plane on the link (ops/sixel_runs.py) — per-frame entries
+        # are either [h, w] planes or SixelRuns; the canvas dispatches.
+        from timg_tpu.ops.sixel_runs import fetch_planes_or_runs
+        indices = fetch_planes_or_runs(full, len(frames), h, w)
 
     for i, frame in enumerate(frames):
         SIXEL_PLANES.put(frame, (indices[i], pals[i], None))
