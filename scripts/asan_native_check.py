@@ -140,6 +140,51 @@ def main() -> int:
             rng.integers(0, 256, 500, dtype=np.uint8)))
         vids.append(p)
 
+        # Hostile MP4/MKV containers (no encoder exists in this image,
+        # so these are hand-built box/EBML structures + mutations: they
+        # exercise avformat's probe/open/demux error paths; the
+        # decode-side SPS-resize FSM needs a real H.264 stream and
+        # stays covered by the unit suite's y4m cases only).
+        import struct as _st
+
+        def box(typ, payload=b""):
+            return _st.pack(">I", 8 + len(payload)) + typ + payload
+
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+        mp4s = [
+            ftyp,                                     # header only
+            ftyp + box(b"moov"),                      # empty moov
+            ftyp + _st.pack(">I", 0xFFFFFFFF) + b"moov",   # absurd size
+            ftyp + _st.pack(">I", 3) + b"moov",            # size < 8
+            ftyp + box(b"moov", box(b"trak", box(b"mdia")) * 4),
+            ftyp + box(b"mdat", bytes(64)) + box(b"moov", box(
+                b"mvhd", bytes(100))),
+            ftyp + _st.pack(">I", 1) + b"mdat"
+            + _st.pack(">Q", 1 << 62),                # 64-bit size bomb
+        ]
+        ebml = b"\x1a\x45\xdf\xa3"
+        mkvs = [
+            ebml,                                     # magic only
+            ebml + b"\x93\x42\x82\x88matroska",       # tiny header
+            ebml + bytes(rng.integers(0, 256, 600, dtype=np.uint8)),
+            b"\x1a\x45\xdf\xa3\x01\xff\xff\xff\xff\xff\xff\xff",  # vint bomb
+        ]
+        for i, blob in enumerate(mp4s):
+            p = os.path.join(d, f"m{i}.mp4")
+            open(p, "wb").write(blob)
+            vids.append(p)
+            mut = bytearray(blob)
+            for pos in rng.integers(4, max(len(blob), 5),
+                                    min(8, len(blob) - 4)):
+                mut[pos] ^= 0xFF
+            p2 = os.path.join(d, f"m{i}f.mp4")
+            open(p2, "wb").write(bytes(mut))
+            vids.append(p2)
+        for i, blob in enumerate(mkvs):
+            p = os.path.join(d, f"k{i}.mkv")
+            open(p, "wb").write(blob)
+            vids.append(p)
+
         for p in vids:
             handle = lib.timg_video_open(p.encode())
             if not handle:
@@ -174,6 +219,41 @@ def main() -> int:
                 lib.timg_video_read_frame(handle, buf)
             lib.timg_video_close(handle)
         print("video edge/corrupt inputs: clean")
+
+    # Run-records sixel assembler on hostile records (normally device-
+    # produced; the C side must reject malformed structures, not walk
+    # off the arena: non-monotonic x, x past w, counts over w).
+    if hasattr(lib, "timg_sixel_encode_runs"):
+        pal = np.ascontiguousarray(
+            rng.integers(0, 256, (256, 3), dtype=np.uint8))
+        for trial in range(60):
+            h = int(rng.integers(1, 40))
+            w = int(rng.integers(1, 50))
+            nb = (h + 5) // 6
+            counts = rng.integers(0, w + 3, nb).astype(np.int32)
+            total = int(counts.sum())
+            recs = np.ascontiguousarray(rng.integers(
+                -2**31, 2**31, (max(total, 1), 2),
+                dtype=np.int64).astype(np.int32))
+            cap = nb * 256 * (w + 12) + 256 * 20 + 256
+            buf = ctypes.create_string_buffer(cap)
+            n = lib.timg_sixel_encode_runs(
+                recs.ctypes.data, np.ascontiguousarray(counts).ctypes.data,
+                h, w, pal.ctypes.data, 256, buf)
+            assert n == -1 or 0 <= n <= cap
+        # and well-formed records still assemble
+        from timg_tpu.ops.sixel_runs import compact_runs_np
+        plane = np.ascontiguousarray(
+            rng.integers(0, 256, (37, 41), dtype=np.uint8))
+        runs = compact_runs_np(plane, 37, 41)
+        recs = np.ascontiguousarray(runs.records)
+        bc = np.ascontiguousarray(runs.band_counts)
+        cap = 7 * 256 * (41 + 12) + 256 * 20 + 256
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.timg_sixel_encode_runs(recs.ctypes.data, bc.ctypes.data,
+                                       37, 41, pal.ctypes.data, 256, buf)
+        assert n > 0
+        print("sixel run-records assembler hostile sweep: clean")
 
     # ANSI emitter on degenerate plane shapes.
     for (hc, wc) in ((1, 1), (1, 200), (200, 1)):

@@ -149,6 +149,12 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+# Transport accounting (frames moved, bytes shipped vs the plane-
+# equivalent bytes); read by --verbose stats and the bench harness.
+STATS = {"frames_runs": 0, "frames_plane": 0,
+         "bytes_shipped": 0, "bytes_plane_equiv": 0}
+
+
 def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
     """Transport decision for device-resident dither planes.
 
@@ -179,10 +185,17 @@ def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
             keep = _bucket(int(counts.max()), cap)
             records = np.asarray(records[:n_frames, :keep])
             band_counts = np.asarray(band_counts[:n_frames])
+            STATS["frames_runs"] += n_frames
+            STATS["bytes_shipped"] += (records.nbytes
+                                       + band_counts.nbytes)
+            STATS["bytes_plane_equiv"] += h * w * n_frames
             return [SixelRuns(records[i, :counts[i]], band_counts[i],
                               h, w)
                     for i in range(n_frames)]
     full = np.asarray(planes_dev)
+    STATS["frames_plane"] += n_frames
+    STATS["bytes_shipped"] += h * w * n_frames
+    STATS["bytes_plane_equiv"] += h * w * n_frames
     return [full[i, :h, :w] for i in range(n_frames)]
 
 

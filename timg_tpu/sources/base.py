@@ -230,6 +230,17 @@ def create_source(
             # ref image-source.cc:245-260
             error = (f"{filename}: looks like a video file, but the native "
                      "video helper is not built (make -C timg_tpu/native)")
+    if not error and not hint:
+        # Formats only GraphicsMagick's exotic coders decode (ref
+        # graphics-magick-source.cc:156-282 gets these for free; no PIL
+        # equivalent exists): name the format instead of failing
+        # silently, so the user learns *why* instead of guessing.
+        ext = os.path.splitext(filename)[1].lower()
+        if ext in _GM_ONLY_FORMATS:
+            error = (f"{filename}: {ext[1:].upper()} is not supported by "
+                     "this build's decoders (the reference's "
+                     "GraphicsMagick delegate handles it); convert with "
+                     f"`gm convert {os.path.basename(filename)} out.png`")
     if not error:
         # gated-feature diagnosis (ours) or nothing: the reference is
         # deliberately silent for a readable-but-undecodable file (its
@@ -238,3 +249,14 @@ def create_source(
         # non-empty errors) -- exit code 1 still reports the failure
         error = hint
     return None, error
+
+
+# GraphicsMagick-only long tail (ref graphics-magick-source.cc relies
+# on GM's coder registry): named-diagnostic suffixes with no decoder in
+# this build. Formats PIL *can* open (pcx, sgi, sun, fits, ...) are
+# deliberately absent -- they reach the PIL source and only land here
+# when the file itself is broken, which must stay reference-silent.
+_GM_ONLY_FORMATS = {
+    ".dpx", ".xcf", ".miff", ".mvg", ".cin", ".rla", ".viff", ".xwd",
+    ".pict", ".pct", ".mat", ".otb", ".palm", ".pwp", ".sct", ".wpg",
+}
