@@ -80,7 +80,11 @@ def _device_fps(jax, jnp, np, pipeline, pool_dev, iters=ITERS,
         t1 = time.perf_counter()
         np.asarray(run(*pool_dev, 0))      # dispatch+fetch round trip
         rtt = time.perf_counter() - t1
-        samples.append(BATCH * iters / max(elapsed - rtt, 1e-9))
+        # A tunnel hiccup can make the rtt probe slower than the timed
+        # run itself; cap the correction at half the elapsed time so a
+        # single bad probe can't produce a nonsense sample (r4: one
+        # such sample recorded a 1e8 "spread").
+        samples.append(BATCH * iters / max(elapsed - rtt, 0.5 * elapsed))
     samples.sort()
     med = samples[len(samples) // 2] if len(samples) % 2 else \
         0.5 * (samples[len(samples) // 2 - 1] + samples[len(samples) // 2])
@@ -261,6 +265,98 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
     return fps, legs, bottleneck
 
 
+def _bench_e2e_film(jax, np):
+    """Film-class end-to-end: the actual CLI video path (y4m decode ->
+    H2D -> device resize + libsixel-mode dither -> run-transport D2H ->
+    native assembly -> write), driven in-process under a scripted pty.
+
+    Real video has flat/smooth regions where adaptive palettes hit
+    exactly and FS dithering goes quiet; the device-side column-run
+    transport (ops/sixel_runs.py) ships those frames 10-100x smaller
+    than index planes.  The noise-class e2e above is the worst case
+    (runs lose; the transport auto-falls back to planes); this leg
+    records the representative case plus the measured transport ratio.
+    """
+    import fcntl
+    import pty as pty_mod
+    import struct
+    import tempfile
+    import termios
+    import threading
+
+    from timg_tpu.cli import main as cli_main
+    from timg_tpu.ops import sixel_runs
+
+    n_frames = 48
+    y4m = tempfile.NamedTemporaryFile(suffix=".y4m", delete=False)
+    try:
+        y4m.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                   % (IN_W, IN_H)).encode())
+        ybase = np.linspace(20, 235, IN_W, dtype=np.uint8)[None, :] \
+            .repeat(IN_H, 0)
+        u = np.full((IN_H // 2, IN_W // 2), 110, np.uint8).tobytes()
+        v = np.full((IN_H // 2, IN_W // 2), 140, np.uint8).tobytes()
+        for i in range(n_frames):
+            y = ybase.copy()
+            # moving flat "object" + a slow pan: real inter-frame change
+            y0 = 100 + i * 8
+            y[y0:y0 + 400, 300 + i * 12:900 + i * 12] = 40
+            y4m.write(b"FRAME\n")
+            y4m.write(y.tobytes())
+            y4m.write(u)
+            y4m.write(v)
+        y4m.close()
+
+        for k in sixel_runs.STATS:
+            sixel_runs.STATS[k] = 0
+        master, slave = pty_mod.openpty()
+        fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", 48, 160, 1280, 768))
+
+        def drain():
+            try:
+                while os.read(master, 4096):
+                    pass
+            except OSError:
+                pass
+
+        threading.Thread(target=drain, daemon=True).start()
+        saved = os.dup(1)
+        argv = ["--debug-no-frame-delay", "-g160x48", "-ps", "-b",
+                "black", "--loops=1", "-o", os.devnull, y4m.name]
+        try:
+            os.dup2(slave, 1)
+            cli_main(argv)              # warm: compile + caches
+            t0 = time.perf_counter()
+            rc = cli_main(argv)
+            elapsed = time.perf_counter() - t0
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+            os.close(slave)
+            os.close(master)
+        if rc != 0:
+            return {"error": f"cli rc={rc}"}
+        s = sixel_runs.STATS
+        frames = s["frames_runs"] + s["frames_plane"]
+        return {
+            "fps": round(n_frames / elapsed, 1),
+            "transport_frames_runs": s["frames_runs"],
+            "transport_frames_plane": s["frames_plane"],
+            "d2h_bytes_per_frame": (round(s["bytes_shipped"] / frames)
+                                    if frames else None),
+            "plane_bytes_per_frame": (round(s["bytes_plane_equiv"]
+                                            / frames) if frames else None),
+            "d2h_reduction": (round(s["bytes_plane_equiv"]
+                                    / max(s["bytes_shipped"], 1), 1)
+                              if frames else None),
+            "note": "full CLI video path incl. y4m decode, 1080p->-ps "
+                    "libsixel default, transport=auto",
+        }
+    finally:
+        os.unlink(y4m.name)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -353,6 +449,7 @@ def main() -> None:
     del pool_dev
     e2e_fps, legs, bottleneck = _bench_e2e(jax, np, resize_op,
                                            fs_dither_cube_fused)
+    e2e_film = _bench_e2e_film(jax, np)
 
     print(json.dumps({
         "metric": "1080p_frames_per_sec_resize_dither_sixel",
@@ -374,6 +471,7 @@ def main() -> None:
                                 if e2e_fps is not None else None),
             "e2e_bottleneck": bottleneck,
             "e2e_legs": legs,
+            "e2e_film": e2e_film,
         },
     }))
 

@@ -96,6 +96,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # fixed 6x7x6 palette, arithmetic quantizer (fastest video path).
     p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
                    default="libsixel")
+    # timg-tpu extension: video frame resampling. "auto" (default) =
+    # device pipeline (raw YUV planes to the TPU, BT.601 + lean MXU
+    # resize on device); "sws" = host swscale SWS_BILINEAR straight to
+    # display size in one call -- the reference's exact video leg (ref
+    # video-source.cc:59-89 + :352-354), byte-matching a full reference
+    # build linked against the same libswscale.
+    p.add_argument("--resample", choices=["auto", "sws"], default="auto")
     # timg-tpu extension: shard sustained frame-batch dispatches (video
     # windows, animations, batched dither planes) over N chips of a
     # ('data',) jax mesh; "auto" = all visible devices. Default 1.

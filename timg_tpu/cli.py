@@ -423,6 +423,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if present.pixelation == Pixelation.SIXEL:
         # lets sources prime batched dither planes for video windows
         display.sixel_batch_dither = present.sixel_dither
+    display.resample = args.resample
 
     filelist.extend(args.files)
     if not filelist:

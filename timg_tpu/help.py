@@ -212,6 +212,14 @@ TIMG-TPU EXTENSIONS
         palette. 'cube' uses a fixed 6x7x6 color cube with an
         arithmetic quantizer - the fastest video mode.
 
+    --resample=<auto|sws>
+        Video frame resampling. 'auto' (default) ships raw YUV planes
+        to the device and resizes there (BT.601 + MXU resampling).
+        'sws' scales each decoded frame on the host with swscale
+        SWS_BILINEAR straight to display size in one call - the exact
+        pipeline of a full-featured reference timg build, so output
+        bytes match such a build linked against the same libswscale.
+
     --devices=<n|auto>
         Shard sustained frame-batch work (video windows, animations,
         batched dither planes) over n chips of a jax ('data',) device

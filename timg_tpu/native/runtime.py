@@ -119,6 +119,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_char_p]
         lib.timg_video_close.argtypes = [ctypes.c_void_p]
         lib.timg_video_version.restype = ctypes.c_char_p
+        if hasattr(lib, "timg_video_read_frame_scaled"):  # older .so
+            lib.timg_video_read_frame_scaled.restype = ctypes.c_int
+            lib.timg_video_read_frame_scaled.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_int]
+            lib.timg_sws_scale_rgba.restype = ctypes.c_int
+            lib.timg_sws_scale_rgba.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            lib.timg_sws_scale_yuv420.restype = ctypes.c_int
+            lib.timg_sws_scale_yuv420.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
     lib.timg_ansi_emit.restype = ctypes.c_long
     lib.timg_ansi_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -319,6 +333,44 @@ def resize_polyphase(frames, out_h: int, out_w: int, starts_v, coeffs_v,
     if rc != 0:
         return None
     return out
+
+
+def sws_scale_rgba(rgba, out_h: int, out_w: int, bitexact: bool = False):
+    """swscale SWS_BILINEAR RGBA resize through the real libswscale (the
+    reference's SWS ImageScaler, ref image-scaler.cc:45-73). Returns
+    [out_h, out_w, 4] uint8 or None when unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_sws_scale_rgba"):
+        return None
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w = rgba.shape[:2]
+    out = np.empty((out_h, out_w, 4), dtype=np.uint8)
+    rc = lib.timg_sws_scale_rgba(rgba.ctypes.data, w, h, out_w, out_h,
+                                 int(bitexact), out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def sws_scale_yuv420(y, u, v, out_h: int, out_w: int, full_range: bool,
+                     bitexact: bool = False):
+    """swscale SWS_BILINEAR YUV420->RGBA scaled conversion in one call
+    (the reference's video leg, ref video-source.cc:59-89 + :352-354).
+    Returns [out_h, out_w, 4] uint8 or None when unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "timg_sws_scale_yuv420"):
+        return None
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    u = np.ascontiguousarray(u, dtype=np.uint8)
+    v = np.ascontiguousarray(v, dtype=np.uint8)
+    h, w = y.shape
+    out = np.empty((out_h, out_w, 4), dtype=np.uint8)
+    rc = lib.timg_sws_scale_yuv420(
+        y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
+        int(full_range), out_w, out_h, int(bitexact), out.ctypes.data)
+    return out if rc == 0 else None
 
 
 def describe() -> str:

@@ -867,6 +867,12 @@ static bool parse_args(int argc, char **argv, Args *a) {
                     strcmp(v, "libsixel"))
                     return false;  // argparse choice error -> python
                 a->dither = v;
+            } else if (name == "--resample") {
+                // video-only flag: 'auto' is a no-op for stills (stay
+                // native); 'sws' and bad values go to the python CLI
+                const char *v;
+                if (!required(&v)) return false;
+                if (strcmp(v, "auto")) return false;
             } else {
                 return false;  // unknown / abbreviated long flag
             }

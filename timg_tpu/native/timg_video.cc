@@ -38,6 +38,7 @@ struct VideoHandle {
     AVFormatContext *format = nullptr;
     AVCodecContext *codec = nullptr;
     SwsContext *sws = nullptr;
+    SwsContext *sws_scaled = nullptr;  // --resample=sws read path
     AVFrame *frame = nullptr;
     AVPacket *packet = nullptr;
     int stream_index = -1;
@@ -45,6 +46,31 @@ struct VideoHandle {
     double fps = 0.0;
     bool draining = false;
 };
+
+// YUVJ remap + full-range detection shared by every sws setup
+// (behavior of ref video-source.cc:59-89).
+AVPixelFormat remap_yuvj(AVPixelFormat pix, int color_range,
+                         bool *full_range) {
+    *full_range = color_range == AVCOL_RANGE_JPEG;
+    switch (pix) {
+    case AV_PIX_FMT_YUVJ420P: *full_range = true; return AV_PIX_FMT_YUV420P;
+    case AV_PIX_FMT_YUVJ422P: *full_range = true; return AV_PIX_FMT_YUV422P;
+    case AV_PIX_FMT_YUVJ444P: *full_range = true; return AV_PIX_FMT_YUV444P;
+    case AV_PIX_FMT_YUVJ440P: *full_range = true; return AV_PIX_FMT_YUV440P;
+    default: return pix;
+    }
+}
+
+void apply_full_range(SwsContext *ctx) {
+    int *inv_table, *table, in_full, out_full, brightness, contrast, sat;
+    if (sws_getColorspaceDetails(ctx, &inv_table, &in_full, &table,
+                                 &out_full, &brightness, &contrast,
+                                 &sat) != -1 &&
+        !in_full) {
+        sws_setColorspaceDetails(ctx, inv_table, 1, table, out_full,
+                                 brightness, contrast, sat);
+    }
+}
 
 // Context converting pixel format `fmt_in` at `src_w x src_h` to RGBA
 // at the open-time stream size, cached on the handle and rebuilt on
@@ -56,30 +82,15 @@ struct VideoHandle {
 // AVCOL_RANGE_JPEG tag on non-J formats.
 SwsContext *sws_for_format(VideoHandle *v, int fmt_in, int color_range,
                            int src_w, int src_h) {
-    AVPixelFormat pix = (AVPixelFormat)fmt_in;
-    bool full_range = color_range == AVCOL_RANGE_JPEG;
-    switch (pix) {
-    case AV_PIX_FMT_YUVJ420P: pix = AV_PIX_FMT_YUV420P; full_range = true; break;
-    case AV_PIX_FMT_YUVJ422P: pix = AV_PIX_FMT_YUV422P; full_range = true; break;
-    case AV_PIX_FMT_YUVJ444P: pix = AV_PIX_FMT_YUV444P; full_range = true; break;
-    case AV_PIX_FMT_YUVJ440P: pix = AV_PIX_FMT_YUV440P; full_range = true; break;
-    default: break;
-    }
+    bool full_range;
+    AVPixelFormat pix = remap_yuvj((AVPixelFormat)fmt_in, color_range,
+                                   &full_range);
     // Returns the existing context unchanged when parameters match.
     v->sws = sws_getCachedContext(v->sws, src_w, src_h, pix,
                                   v->width, v->height, AV_PIX_FMT_RGBA,
                                   SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!v->sws) return nullptr;
-    if (full_range) {
-        int *inv_table, *table, in_full, out_full, brightness, contrast, sat;
-        if (sws_getColorspaceDetails(v->sws, &inv_table, &in_full, &table,
-                                     &out_full, &brightness, &contrast,
-                                     &sat) != -1 &&
-            !in_full) {
-            sws_setColorspaceDetails(v->sws, inv_table, 1, table, out_full,
-                                     brightness, contrast, sat);
-        }
-    }
+    if (full_range) apply_full_range(v->sws);
     return v->sws;
 }
 
@@ -252,8 +263,10 @@ int timg_video_read_frame(void *handle, uint8_t *rgba_out) {
 // stream is 8-bit 4:2:0 planar (YUV420P / YUVJ420P) so frames can ship
 // as raw planes (1.5 B/px over the host->device link instead of 4 B/px
 // RGBA, with color conversion done device-side).  Bit 1: full-range
-// ("J" format, or limited format tagged AVCOL_RANGE_JPEG, e.g. y4m
-// C420jpeg).  The reference always converts on host via swscale (ref
+// ("J" format, or limited format tagged AVCOL_RANGE_JPEG; note y4m's
+// C420jpeg/C420mpeg2 tags denote chroma *siting*, not range -- this
+// libav leaves y4m range unspecified, so bit 1 stays 0 there).
+// The reference always converts on host via swscale (ref
 // video-source.cc:352-354); the raw-plane path is the TPU-native
 // replacement for that conversion.
 int timg_video_pix_info(void *handle) {
@@ -319,6 +332,85 @@ int timg_video_read_frame_yuv(void *handle, uint8_t *y_out, uint8_t *u_out,
     return 2;
 }
 
+// --resample=sws read path: decode + swscale SWS_BILINEAR straight to
+// the display size in ONE sws_scale call -- colorspace conversion and
+// resize together, exactly the reference's video pipeline
+// (ref video-source.cc:59-89 CreateSWSContext sized to display dims +
+// :352-354 per-frame sws_scale).  Output bytes match a full reference
+// build linked against the same libswscale by construction.
+// Returns 1 on frame written (out_w*out_h*4), 0 on EOF, -1 on error.
+int timg_video_read_frame_scaled(void *handle, uint8_t *rgba_out,
+                                 int out_w, int out_h) {
+    VideoHandle *v = (VideoHandle *)handle;
+    if (out_w <= 0 || out_h <= 0) return -1;
+    int ret = decode_next_frame(v);
+    if (ret == AVERROR_EOF) return 0;
+    if (ret < 0) return -1;
+    bool full_range;
+    AVPixelFormat pix =
+        remap_yuvj((AVPixelFormat)v->frame->format, v->frame->color_range,
+                   &full_range);
+    v->sws_scaled = sws_getCachedContext(
+        v->sws_scaled, v->frame->width, v->frame->height, pix, out_w,
+        out_h, AV_PIX_FMT_RGBA, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!v->sws_scaled) {
+        av_frame_unref(v->frame);
+        return -1;
+    }
+    if (full_range) apply_full_range(v->sws_scaled);
+    uint8_t *dst[1] = {rgba_out};
+    int dst_stride[1] = {out_w * 4};
+    sws_scale(v->sws_scaled, v->frame->data, v->frame->linesize, 0,
+              v->frame->height, dst, dst_stride);
+    av_frame_unref(v->frame);
+    return 1;
+}
+
+// Standalone sws-bilinear scalers (test oracles + the SWS ImageScaler
+// role, ref image-scaler.cc:45-73).  ``bitexact`` adds SWS_BITEXACT:
+// the platform-independent C algorithm a device reimplementation can
+// target (the reference does NOT set it, so its exact output bytes are
+// CPU-dispatch-dependent -- parity with any given build comes from
+// calling the same library, above).
+static int sws_scale_once(AVPixelFormat src_fmt, int full_range,
+                          const uint8_t *const src_data[4],
+                          const int src_stride[4], int in_w, int in_h,
+                          int out_w, int out_h, int bitexact,
+                          uint8_t *rgba_out) {
+    if (in_w <= 0 || in_h <= 0 || out_w <= 0 || out_h <= 0) return -1;
+    const int flags = SWS_BILINEAR | (bitexact ? SWS_BITEXACT : 0);
+    SwsContext *ctx =
+        sws_getContext(in_w, in_h, src_fmt, out_w, out_h,
+                       AV_PIX_FMT_RGBA, flags, nullptr, nullptr, nullptr);
+    if (!ctx) return -1;
+    if (full_range) apply_full_range(ctx);
+    uint8_t *dst[1] = {rgba_out};
+    int dst_stride[1] = {out_w * 4};
+    sws_scale(ctx, src_data, src_stride, 0, in_h, dst, dst_stride);
+    sws_freeContext(ctx);
+    return 0;
+}
+
+int timg_sws_scale_rgba(const uint8_t *rgba_in, int in_w, int in_h,
+                        int out_w, int out_h, int bitexact,
+                        uint8_t *rgba_out) {
+    const uint8_t *src[4] = {rgba_in, nullptr, nullptr, nullptr};
+    const int stride[4] = {in_w * 4, 0, 0, 0};
+    return sws_scale_once(AV_PIX_FMT_RGBA, 0, src, stride, in_w, in_h,
+                          out_w, out_h, bitexact, rgba_out);
+}
+
+int timg_sws_scale_yuv420(const uint8_t *y, const uint8_t *u,
+                          const uint8_t *v, int in_w, int in_h,
+                          int full_range, int out_w, int out_h,
+                          int bitexact, uint8_t *rgba_out) {
+    const uint8_t *src[4] = {y, u, v, nullptr};
+    const int cw = (in_w + 1) / 2;
+    const int stride[4] = {in_w, cw, cw, 0};
+    return sws_scale_once(AV_PIX_FMT_YUV420P, full_range, src, stride,
+                          in_w, in_h, out_w, out_h, bitexact, rgba_out);
+}
+
 // Rewind for looping (ref video-source.cc:302-307).
 int timg_video_rewind(void *handle) {
     VideoHandle *v = (VideoHandle *)handle;
@@ -335,6 +427,7 @@ void timg_video_close(void *handle) {
     if (v->packet) av_packet_free(&v->packet);
     if (v->frame) av_frame_free(&v->frame);
     if (v->sws) sws_freeContext(v->sws);
+    if (v->sws_scaled) sws_freeContext(v->sws_scaled);
     if (v->codec) avcodec_free_context(&v->codec);
     if (v->format) avformat_close_input(&v->format);
     delete v;

@@ -119,6 +119,11 @@ class DisplayOptions:
         # device work here and same-geometry cells share one dispatch.
         self.batch_collector = None
 
+        # Video resampling: "auto" = device pipeline; "sws" = host
+        # swscale SWS_BILINEAR at display size (reference video-leg
+        # parity, ref video-source.cc:352-354).
+        self.resample = "auto"
+
         for key, value in overrides.items():  # dataclass-style kwargs
             if not hasattr(self, key):
                 raise TypeError(f"DisplayOptions.__init__() got an "

@@ -115,7 +115,14 @@ class VideoSource(ImageSource):
         # compose path is the tested one).
         self._full_range = False
         self._use_yuv = False
+        # --resample=sws: the reference's exact video leg -- decode +
+        # swscale SWS_BILINEAR straight to display size in one host
+        # call per frame (ref video-source.cc:59-89 + :352-354); no
+        # device resize, no YUV transport.
+        self._use_sws = (getattr(options, "resample", "auto") == "sws"
+                         and hasattr(lib, "timg_video_read_frame_scaled"))
         if hasattr(lib, "timg_video_pix_info") \
+                and not self._use_sws \
                 and not self._maybe_transparent() \
                 and not os.environ.get("TIMG_TPU_VIDEO_RGBA"):
             info = lib.timg_video_pix_info(handle)
@@ -163,7 +170,11 @@ class VideoSource(ImageSource):
 
         opts = self._options
         tw, th = self._target
-        if kind == "yuv":
+        if kind == "scaled":
+            # --resample=sws: frames arrive already at display size
+            # (host swscale); only compose + plane priming remain.
+            result = np.stack(raw)
+        elif kind == "yuv":
             ys = np.stack([f[0] for f in raw])
             us = np.stack([f[1] for f in raw])
             vs = np.stack([f[2] for f in raw])
@@ -243,9 +254,13 @@ class VideoSource(ImageSource):
         nbytes = w * h * 4
         buf = ctypes.create_string_buffer(nbytes)
         use_yuv = getattr(self, "_use_yuv", False)
-        ybuf = ubuf = vbuf = None
+        use_sws = getattr(self, "_use_sws", False)
+        ybuf = ubuf = vbuf = sbuf = None
         cw = ch = 0
-        if use_yuv:
+        tw, th = self._target
+        if use_sws:
+            sbuf = ctypes.create_string_buffer(max(tw * th * 4, 4))
+        elif use_yuv:
             cw, ch = (w + 1) // 2, (h + 1) // 2
             ybuf = ctypes.create_string_buffer(w * h)
             ubuf = ctypes.create_string_buffer(cw * ch)
@@ -312,7 +327,10 @@ class VideoSource(ImageSource):
                         emit(windows.popleft().result())
 
                 while not interrupt():
-                    if use_yuv:
+                    if use_sws:
+                        ret = lib.timg_video_read_frame_scaled(
+                            handle, sbuf, tw, th)
+                    elif use_yuv:
                         ret = lib.timg_video_read_frame_yuv(
                             handle, ybuf, ubuf, vbuf, buf)
                     else:
@@ -326,7 +344,12 @@ class VideoSource(ImageSource):
                             and emitted >= self._frame_count:
                         break
                     emitted += 1
-                    if ret == 1 and use_yuv:
+                    if use_sws:
+                        item = np.frombuffer(
+                            sbuf, np.uint8, tw * th * 4).reshape(
+                                th, tw, 4).copy()
+                        kind = "scaled"
+                    elif ret == 1 and use_yuv:
                         item = (np.frombuffer(ybuf, np.uint8,
                                               w * h).reshape(h, w).copy(),
                                 np.frombuffer(ubuf, np.uint8,
