@@ -108,3 +108,53 @@ def test_animation_sharded_matches(tmp_path, monkeypatch):
     a = _run(argv, str(tmp_path / "a.out"), monkeypatch)
     b = _run(argv, str(tmp_path / "b.out"), monkeypatch, devices=8)
     assert a and a == b
+
+
+def test_4k_still_spatial_sharding_matches(tmp_path, monkeypatch):
+    """VERDICT r3 #5: a single 4K still with --devices routes through
+    the ('data','space') mesh (height sharded over 'space', GSPMD halo
+    exchanges for the vertical taps) and stays byte-identical to the
+    single-device dispatch."""
+    from PIL import Image
+
+    from timg_tpu.parallel import auto as auto_mod
+
+    rng = np.random.default_rng(11)
+    w4k, h4k = 3840, 2160
+    # structured content: gradients + blocks (fast to PNG-encode,
+    # non-trivial for the resize taps)
+    row = np.linspace(0, 255, w4k, dtype=np.uint8)
+    img = np.empty((h4k, w4k, 3), np.uint8)
+    img[..., 0] = row[None, :]
+    img[..., 1] = np.linspace(0, 255, h4k, dtype=np.uint8)[:, None]
+    img[..., 2] = 128
+    img[500:900, 1000:2800] = rng.integers(0, 256, 3, dtype=np.uint8)
+    png = str(tmp_path / "4k.png")
+    Image.fromarray(img, "RGB").save(png, compress_level=1)
+
+    argv = ["-pq", "-g80x24", "--debug-no-frame-delay", "-b", "black",
+            png]
+    calls = []
+    orig = auto_mod.spatial_shard_call
+
+    def spy(key, fn, batch, **kw):
+        out = orig(key, fn, batch, **kw)
+        calls.append((key, batch.shape, out is not None))
+        return out
+
+    monkeypatch.setattr(auto_mod, "spatial_shard_call", spy)
+    single = _run(argv, str(tmp_path / "single.out"), monkeypatch)
+    sharded = _run(argv, str(tmp_path / "sharded.out"), monkeypatch,
+                   devices=8)
+    assert single and single == sharded
+    # the sharded run actually took the spatial path
+    assert any(used and shape[1] == h4k for _, shape, used in calls)
+
+
+def test_spatial_policy_bounds():
+    """Policy: small frames and batch >= devices return None (plain
+    data parallelism handles those)."""
+    from timg_tpu.parallel import auto as auto_mod
+
+    small = np.zeros((1, 64, 64, 4), np.uint8)
+    assert auto_mod.spatial_shard_call(("t",), lambda x: x, small) is None

@@ -112,3 +112,68 @@ def shard_batch_call(key: tuple, fn, batch_args: Sequence,
     if pad:
         return jax.tree.map(lambda x: np.asarray(x)[:b], out)
     return jax.tree.map(np.asarray, out)
+
+
+# Frames at/above this area route through the ('data', 'space') mesh
+# when the batch is smaller than the device count: a single 4K still
+# then uses every configured chip instead of one.  4K is 8.3 Mpx; the
+# threshold sits at half that so cinema-2K+ class frames qualify too.
+_SPATIAL_MIN_PIXELS = 2048 * 2048
+
+
+def spatial_shard_call(key: tuple, fn, batch,
+                       min_pixels: int = _SPATIAL_MIN_PIXELS
+                       ) -> Optional[object]:
+    """GSPMD ('data', 'space') dispatch for very large frames.
+
+    Shards the frame batch over ``data`` and the image HEIGHT axis over
+    ``space`` (parallel/mesh.py's layout, here reachable from the CLI's
+    --devices routing): XLA GSPMD inserts the halo exchanges the
+    vertical resize taps need across the space axis, and the result is
+    byte-identical to the single-device dispatch
+    (tests/test_parallel.py, tests/test_multichip_cli.py::*4k*).
+
+    Applies only when it beats plain data parallelism: multi-device
+    session, frames >= ``min_pixels``, and fewer frames than devices
+    (otherwise shard_batch_call's pure data fan-out wastes nothing).
+    ``fn`` must be an XLA-traceable pipeline (no Pallas kernels — those
+    do not partition under GSPMD).  Returns None when not applicable.
+    """
+    n = configured_devices()
+    if n <= 1:
+        return None
+    shape = batch.shape
+    if len(shape) < 3 or shape[0] >= n \
+            or shape[1] * shape[2] < min_pixels:
+        return None
+    try:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+    except Exception:
+        return None
+    devices = jax.devices()
+    n = min(n, len(devices))
+    if n <= 1:
+        return None
+    b = shape[0]
+    data = 1
+    for cand in range(min(b, n), 0, -1):  # largest divisor of n <= b
+        if n % cand == 0:
+            data = cand
+            break
+    space = n // data
+    mesh_key = ("spatial", data, space)
+    mesh = _MESH_CACHE.get(mesh_key)
+    if mesh is None:
+        mesh = Mesh(np.array(devices[:n]).reshape(data, space),
+                    axis_names=("data", "space"))
+        _MESH_CACHE[mesh_key] = mesh
+    cache_key = (key, data, space, len(shape))
+    wrapped = _FN_CACHE.get(cache_key)
+    if wrapped is None:
+        spec = P("data", "space", *([None] * (len(shape) - 2)))
+        wrapped = jax.jit(fn, in_shardings=NamedSharding(mesh, spec))
+        _FN_CACHE[cache_key] = wrapped
+    return np.asarray(wrapped(batch))

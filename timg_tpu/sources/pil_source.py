@@ -397,10 +397,22 @@ def _resize_compose(
             result = (resize_batch_np(batch, target_h, target_w)
                       if needs_resize else batch)
         else:
-            x = jnp.asarray(batch)
+            result = None
             if needs_resize:
-                x = resize_batch(x, target_h, target_w)
-            result = np.asarray(x)
+                # Spatial sharding for very large stills: a 4K frame
+                # with --devices N splits its height over the
+                # ('data','space') mesh (parallel/auto.py policy; falls
+                # through to the single-device jit when not applicable)
+                from timg_tpu.parallel import auto
+                result = auto.spatial_shard_call(
+                    ("still_resize", target_h, target_w),
+                    lambda bt: resize_batch(bt, target_h, target_w),
+                    batch)
+            if result is None:
+                x = jnp.asarray(batch)
+                if needs_resize:
+                    x = resize_batch(x, target_h, target_w)
+                result = np.asarray(x)
 
         # Lazy background query (ref framebuffer.cc:113-121).
         if options.bgcolor_getter is not None and (result[..., 3] != 255).any():
