@@ -113,5 +113,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # windows, animations, batched dither planes) over N chips of a
     # ('data',) jax mesh; "auto" = all visible devices. Default 1.
     p.add_argument("--devices", type=str, default=None)
+    # timg-tpu extension: resident session server (unix socket at
+    # TIMG_TPU_SERVE_SOCKET / $XDG_RUNTIME_DIR/timg-tpu.sock) keeping
+    # the jax session + compile cache warm; one-shot clients delegate
+    # to it and pay a socket round-trip instead of process boot.
+    p.add_argument("--serve", action="store_true")
     p.add_argument("files", nargs="*")
     return p

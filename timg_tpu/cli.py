@@ -54,6 +54,19 @@ def _interrupt_handler(signo, frame):  # noqa: ARG001
     interrupt_received = True
 
 
+def _arm_signals(handler) -> None:
+    """Arm SIGINT/SIGTERM only while showing (ref timg.cc:360-374).
+    CPython restricts signal.signal to the main thread; a request run
+    off the main thread (serve-mode tests) relies on the socket-side
+    interrupt watcher instead."""
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return
+    signal.signal(signal.SIGINT, handler)
+    signal.signal(signal.SIGTERM, handler)
+
+
 def _parse_pixelation(text: Optional[str]) -> Optional[Pixelation]:
     if not text:
         return None
@@ -180,6 +193,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     except SystemExit:
         return EXIT_PARAMETER_ERROR
 
+    if args.serve:
+        # Resident session mode: hold the warm jax session + compile
+        # cache and serve one-shot invocations over a unix socket
+        # (timg_tpu/serve.py); the C launcher connects automatically.
+        from timg_tpu.serve import serve
+        return serve()
     if args.version:
         from timg_tpu.version import print_component_versions
         print_component_versions()
@@ -642,8 +661,7 @@ def _present_images(loaded, display, present, sequencer):
             continue
         valid += 1
         any_animations |= source.is_animation_before_frame_limit()
-        signal.signal(signal.SIGINT, _interrupt_handler)
-        signal.signal(signal.SIGTERM, _interrupt_handler)
+        _arm_signals(_interrupt_handler)
         if present.hide_cursor:
             canvas.cursor_off()
         if (present.clear_screen == ClearScreen.BEFORE_EACH_IMAGE
@@ -656,8 +674,7 @@ def _present_images(loaded, display, present, sequencer):
             renderer.render_cb(source.format_title(display.title_format)))
         if present.hide_cursor:
             canvas.cursor_on()
-        signal.signal(signal.SIGINT, signal.SIG_DFL)
-        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        _arm_signals(signal.SIG_DFL)
         renderer.maybe_wait_between_image_sources()
         is_first = False
     renderer.finish()

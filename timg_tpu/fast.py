@@ -497,7 +497,7 @@ def try_fast_main(argv: Optional[List[str]] = None) -> Optional[int]:
     if (args.version or args.long_help or args.short_help or args.verbose
             or args.grid or args.scroll or args.delta_move or args.auto_crop
             or args.video_only or args.frame_offset != 0
-            or args.frames != -(2 ** 31) or args.devices):
+            or args.frames != -(2 ** 31) or args.devices or args.serve):
         return None
 
     # Warn-y flag values bail BEFORE anything prints (see module doc).

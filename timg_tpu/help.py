@@ -228,8 +228,19 @@ TIMG-TPU EXTENSIONS
     --devices=<n|auto>
         Shard sustained frame-batch work (video windows, animations,
         batched dither planes) over n chips of a jax ('data',) device
-        mesh; 'auto' uses every visible device. Output is byte-
-        identical to the single-device run. Default 1.
+        mesh; 'auto' uses every visible device. Single very large
+        stills (2K+/4K) additionally split their height over a
+        ('data','space') mesh so one image uses every chip. Output is
+        byte-identical to the single-device run. Default 1.
+
+    --serve
+        Resident session mode: hold this process warm (jax session,
+        compile cache, jitted kernels) and serve one-shot invocations
+        over a unix socket ($XDG_RUNTIME_DIR/timg-tpu.sock, override
+        TIMG_TPU_SERVE_SOCKET). Clients pass their terminal fds, so
+        served runs behave exactly like direct ones; timg-tpu-fast
+        delegates automatically when the socket exists
+        (TIMG_TPU_NO_SERVE=1 disables). Byte-identical to cold runs.
 
 ENVIRONMENT
     TIMG_DEFAULT_TITLE

@@ -33,7 +33,9 @@
 #include <string.h>
 #include <sys/ioctl.h>
 #include <sys/select.h>
+#include <sys/socket.h>
 #include <sys/stat.h>
+#include <sys/un.h>
 #include <sys/time.h>
 #include <termios.h>
 #include <time.h>
@@ -145,7 +147,164 @@ static void stage(const char *name) {
 static int g_argc;
 static char **g_argv;
 
+// ---------------------------------------------------------------------
+// Resident session client (timg-tpu --serve, timg_tpu/serve.py): when
+// the serve socket exists, delegate the invocation to the warm python
+// process instead of exec'ing a cold one -- the request ships our
+// argv/cwd/env plus fds 0-2 over SCM_RIGHTS, so the served run talks
+// to our tty directly (terminal queries, pagers, escape stream).
+// Returns only when serving is unavailable or refused before any
+// output could have been produced; on success it exits with the
+// served exit code.
+// ---------------------------------------------------------------------
+
+static volatile int g_serve_fd = -1;
+static void serve_forward_sigint(int) {
+    const int fd = g_serve_fd;
+    if (fd >= 0) {
+        const ssize_t r = write(fd, "I\n", 2);
+        (void)r;
+    }
+}
+
+static void json_escape(std::string *out, const char *s) {
+    for (const unsigned char *p = (const unsigned char *)s; *p; ++p) {
+        const unsigned char c = *p;
+        switch (c) {
+        case '"': *out += "\\\""; break;
+        case '\\': *out += "\\\\"; break;
+        case '\n': *out += "\\n"; break;
+        case '\r': *out += "\\r"; break;
+        case '\t': *out += "\\t"; break;
+        default:
+            if (c < 0x20) {
+                char b[8];
+                snprintf(b, sizeof(b), "\\u%04x", c);
+                *out += b;
+            } else {
+                *out += (char)c;
+            }
+        }
+    }
+}
+
+static void try_serve() {
+    if (getenv("TIMG_TPU_NO_SERVE")) return;
+    std::string path;
+    const char *env_sock = getenv("TIMG_TPU_SERVE_SOCKET");
+    if (env_sock && *env_sock) {
+        path = env_sock;
+    } else {
+        const char *xdg = getenv("XDG_RUNTIME_DIR");
+        struct stat st;
+        if (xdg && *xdg && stat(xdg, &st) == 0 && S_ISDIR(st.st_mode))
+            path = std::string(xdg) + "/timg-tpu.sock";
+        else
+            path = "/tmp/timg-tpu-" + std::to_string(getuid()) + ".sock";
+    }
+    struct sockaddr_un addr;
+    if (path.size() >= sizeof(addr.sun_path)) return;
+    memset(&addr, 0, sizeof(addr));
+    addr.sun_family = AF_UNIX;
+    memcpy(addr.sun_path, path.c_str(), path.size());
+    const int fd = socket(AF_UNIX, SOCK_STREAM | SOCK_CLOEXEC, 0);
+    if (fd < 0) return;
+    if (connect(fd, (struct sockaddr *)&addr, sizeof(addr)) != 0) {
+        close(fd);
+        return;
+    }
+    // hello byte + our stdio fds
+    int fds[3] = {0, 1, 2};
+    char hello = 'F';
+    struct iovec iov = {&hello, 1};
+    char cbuf[CMSG_SPACE(sizeof(fds))];
+    struct msghdr msg;
+    memset(&msg, 0, sizeof(msg));
+    msg.msg_iov = &iov;
+    msg.msg_iovlen = 1;
+    msg.msg_control = cbuf;
+    msg.msg_controllen = sizeof(cbuf);
+    struct cmsghdr *cm = CMSG_FIRSTHDR(&msg);
+    cm->cmsg_level = SOL_SOCKET;
+    cm->cmsg_type = SCM_RIGHTS;
+    cm->cmsg_len = CMSG_LEN(sizeof(fds));
+    memcpy(CMSG_DATA(cm), fds, sizeof(fds));
+    if (sendmsg(fd, &msg, 0) != 1) {
+        close(fd);
+        return;
+    }
+    std::string req = "{\"argv\": [";
+    for (int i = 1; i < g_argc; ++i) {
+        if (i > 1) req += ", ";
+        req += '"';
+        json_escape(&req, g_argv[i]);
+        req += '"';
+    }
+    req += "], \"cwd\": \"";
+    char cwd[PATH_MAX];
+    if (getcwd(cwd, sizeof(cwd))) json_escape(&req, cwd);
+    req += "\", \"env\": {";
+    bool first = true;
+    for (char **e = environ; e && *e; ++e) {
+        const char *eq = strchr(*e, '=');
+        if (!eq) continue;
+        if (!first) req += ", ";
+        first = false;
+        req += '"';
+        std::string key(*e, (size_t)(eq - *e));
+        json_escape(&req, key.c_str());
+        req += "\": \"";
+        json_escape(&req, eq + 1);
+        req += '"';
+    }
+    req += "}}\n";
+    size_t off = 0;
+    while (off < req.size()) {
+        const ssize_t n = write(fd, req.data() + off, req.size() - off);
+        if (n <= 0) {
+            close(fd);
+            return;  // request never fully arrived: safe to fall back
+        }
+        off += (size_t)n;
+    }
+    // The request is in flight: the server may write to our tty from
+    // here on, so a silent fallback would duplicate output.  Forward
+    // SIGINT/SIGTERM over the socket and wait for the verdict.
+    g_serve_fd = fd;
+    struct sigaction sa, old_int, old_term;
+    memset(&sa, 0, sizeof(sa));
+    sa.sa_handler = serve_forward_sigint;
+    sigaction(SIGINT, &sa, &old_int);
+    sigaction(SIGTERM, &sa, &old_term);
+    char line[64];
+    size_t len = 0;
+    bool got = false;
+    while (len < sizeof(line) - 1) {
+        const ssize_t n = read(fd, line + len, 1);
+        if (n == 0) break;
+        if (n < 0) {
+            if (errno == EINTR) continue;  // signal forwarded; keep waiting
+            break;
+        }
+        if (line[len] == '\n') {
+            got = true;
+            break;
+        }
+        ++len;
+    }
+    line[len] = 0;
+    g_serve_fd = -1;
+    sigaction(SIGINT, &old_int, nullptr);
+    sigaction(SIGTERM, &old_term, nullptr);
+    close(fd);
+    if (got && line[0] == 'D') return;  // refused before any output
+    if (got && line[0] == 'R') exit(atoi(line + 2));
+    // Protocol died mid-request: output state unknown, do not re-run.
+    exit(1);
+}
+
 [[noreturn]] static void exec_fallback() {
+    try_serve();
     char self[PATH_MAX];
     ssize_t n = readlink("/proc/self/exe", self, sizeof(self) - 1);
     std::string script;
