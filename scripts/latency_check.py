@@ -34,7 +34,14 @@ REF = os.path.join(REPO, ".refbuild", "src", "timg")
 RUNS = 12
 
 
+_T0 = time.time()
+
+
 def measure(cmd, env, warmup=1, runs=RUNS):
+    import shlex
+    print(f"[lat {time.time() - _T0:7.1f}s] measuring: "
+          + " ".join(shlex.quote(c) for c in cmd[:4]), file=sys.stderr,
+          flush=True)
     for _ in range(warmup):
         subprocess.run(cmd, env=env, capture_output=True, timeout=600)
     times = []

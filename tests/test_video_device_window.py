@@ -1,0 +1,111 @@
+"""Device-resident sixel video windows (round 4).
+
+The legacy video flow fetched resized RGBA frames to host and then
+re-uploaded them for dithering — 2x ~4 B/px of link traffic per window.
+prime_sixel_video_device keeps pixels on device end-to-end; these tests
+pin byte identity against the legacy path (TIMG_TPU_VIDEO_DEVICE_WINDOW
+=0) across all three dither modes, and the lazy DeviceFrame contract.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+
+def _y4m(tmp_path, w=64, h=48, n=5):
+    p = tmp_path / "v.y4m"
+    rng = np.random.default_rng(9)
+    with open(p, "wb") as f:
+        f.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
+                 % (w, h)).encode())
+        for i in range(n):
+            y = np.full((h, w), 70 + 15 * i, np.uint8)
+            y[:, w // 3:] = 180 - 10 * i
+            y[10:30, 10:40] = rng.integers(16, 236, (20, 30),
+                                           dtype=np.uint8)
+            f.write(b"FRAME\n")
+            f.write(y.tobytes())
+            f.write(np.full((h // 2, w // 2), 115, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 135, np.uint8).tobytes())
+    return str(p)
+
+
+def _run_cli_pty(argv, out_path, monkeypatch, device_window: bool):
+    from tests.test_protocols import _with_scripted_pty
+    from timg_tpu.cli import main as cli_main
+
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+    monkeypatch.setenv("TIMG_TPU_VIDEO_DEVICE_WINDOW",
+                       "1" if device_window else "0")
+
+    def inner(slave):
+        saved = os.dup(1)
+        try:
+            os.dup2(slave, 1)
+            rc = cli_main(argv + ["-o", str(out_path)])
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+        assert rc == 0
+        return out_path.read_bytes()
+
+    return _with_scripted_pty(inner, {})
+
+
+@pytest.mark.parametrize("dither", ["libsixel", "cube", "adaptive"])
+def test_device_window_byte_identity(dither, tmp_path, monkeypatch):
+    y4m = _y4m(tmp_path)
+    argv = ["--debug-no-frame-delay", "-g40x20", "-ps", "-b", "black",
+            "--loops=1", f"--dither={dither}", y4m]
+    fast = _run_cli_pty(argv, tmp_path / "fast.out", monkeypatch, True)
+    legacy = _run_cli_pty(argv, tmp_path / "legacy.out", monkeypatch,
+                          False)
+    assert fast == legacy
+    assert fast.count(b"\033Pq") == 5
+
+
+def test_device_window_engages(tmp_path, monkeypatch):
+    """The fast path actually runs (DeviceFrame placeholders reach the
+    sink) and pixels materialize lazily with correct content."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render import plane_cache
+
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+    monkeypatch.delenv("TIMG_TPU_VIDEO_DEVICE_WINDOW", raising=False)
+    rng = np.random.default_rng(3)
+    b, h, w = 3, 24, 32
+    ys = rng.integers(16, 236, (b, h, w), dtype=np.uint8)
+    us = np.full((b, h // 2, w // 2), 110, np.uint8)
+    vs = np.full((b, h // 2, w // 2), 150, np.uint8)
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "cube"
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)
+    frames = plane_cache.prime_sixel_video_device(
+        ys, us, vs, 12, 16, True, opts, {})
+    assert frames is not None and len(frames) == b
+    f0 = frames[0]
+    assert isinstance(f0, plane_cache.DeviceFrame)
+    assert f0.shape == (12, 16, 4)
+    primed = plane_cache.SIXEL_PLANES.pop(f0)
+    assert primed is not None
+    # lazy materialization: correct alpha + plausible pixels
+    arr = np.asarray(f0)
+    assert arr.shape == (12, 16, 4)
+    assert (arr[..., 3] == 255).all()
+    # __getitem__ contract used by canvas fallbacks
+    np.testing.assert_array_equal(f0[2:5], arr[2:5])
+
+
+def test_device_window_disabled_uses_legacy(tmp_path, monkeypatch):
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render import plane_cache
+
+    monkeypatch.setenv("TIMG_TPU_VIDEO_DEVICE_WINDOW", "0")
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "cube"
+    assert plane_cache.prime_sixel_video_device(
+        np.zeros((1, 12, 16), np.uint8), np.zeros((1, 6, 8), np.uint8),
+        np.zeros((1, 6, 8), np.uint8), 12, 16, True, opts, {}) is None

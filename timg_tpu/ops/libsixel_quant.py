@@ -83,6 +83,24 @@ _LUM = (0.2989, 0.5866, 0.1145)  # largestByLuminosity factors
 # Histogram (computeHistogram)
 # ---------------------------------------------------------------------------
 
+def sample_stride(n_pixels: int, reqcolors: int = 256,
+                  quality: str = QUALITY_AUTO) -> int:
+    """quant.c computeHistogram's pixel sampling stride: the histogram
+    reads every stride-th pixel in raster order.  Exposed so device
+    pipelines can ship exactly these samples instead of whole frames
+    (the palette then comes out byte-identical)."""
+    length = n_pixels * 3
+    if quality == QUALITY_AUTO:
+        quality = QUALITY_HIGH if reqcolors <= 8 else QUALITY_LOW
+    max_sample = 4003079 if quality == QUALITY_FULL else 18383
+    step = length // 3 // max_sample * 3
+    if length < max_sample * 3:
+        step = 6 * 3
+    if step <= 0:
+        step = 3
+    return step // 3
+
+
 def compute_histogram(rgb: np.ndarray, reqcolors: int = 256,
                       quality: str = QUALITY_AUTO
                       ) -> Tuple[np.ndarray, np.ndarray]:
@@ -92,18 +110,15 @@ def compute_histogram(rgb: np.ndarray, reqcolors: int = 256,
     first-seen order, counts [K] int64 saturated at 65535).
     """
     flat = np.ascontiguousarray(rgb).reshape(-1, 3)
-    length = flat.size  # bytes, like libsixel's length = w*h*3
-    if quality == QUALITY_AUTO:
-        quality = QUALITY_HIGH if reqcolors <= 8 else QUALITY_LOW
-    max_sample = 4003079 if quality == QUALITY_FULL else 18383
+    stride = sample_stride(flat.shape[0], reqcolors, quality)
+    return histogram_from_samples(flat[::stride])
 
-    step = length // 3 // max_sample * 3
-    if length < max_sample * 3:
-        step = 6 * 3
-    if step <= 0:
-        step = 3
 
-    sampled = flat[:: step // 3].astype(np.int32)
+def histogram_from_samples(sampled: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Histogram tail over pre-sampled pixels [K, 3] (the sequence
+    sample_stride produces; device pipelines fetch only these)."""
+    sampled = sampled.astype(np.int32)
     buckets = ((sampled[:, 0] >> 3) << 10 | (sampled[:, 1] >> 3) << 5
                | (sampled[:, 2] >> 3))
     uniq, first, counts = np.unique(buckets, return_index=True,
@@ -182,6 +197,17 @@ def make_palette(rgb: np.ndarray, reqcolors: int = 256,
     case the palette is the bucket colors themselves (first-seen order).
     """
     colors, counts = compute_histogram(rgb, reqcolors, quality)
+    if len(colors) <= reqcolors:
+        return colors.astype(np.uint8), False
+    return median_cut(colors, counts, reqcolors), True
+
+
+def make_palette_from_samples(sampled: np.ndarray, reqcolors: int = 256
+                              ) -> Tuple[np.ndarray, bool]:
+    """make_palette over pre-sampled pixels (see sample_stride):
+    byte-identical to make_palette(full_frame) when the sample sequence
+    matches."""
+    colors, counts = histogram_from_samples(sampled)
     if len(colors) <= reqcolors:
         return colors.astype(np.uint8), False
     return median_cut(colors, counts, reqcolors), True

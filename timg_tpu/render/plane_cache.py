@@ -9,6 +9,7 @@ pops. Strong references to the key arrays keep ids stable; FIFO bounded.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Any, Optional
 
@@ -46,6 +47,218 @@ class PlaneCache:
 
 BLOCK_PLANES = PlaneCache()
 SIXEL_PLANES = PlaneCache()
+
+
+class DeviceFrame:
+    """Placeholder for a device-resident video frame.
+
+    The sustained sixel video path keeps pixels on device end-to-end
+    (YUV convert -> resize -> dither -> run transport); the sink/canvas
+    contract only needs a per-frame object with a shape — and, on a
+    plane-cache miss, the pixels.  This materializes them lazily (one
+    device fetch for that frame only), so the common path never ships
+    full RGBA frames over the link."""
+
+    __slots__ = ("_words", "_i", "_th", "shape", "dtype", "_cache")
+
+    def __init__(self, words_dev, i: int, th: int, tw: int):
+        self._words = words_dev      # [B, >=th, tw] i32 device array
+        self._i = i
+        self._th = th
+        self.shape = (th, tw, 4)
+        self.dtype = np.dtype(np.uint8)
+        self._cache = None
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+    def __array__(self, dtype=None, copy=None):
+        if self._cache is None:
+            w = np.asarray(self._words[self._i, :self._th])
+            self._cache = w.view(np.uint8).reshape(self.shape)
+        a = self._cache
+        if dtype is not None and np.dtype(dtype) != a.dtype:
+            a = a.astype(dtype)
+        return a
+
+    def __getitem__(self, key):
+        return self.__array__()[key]
+
+
+_VIDEO_JITS: dict = {}
+
+
+def _video_stage_jit(key, builder):
+    fn = _VIDEO_JITS.get(key)
+    if fn is None:
+        fn = _VIDEO_JITS[key] = builder()
+    return fn
+
+
+def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
+                             full_range: bool, options, state: dict):
+    """Fused device window for opaque 4:2:0 video in sixel sessions.
+
+    Replaces the fetch-RGBA-then-reupload round trip (2 x ~4 B/px over
+    the host link per window) with a device-resident flow: one dispatch
+    converts+resizes and exposes (a) quant.c's exact histogram sample
+    sequence (ops/libsixel_quant.sample_stride — ~74 KB/frame instead
+    of the 3.7 MB frame) for host-side per-frame palettes, and (b) the
+    sixel-padded word planes feeding the dither + run-transport
+    dispatches.  Frames return as DeviceFrame placeholders; the stream
+    is byte-identical to the legacy path (tests/test_video_device_window).
+
+    Returns the placeholder frame list, or None when the fast path
+    does not apply (host mode, multi-device session, unknown mode) —
+    callers then run the legacy fetch path.  TIMG_TPU_VIDEO_DEVICE_
+    WINDOW=0 disables it for A/B comparison."""
+    mode = getattr(options, "sixel_batch_dither", None)
+    if mode not in ("cube", "adaptive", "libsixel"):
+        return None
+    if os.environ.get("TIMG_TPU_VIDEO_DEVICE_WINDOW", "1") == "0":
+        return None
+    from timg_tpu.ops.backend import prefer_host, use_numpy
+    if prefer_host(len(ys), sustained=True) or use_numpy():
+        return None
+    from timg_tpu.parallel import auto
+    if auto.configured_devices() > 1:
+        return None  # sharded sessions keep the legacy window path
+    import jax
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import libsixel_quant as lsq
+    from timg_tpu.ops.sixel_runs import fetch_planes_or_runs
+
+    b = ys.shape[0]
+    padded_h = th + 5 - (th + 5) % 6
+    bg = options.bgcolor_getter() if options.bgcolor_getter else None
+    bg_word = 0
+    if padded_h > th and bg is not None and bg[3] != 0:
+        bg_word = (int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16)
+                   | (255 << 24))
+    # palettes sample the sixel-PADDED frame, like the legacy path
+    # (the bg strip rows are part of what libsixel would see)
+    stride = lsq.sample_stride(padded_h * tw)
+
+    def build_resize():
+        from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.yuv import yuv420_to_rgba_words
+
+        @jax.jit
+        def fn(y, u, v):
+            words = yuv420_to_rgba_words(y, u, v, full_range)
+            words = resize_video_words(words, th, tw)
+            if padded_h > th:
+                pad = jnp.full((words.shape[0], padded_h - th, tw),
+                               np.int32(bg_word), jnp.int32)
+                words = jnp.concatenate([words, pad], axis=1)
+            samples = words.reshape(words.shape[0], -1)[:, ::stride]
+            return words, samples
+        return fn
+
+    resize_fn = _video_stage_jit(
+        ("resize", th, tw, full_range, padded_h, bg_word, stride),
+        build_resize)
+    words_dev, samples_dev = resize_fn(ys, us, vs)
+
+    interpret = jax.default_backend() != "tpu"
+    if mode == "libsixel":
+        samples = np.asarray(samples_dev)
+        rgb = np.stack([samples & 0xFF, (samples >> 8) & 0xFF,
+                        (samples >> 16) & 0xFF], axis=-1).astype(np.uint8)
+        pals, diffs = [], []
+        for i in range(b):
+            pal, diffuse = lsq.make_palette_from_samples(rgb[i])
+            pals.append(pal)
+            diffs.append(bool(diffuse))
+        pals256 = np.stack([
+            np.vstack([p, np.repeat(p[:1], 256 - len(p), 0)]).astype(
+                np.int32) for p in pals])
+        diffs_np = np.asarray(diffs, np.int32)
+
+        def build_dither():
+            from timg_tpu.ops.sixel_pallas3 import (
+                build_bucket_tables_device, fs_dither_table_fused)
+
+            @jax.jit
+            def fn(words, pals_, diffs_):
+                bb = words.shape[0]
+                tables = build_bucket_tables_device(pals_)
+                tw_ = jax.lax.bitcast_convert_type(
+                    tables.reshape(bb, 8192, 4), jnp.int32).reshape(
+                        bb, 64, 128).transpose(1, 0, 2)
+                palw = ((pals_[:, :, 0] << 16) | (pals_[:, :, 1] << 8)
+                        | pals_[:, :, 2]).astype(jnp.int32).reshape(
+                            bb, 2, 128).transpose(1, 0, 2)
+                dww = jnp.broadcast_to(
+                    diffs_[None, :, None], (1, bb, 128)).astype(jnp.int32)
+                return fs_dither_table_fused(
+                    words, tw_, palw, dww, padded_h, tw,
+                    interpret=interpret, out_u8=True)
+            return fn
+
+        dither_fn = _video_stage_jit(
+            ("dither_libsixel", padded_h, tw, interpret), build_dither)
+        planes_dev = dither_fn(words_dev, jnp.asarray(pals256),
+                               jnp.asarray(diffs_np))
+        entries = fetch_planes_or_runs(planes_dev, b, padded_h, tw)
+        frames = [DeviceFrame(words_dev, i, th, tw) for i in range(b)]
+        for i, frame in enumerate(frames):
+            SIXEL_PLANES.put(frame, (entries[i], pals[i], None))
+        return frames
+
+    if mode == "cube":
+        def build_cube():
+            from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
+
+            @jax.jit
+            def fn(words):
+                return fs_dither_cube_fused(words, padded_h, tw,
+                                            out_u8=True,
+                                            interpret=interpret)
+            return fn
+
+        dither_fn = _video_stage_jit(("dither_cube", padded_h, tw,
+                                      interpret), build_cube)
+        planes_dev = dither_fn(words_dev)
+        entries = fetch_planes_or_runs(planes_dev, b, padded_h, tw)
+        frames = [DeviceFrame(words_dev, i, th, tw) for i in range(b)]
+        for i, frame in enumerate(frames):
+            SIXEL_PLANES.put(frame, (entries[i], None, None))
+        return frames
+
+    # adaptive: one median-cut tree per animation segment, built from
+    # the full first frame (byte-identity with the legacy path; one
+    # 4 B/px fetch per segment, amortized across every window)
+    quantizer = state.get("quantizer")
+    if quantizer is None:
+        from timg_tpu.ops.sixel_np import median_cut_tree
+        first = np.asarray(words_dev[0, :padded_h])
+        first_rgba = first.view(np.uint8).reshape(padded_h, tw, 4)
+        quantizer = median_cut_tree(first_rgba[..., :3])
+        state["quantizer"] = quantizer
+    palette, levels, leaves = quantizer
+
+    def build_tree():
+        from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
+
+        @jax.jit
+        def fn(words, levels_, leaves_):
+            return fs_dither_tree_fused(words, levels_, leaves_,
+                                        padded_h, tw, out_u8=True,
+                                        interpret=interpret)
+        return fn
+
+    dither_fn = _video_stage_jit(("dither_tree", padded_h, tw,
+                                  interpret), build_tree)
+    planes_dev = dither_fn(words_dev, jnp.asarray(np.asarray(levels)),
+                           jnp.asarray(np.asarray(leaves)))
+    entries = fetch_planes_or_runs(planes_dev, b, padded_h, tw)
+    frames = [DeviceFrame(words_dev, i, th, tw) for i in range(b)]
+    for i, frame in enumerate(frames):
+        SIXEL_PLANES.put(frame, (entries[i], palette, quantizer))
+    return frames
 
 
 def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool

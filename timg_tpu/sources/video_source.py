@@ -178,6 +178,17 @@ class VideoSource(ImageSource):
             ys = np.stack([f[0] for f in raw])
             us = np.stack([f[1] for f in raw])
             vs = np.stack([f[2] for f in raw])
+            # Sixel sessions: fused device window (convert + resize +
+            # dither + run transport without ever fetching RGBA frames
+            # — the legacy flow shipped ~4 B/px down AND back up per
+            # window; see plane_cache.prime_sixel_video_device).
+            from timg_tpu.render.plane_cache import (
+                prime_sixel_video_device)
+            fast = prime_sixel_video_device(
+                ys, us, vs, th, tw, self._full_range, opts,
+                self._sixel_state)
+            if fast is not None:
+                return fast
             # Multi-chip: pure data parallelism over the frame axis
             # (every frame is independent through convert+resize);
             # single-device returns None and the plain jit runs
