@@ -109,3 +109,44 @@ def test_device_window_disabled_uses_legacy(tmp_path, monkeypatch):
     assert plane_cache.prime_sixel_video_device(
         np.zeros((1, 12, 16), np.uint8), np.zeros((1, 6, 8), np.uint8),
         np.zeros((1, 6, 8), np.uint8), 12, 16, True, opts, {}) is None
+
+
+def _run_cli_file(argv, out_path, monkeypatch, device_window: bool):
+    from timg_tpu.cli import main as cli_main
+
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+    monkeypatch.setenv("TIMG_TPU_VIDEO_DEVICE_WINDOW",
+                       "1" if device_window else "0")
+    rc = cli_main(argv + ["-o", str(out_path)])
+    assert rc == 0
+    return out_path.read_bytes()
+
+
+@pytest.mark.parametrize("mode,geometry", [
+    ("-pq", "-g40x20"),
+    ("-ph", "-g40x20"),
+    ("-pq", "-g41x21"),   # odd output height: blank-row pad path
+])
+def test_block_device_window_byte_identity(mode, geometry, tmp_path,
+                                           monkeypatch):
+    """Block-mode video through the device window == legacy path,
+    including the window-boundary diffs carried via the device tail
+    (13 frames = two windows; diffs across the 8-frame boundary)."""
+    y4m = _y4m(tmp_path, n=13)
+    argv = ["--debug-no-frame-delay", geometry, mode, "-b", "black",
+            "--loops=1", y4m]
+    fast = _run_cli_file(argv, tmp_path / "bfast.out", monkeypatch, True)
+    legacy = _run_cli_file(argv, tmp_path / "blegacy.out", monkeypatch,
+                           False)
+    assert fast == legacy
+    assert fast
+
+
+def test_block_device_window_multi_loop(tmp_path, monkeypatch):
+    """Looping rewinds keep the carried tail consistent."""
+    y4m = _y4m(tmp_path, n=4)
+    argv = ["--debug-no-frame-delay", "-g40x20", "-pq", "-b", "black",
+            "--loops=3", y4m]
+    fast = _run_cli_file(argv, tmp_path / "l1.out", monkeypatch, True)
+    legacy = _run_cli_file(argv, tmp_path / "l2.out", monkeypatch, False)
+    assert fast == legacy

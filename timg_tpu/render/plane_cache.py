@@ -59,12 +59,13 @@ class DeviceFrame:
     device fetch for that frame only), so the common path never ships
     full RGBA frames over the link."""
 
-    __slots__ = ("_words", "_i", "_th", "shape", "dtype", "_cache")
+    __slots__ = ("_words", "_i", "_th", "_y0", "shape", "dtype", "_cache")
 
-    def __init__(self, words_dev, i: int, th: int, tw: int):
-        self._words = words_dev      # [B, >=th, tw] i32 device array
+    def __init__(self, words_dev, i: int, th: int, tw: int, y0: int = 0):
+        self._words = words_dev      # [B, >=y0+th, tw] i32 device array
         self._i = i
         self._th = th
+        self._y0 = y0                # first row (odd-height pad offset)
         self.shape = (th, tw, 4)
         self.dtype = np.dtype(np.uint8)
         self._cache = None
@@ -75,7 +76,8 @@ class DeviceFrame:
 
     def __array__(self, dtype=None, copy=None):
         if self._cache is None:
-            w = np.asarray(self._words[self._i, :self._th])
+            w = np.asarray(
+                self._words[self._i, self._y0:self._y0 + self._th])
             self._cache = w.view(np.uint8).reshape(self.shape)
         a = self._cache
         if dtype is not None and np.dtype(dtype) != a.dtype:
@@ -491,6 +493,92 @@ def _prime_libsixel(frames: list, batch: np.ndarray, host_mode: bool,
 
     for i, frame in enumerate(frames):
         SIXEL_PLANES.put(frame, (indices[i], pals[i], None))
+
+
+def prime_block_video_device(ys, us, vs, th: int, tw: int,
+                             full_range: bool, options, state: dict):
+    """Fused device window for opaque 4:2:0 video in BLOCK sessions
+    (the half/quarter analog of prime_sixel_video_device): convert +
+    resize + glyph argmin + inter-frame cell diffs in device dispatches,
+    fetching only the glyph/fg/bg planes and diff masks (~9 B/cell)
+    instead of round-tripping full RGBA frames.  The previous window's
+    last frame rides along in ``state`` so even the window-boundary
+    diff is device-computed.  Returns placeholder frames or None
+    (callers fall back to the legacy fetch path)."""
+    if options.cell_x_px > 2 or options.cell_y_px != 2:
+        return None
+    if os.environ.get("TIMG_TPU_VIDEO_DEVICE_WINDOW", "1") == "0":
+        return None
+    if options.cell_x_px == 2 and tw % 2:
+        return None  # odd-width quarter frames: per-frame canvas path
+    from timg_tpu.ops.backend import prefer_host, use_numpy
+    if prefer_host(len(ys), sustained=True) or use_numpy():
+        return None
+    from timg_tpu.parallel import auto
+    if auto.configured_devices() > 1:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    b = ys.shape[0]
+    use_upper = get_bool_env("TIMG_USE_UPPER_BLOCK")
+    odd = th % 2
+    ph = th + odd
+    quarter = options.cell_x_px == 2
+
+    def build():
+        from timg_tpu.ops import blocks as blocks_op
+        from timg_tpu.ops.diff import window_cell_diff
+        from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.yuv import yuv420_to_rgba_words
+
+        fn_blocks = (blocks_op.quarter_blocks if quarter
+                     else blocks_op.half_blocks)
+
+        @jax.jit
+        def fn(y, u, v, prev_tail):
+            words = yuv420_to_rgba_words(y, u, v, full_range)
+            words = resize_video_words(words, th, tw)
+            if odd:
+                blank = jnp.zeros((words.shape[0], 1, tw), jnp.int32)
+                pair = ([words, blank] if use_upper else [blank, words])
+                padded_words = jnp.concatenate(pair, axis=1)
+            else:
+                padded_words = words
+            batch = jax.lax.bitcast_convert_type(padded_words, jnp.uint8)
+            glyph, fg, bg = fn_blocks(batch,
+                                      use_upper_half_block=use_upper)
+            prev_u8 = jax.lax.bitcast_convert_type(prev_tail, jnp.uint8)
+            eq = window_cell_diff(
+                jnp.concatenate([prev_u8, batch], axis=0),
+                options.cell_x_px)
+            return padded_words, glyph, fg, bg, eq
+        return fn
+
+    fn = _video_stage_jit(("blocks", th, tw, full_range, quarter,
+                           use_upper, odd), build)
+    prev_words = state.get("block_tail_words")
+    has_prev = prev_words is not None
+    if not has_prev:
+        prev_words = jnp.zeros((1, ph, tw), jnp.int32)
+    padded_words, glyph_d, fg_d, bg_d, eq_d = fn(ys, us, vs, prev_words)
+    glyph = np.asarray(glyph_d)
+    fg = np.asarray(fg_d)
+    bg = np.asarray(bg_d)
+    eq = np.asarray(eq_d)  # [b] masks: eq[i] = frame i vs frame i-1/tail
+
+    y0 = 1 if (odd and not use_upper) else 0  # blank row on top
+    frames = [DeviceFrame(padded_words, i, th, tw, y0) for i in range(b)]
+    padded_ph = [DeviceFrame(padded_words, i, ph, tw) for i in range(b)]
+    prev_obj = state.get("block_tail_obj") if has_prev else None
+    prevs = [prev_obj] + padded_ph[:-1]
+    eqs = [eq[0] if has_prev else None] + list(eq[1:])
+    for i, frame in enumerate(frames):
+        BLOCK_PLANES.put(frame, (padded_ph[i], glyph[i], fg[i], bg[i],
+                                 prevs[i], eqs[i]))
+    state["block_tail_words"] = padded_words[-1:]
+    state["block_tail_obj"] = padded_ph[-1]
+    return frames
 
 
 def prime_block_planes(frames: list, options,

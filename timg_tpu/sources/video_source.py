@@ -183,10 +183,16 @@ class VideoSource(ImageSource):
             # — the legacy flow shipped ~4 B/px down AND back up per
             # window; see plane_cache.prime_sixel_video_device).
             from timg_tpu.render.plane_cache import (
-                prime_sixel_video_device)
+                prime_block_video_device, prime_sixel_video_device)
             fast = prime_sixel_video_device(
                 ys, us, vs, th, tw, self._full_range, opts,
                 self._sixel_state)
+            if fast is None:
+                # block sessions: same device-resident flow, fetching
+                # glyph/fg/bg planes + diff masks instead of frames
+                fast = prime_block_video_device(
+                    ys, us, vs, th, tw, self._full_range, opts,
+                    self._sixel_state)
             if fast is not None:
                 return fast
             # Multi-chip: pure data parallelism over the frame axis
