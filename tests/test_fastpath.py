@@ -102,7 +102,7 @@ def test_png_decode_bails_on_16bit_and_interlace():
     from PIL import Image
     arr16 = (np.arange(16 * 16, dtype=np.uint16).reshape(16, 16) * 251)
     buf = io.BytesIO()
-    Image.fromarray(arr16, "I;16").save(buf, format="PNG")
+    Image.fromarray(arr16).save(buf, format="PNG")  # mode inferred: I;16
     rc, _, _ = _png_decode_c(buf.getvalue())
     assert rc != 0
 
