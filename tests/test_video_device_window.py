@@ -150,3 +150,40 @@ def test_block_device_window_multi_loop(tmp_path, monkeypatch):
     fast = _run_cli_file(argv, tmp_path / "l1.out", monkeypatch, True)
     legacy = _run_cli_file(argv, tmp_path / "l2.out", monkeypatch, False)
     assert fast == legacy
+
+
+def test_deviceframe_reshape_fallback(monkeypatch):
+    """The ANSI canvas's host-diff fallback reshapes padded frames when
+    no device diff mask applies (e.g. a skipped prime); DeviceFrame
+    must materialize transparently there."""
+    import jax.numpy as jnp
+
+    from timg_tpu.render.plane_cache import DeviceFrame
+
+    words = jnp.arange(2 * 4 * 6, dtype=jnp.int32).reshape(2, 4, 6)
+    f = DeviceFrame(words, 1, 4, 6)
+    r = f.reshape(2, 2, 6, 1, 4)
+    np.testing.assert_array_equal(r, np.asarray(f).reshape(2, 2, 6, 1, 4))
+
+
+def test_block_device_window_geometry_change_mid_stream(tmp_path,
+                                                        monkeypatch):
+    """Two videos of different sizes back-to-back: the second source's
+    first frame cannot diff against the first's last (shape mismatch)
+    and must take the full-emit path identically in both flows."""
+    from timg_tpu.cli import main as cli_main
+
+    y1 = _y4m(tmp_path, w=64, h=48, n=3)
+    os.rename(y1, str(tmp_path / "a.y4m"))
+    y2 = _y4m(tmp_path, w=48, h=36, n=3)
+    os.rename(y2, str(tmp_path / "b.y4m"))
+    argv = ["--debug-no-frame-delay", "-g40x20", "-pq", "-b", "black",
+            "--loops=1", str(tmp_path / "a.y4m"), str(tmp_path / "b.y4m")]
+    outs = {}
+    for dw in ("1", "0"):
+        monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+        monkeypatch.setenv("TIMG_TPU_VIDEO_DEVICE_WINDOW", dw)
+        out = tmp_path / f"g{dw}.out"
+        assert cli_main(argv + ["-o", str(out)]) == 0
+        outs[dw] = out.read_bytes()
+    assert outs["1"] == outs["0"]

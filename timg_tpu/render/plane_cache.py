@@ -87,6 +87,11 @@ class DeviceFrame:
     def __getitem__(self, key):
         return self.__array__()[key]
 
+    def reshape(self, *shape):
+        # the ANSI canvas's host-diff fallback reshapes prev/cur padded
+        # frames when a device-computed mask is unavailable
+        return self.__array__().reshape(*shape)
+
 
 _VIDEO_JITS: dict = {}
 
