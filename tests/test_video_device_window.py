@@ -99,6 +99,29 @@ def test_device_window_engages(tmp_path, monkeypatch):
     np.testing.assert_array_equal(f0[2:5], arr[2:5])
 
 
+def test_device_window_pad_rows_opaque_bg(monkeypatch):
+    """Sixel pad rows with an opaque background: the bg RGBA word has
+    alpha<<24 set, which overflows a naive np.int32() (found by a live
+    -g80x24 run; regression).  The padded rows must carry the bg."""
+    from timg_tpu.options import DisplayOptions
+    from timg_tpu.render import plane_cache
+
+    monkeypatch.setenv("TIMG_TPU_FORCE_DEVICE", "1")
+    monkeypatch.delenv("TIMG_TPU_VIDEO_DEVICE_WINDOW", raising=False)
+    b, h, w = 2, 20, 32
+    th = 10   # padded_h = 12 > th: the pad branch runs
+    ys = np.full((b, h, w), 120, np.uint8)
+    us = np.full((b, h // 2, w // 2), 128, np.uint8)
+    vs = np.full((b, h // 2, w // 2), 128, np.uint8)
+    opts = DisplayOptions()
+    opts.sixel_batch_dither = "cube"
+    opts.bgcolor_getter = lambda: (0, 0, 0, 255)   # alpha 255 -> bit 31
+    frames = plane_cache.prime_sixel_video_device(
+        ys, us, vs, th, w, True, opts, {})
+    assert frames is not None and len(frames) == b
+    assert np.asarray(frames[0]).shape == (th, w, 4)
+
+
 def test_device_window_disabled_uses_legacy(tmp_path, monkeypatch):
     from timg_tpu.options import DisplayOptions
     from timg_tpu.render import plane_cache
@@ -187,3 +210,42 @@ def test_block_device_window_geometry_change_mid_stream(tmp_path,
         assert cli_main(argv + ["-o", str(out)]) == 0
         outs[dw] = out.read_bytes()
     assert outs["1"] == outs["0"]
+
+
+def test_verbose_reports_transport_stats(tmp_path, monkeypatch, capsys):
+    """--verbose surfaces the device->host transport accounting for
+    sustained sixel sessions — and only the traffic of THIS run (serve
+    mode reuses the process, so the counters are snapshotted)."""
+    y4m = _y4m(tmp_path)
+    argv = ["--debug-no-frame-delay", "-g40x20", "-ps", "-b", "black",
+            "--loops=1", "--dither=cube", "--verbose", y4m]
+    _run_cli_pty(argv, tmp_path / "v.out", monkeypatch, True)
+    err = capsys.readouterr().err
+    assert "Device->host sixel transport:" in err
+    line = [ln for ln in err.splitlines()
+            if ln.startswith("Device->host sixel transport:")][0]
+    assert " 0.0x)" not in line  # a real ratio was computed
+
+    # A second run reports its own traffic, not the accumulated total.
+    _run_cli_pty(argv, tmp_path / "v2.out", monkeypatch, True)
+    err2 = capsys.readouterr().err
+    line2 = [ln for ln in err2.splitlines()
+             if ln.startswith("Device->host sixel transport:")][0]
+    assert line2 == line
+
+
+def test_verbose_still_keeps_reference_text(tmp_path, monkeypatch, capsys):
+    """One-shot stills never print the TPU-extra transport line: their
+    verbose output stays reference-shaped (ref timg.cc:1007-1104)."""
+    from PIL import Image
+
+    from timg_tpu.cli import main as cli_main
+
+    png = tmp_path / "s.png"
+    Image.new("RGB", (32, 24), (10, 120, 200)).save(png)
+    monkeypatch.setenv("TIMG_TPU_FORCE_NUMPY", "1")
+    rc = cli_main(["--debug-no-frame-delay", "-g40x20", "-pq",
+                   "-b", "black", "--verbose", str(png),
+                   "-o", str(tmp_path / "s.out")])
+    assert rc == 0
+    assert "Device->host sixel transport:" not in capsys.readouterr().err

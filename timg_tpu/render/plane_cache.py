@@ -144,6 +144,8 @@ def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
     if padded_h > th and bg is not None and bg[3] != 0:
         bg_word = (int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16)
                    | (255 << 24))
+        if bg_word >= 1 << 31:     # RGBA word with alpha set: wrap to
+            bg_word -= 1 << 32     # the signed i32 the planes carry
     # palettes sample the sixel-PADDED frame, like the legacy path
     # (the bg strip rows are part of what libsixel would see)
     stride = lsq.sample_stride(padded_h * tw)
