@@ -213,6 +213,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     from timg_tpu import term
 
     term.enable_query_logging(args.verbose)
+    transport_base = None
+    if args.verbose:
+        # Snapshot the device-transport counters so the verbose report
+        # covers THIS run only (serve mode reuses the process).
+        try:
+            from timg_tpu.ops.sixel_runs import STATS as _ts
+            transport_base = dict(_ts)
+        except Exception:
+            pass
     tsize = term.determine_term_size()
 
     display = DisplayOptions()
@@ -603,7 +612,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.verbose:
         _print_verbose_stats(tsize, geometry_width, geometry_height,
                              display, present, sequencer,
-                             len(filelist), successful, duration, bg_color)
+                             len(filelist), successful, duration, bg_color,
+                             transport_base)
     return exit_code
 
 
@@ -711,7 +721,8 @@ def _make_canvas(sequencer, display, present):
 
 
 def _print_verbose_stats(tsize, gw, gh, display, present, sequencer,
-                         n_files, successful, duration, bg_color):
+                         n_files, successful, duration, bg_color,
+                         transport_base=None):
     """ref timg.cc:1007-1104."""
     err = sys.stderr
     print(f"Terminal cells: {tsize.cols}x{tsize.rows}  "
@@ -749,6 +760,25 @@ def _print_verbose_stats(tsize, gw, gh, display, present, sequencer,
           f"({rate}/s) {sequencer.frames_total} frames", file=err)
     if n_files == 1 and sequencer.frames_total > 50 and duration > 0:
         print(f"; {sequencer.frames_total / duration:.1f}fps", file=err)
+    # TPU-native extra: device->host transport accounting for sustained
+    # sixel sessions (ops/sixel_runs.py). Printed only when the device
+    # transport actually moved frames, so one-shot/reference-shaped runs
+    # keep the reference's exact verbose text above.
+    try:
+        from timg_tpu.ops.sixel_runs import STATS as _ts
+        base = transport_base or {k: 0 for k in _ts}
+        d = {k: _ts[k] - base.get(k, 0) for k in _ts}
+        if d["frames_runs"] + d["frames_plane"] > 0:
+            shipped = utils.human_readable_byte_value(d["bytes_shipped"])
+            equiv = utils.human_readable_byte_value(d["bytes_plane_equiv"])
+            ratio = (d["bytes_plane_equiv"] / d["bytes_shipped"]
+                     if d["bytes_shipped"] else 0.0)
+            print(f"Device->host sixel transport: {d['frames_runs']} "
+                  f"frame(s) as run records, {d['frames_plane']} as "
+                  f"planes; {shipped} shipped vs {equiv} plane-equivalent "
+                  f"({ratio:.1f}x)", file=err)
+    except Exception:
+        pass
     for env in ("TIMG_PIXELATION", "TIMG_DEFAULT_TITLE",
                 "TIMG_ALLOW_FRAME_SKIP", "TIMG_USE_UPPER_BLOCK",
                 "TIMG_FONT_WIDTH_CORRECT", "TIMG_SIXEL_NEWLINE_WORKAROUND"):
