@@ -8,7 +8,9 @@ that variable is cleared here.
 import os
 import sys
 
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Stashed for tests that spawn subprocesses needing the REAL pod shim
+# active (tests/test_fullboot_pin.py); None when the env never had it.
+SAVED_POOL_IPS = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

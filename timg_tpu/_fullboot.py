@@ -26,13 +26,40 @@ import os
 import sys
 
 
+class _ExistingModuleLoader(importlib.abc.Loader):
+    """Resolve an import to a module sitecustomize already created.
+
+    When the deferred shim imports jax itself, the OUTER `import jax`
+    that triggered the hook would otherwise re-execute jax/__init__.py
+    from scratch (the import machinery never rechecks sys.modules for
+    top-level names after find_spec starts) — paying the top-level
+    init twice and replacing the module object the shim configured.
+    Handing back the existing module keeps one canonical instance."""
+
+    def __init__(self, module, orig_spec):
+        self._module = module
+        self._orig_spec = orig_spec
+
+    def create_module(self, spec):  # noqa: ARG002
+        return self._module
+
+    def exec_module(self, module) -> None:
+        # _init_module_attrs stamped our synthetic spec/loader over the
+        # module before this call; restore the real ones.
+        if self._orig_spec is not None:
+            module.__spec__ = self._orig_spec
+            if self._orig_spec.loader is not None:
+                module.__loader__ = self._orig_spec.loader
+
+
 class _JaxBootHook(importlib.abc.MetaPathFinder):
     """Run the deferred site customization before the first jax import.
 
-    find_spec returns None always -- the hook never resolves modules, it
-    only uses the first `jax` lookup as its trigger.  sitecustomize
-    itself imports jax (axon.register); the `done` flag keeps that
-    recursion on the normal import machinery.
+    The hook only uses the first `jax` lookup as its trigger; the
+    `done` flag keeps the shim's own recursive jax import on the
+    normal machinery.  If the shim imported jax, the already-built
+    module is handed back (see _ExistingModuleLoader); otherwise
+    find_spec returns None and the normal import proceeds.
     """
 
     done = False
@@ -44,6 +71,36 @@ class _JaxBootHook(importlib.abc.MetaPathFinder):
                 import sitecustomize  # noqa: F401
             except Exception:
                 pass  # no pod shim: plain jax plugin discovery applies
+            # Pod shims force their accelerator via config.update
+            # ("jax_platforms", "axon,cpu"), which silently overrides
+            # the JAX_PLATFORMS=cpu pin cli._force_host_backend set
+            # BEFORE this deferred import.  A FORCE_NUMPY "CPU
+            # reference" run would then compute on the remote device —
+            # and hang forever if the tunnel stalls mid-fetch.  Re-pin
+            # after the shim: config.update wins over the shim's by
+            # running later.  (Shim-less boots never enter this branch:
+            # jax is only in sys.modules here if sitecustomize
+            # imported it.)
+            if "jax" in sys.modules:
+                mod = sys.modules["jax"]
+                if os.environ.get("TIMG_TPU_FORCE_NUMPY"):
+                    try:
+                        mod.config.update("jax_platforms", "cpu")
+                    except Exception:
+                        pass
+                import importlib.util
+                spec = importlib.util.spec_from_loader(
+                    name, _ExistingModuleLoader(
+                        mod, getattr(mod, "__spec__", None)))
+                # _bootstrap._find_spec ignores a finder's spec when the
+                # name is already in sys.modules and returns
+                # module.__spec__ instead (re-executing the module with
+                # its original file loader).  Stamping the synthetic
+                # spec onto the module routes the load through
+                # _ExistingModuleLoader; exec_module restores the real
+                # spec.
+                mod.__spec__ = spec
+                return spec
         return None
 
 
