@@ -107,8 +107,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # resize on device); "sws" = host swscale SWS_BILINEAR straight to
     # display size in one call -- the reference's exact video leg (ref
     # video-source.cc:59-89 + :352-354), byte-matching a full reference
-    # build linked against the same libswscale.
-    p.add_argument("--resample", choices=["auto", "sws"], default="auto")
+    # build linked against the same libswscale; "sws-bitexact" = the
+    # same algorithm as a DEVICE kernel with SWS_BITEXACT semantics
+    # (ops/sws_resize.py), keeping the 1.5 B/px YUV transport while
+    # producing libswscale's platform-independent bytes.
+    p.add_argument("--resample", choices=["auto", "sws", "sws-bitexact"],
+                   default="auto")
     # timg-tpu extension: shard sustained frame-batch dispatches (video
     # windows, animations, batched dither planes) over N chips of a
     # ('data',) jax mesh; "auto" = all visible devices. Default 1.

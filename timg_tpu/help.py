@@ -217,13 +217,19 @@ TIMG-TPU EXTENSIONS
         case the faster 'adaptive' path plays it; the choice is made
         once per session so all frames stay byte-consistent.
 
-    --resample=<auto|sws>
+    --resample=<auto|sws|sws-bitexact>
         Video frame resampling. 'auto' (default) ships raw YUV planes
         to the device and resizes there (BT.601 + MXU resampling).
         'sws' scales each decoded frame on the host with swscale
         SWS_BILINEAR straight to display size in one call - the exact
         pipeline of a full-featured reference timg build, so output
         bytes match such a build linked against the same libswscale.
+        'sws-bitexact' runs the same swscale algorithm as a device
+        kernel with SWS_BITEXACT (platform-independent) arithmetic,
+        keeping the raw-YUV device transport while byte-matching a
+        reference build run with bitexact flags; falls back to the
+        host 'sws' leg for geometries the kernel does not model (odd
+        display widths, non-4:2:0 streams, transparent suffixes).
 
     --devices=<n|auto>
         Shard sustained frame-batch work (video windows, animations,

@@ -60,6 +60,32 @@ def _get_yuv_jit():
     return _yuv_jit
 
 
+_sws_jit = None
+
+
+def _get_sws_jit():
+    """Jitted device swscale-bitexact convert+resize (ops/sws_resize.py):
+    one fused dispatch per window, byte-equal to libswscale
+    SWS_BILINEAR|SWS_BITEXACT (ref video-source.cc:352-354)."""
+    global _sws_jit
+    if _sws_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from timg_tpu.ops.sws_resize import sws_yuv420_to_rgba_words
+
+        @functools.partial(jax.jit,
+                           static_argnames=("th", "tw", "full_range"))
+        def convert_resize(y, u, v, th, tw, full_range):
+            words = sws_yuv420_to_rgba_words(y, u, v, th, tw, full_range)
+            return jax.lax.bitcast_convert_type(words, jnp.uint8)
+
+        _sws_jit = convert_resize
+    return _sws_jit
+
+
 class VideoSource(ImageSource):
     def __init__(self, filename: str):
         super().__init__(filename)
@@ -115,11 +141,13 @@ class VideoSource(ImageSource):
         # compose path is the tested one).
         self._full_range = False
         self._use_yuv = False
+        self._sws_device = False
         # --resample=sws: the reference's exact video leg -- decode +
         # swscale SWS_BILINEAR straight to display size in one host
         # call per frame (ref video-source.cc:59-89 + :352-354); no
         # device resize, no YUV transport.
-        self._use_sws = (getattr(options, "resample", "auto") == "sws"
+        resample = getattr(options, "resample", "auto")
+        self._use_sws = (resample == "sws"
                          and hasattr(lib, "timg_video_read_frame_scaled"))
         if hasattr(lib, "timg_video_pix_info") \
                 and not self._use_sws \
@@ -132,6 +160,18 @@ class VideoSource(ImageSource):
         tw, th, _ = calc_scale_to_fit(self.orig_width, self.orig_height,
                                       options)
         self._target = (tw, th)
+        if resample == "sws-bitexact":
+            # Device swscale: keeps the 1.5 B/px YUV transport while
+            # producing libswscale's SWS_BITEXACT bytes on the TPU
+            # (ops/sws_resize.py).  Geometries the kernel does not
+            # model (odd display width, non-4:2:0, transparent
+            # suffixes) fall back to the host sws leg.
+            from timg_tpu.ops import sws_resize
+            if self._use_yuv and sws_resize.supports(tw):
+                self._sws_device = True
+            elif hasattr(lib, "timg_video_read_frame_scaled"):
+                self._use_sws = True
+                self._use_yuv = False
         self.indentation = (
             int((options.width - tw) / 2)
             if options.center_horizontally else 0
@@ -174,6 +214,30 @@ class VideoSource(ImageSource):
             # --resample=sws: frames arrive already at display size
             # (host swscale); only compose + plane priming remain.
             result = np.stack(raw)
+        elif kind == "yuv" and getattr(self, "_sws_device", False):
+            # --resample=sws-bitexact: device swscale kernel; bypasses
+            # the fused stb-resize windows (different resize bytes) but
+            # keeps the batched device dispatch + plane priming below.
+            ys = np.stack([f[0] for f in raw])
+            us = np.stack([f[1] for f in raw])
+            vs = np.stack([f[2] for f in raw])
+            full_range = self._full_range
+
+            def _sws_shard(y, u, v):
+                import jax
+
+                from timg_tpu.ops.sws_resize import (
+                    sws_yuv420_to_rgba_words)
+                words = sws_yuv420_to_rgba_words(y, u, v, th, tw,
+                                                 full_range)
+                return jax.lax.bitcast_convert_type(words, jnp.uint8)
+
+            result = auto.shard_batch_call(
+                ("video_sws", ys.shape[-1], ys.shape[-2], th, tw,
+                 full_range), _sws_shard, [ys, us, vs])
+            if result is None:
+                result = np.asarray(_get_sws_jit()(
+                    ys, us, vs, th, tw, full_range))
         elif kind == "yuv":
             ys = np.stack([f[0] for f in raw])
             us = np.stack([f[1] for f in raw])
