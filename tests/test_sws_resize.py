@@ -190,3 +190,29 @@ def test_video_source_sws_bitexact_falls_back_odd_width():
         assert not src._sws_device and src._use_sws
     finally:
         os.unlink(path)
+
+
+def test_sws_device_window_byte_identity(tmp_path, monkeypatch):
+    """--resample=sws-bitexact rides the device-resident window: the
+    fast path (window on) is byte-identical to the plain batched jit
+    (window off), and both differ from the lean default resample
+    (proving the swscale kernel is actually in the flow)."""
+    from timg_tpu.native import runtime
+
+    if runtime.load() is None:
+        pytest.skip("native video helper not built")
+    from tests.test_video_device_window import _run_cli_pty, _y4m
+
+    y4m = _y4m(tmp_path)
+    for mode in ("-ps", "-pq"):
+        argv = ["--debug-no-frame-delay", "-g40x20", mode, "-b", "black",
+                "--loops=1", "--resample=sws-bitexact", y4m]
+        fast = _run_cli_pty(argv, tmp_path / "fast.out", monkeypatch,
+                            True)
+        legacy = _run_cli_pty(argv, tmp_path / "legacy.out", monkeypatch,
+                              False)
+        assert fast == legacy, mode
+        lean = _run_cli_pty(
+            ["--debug-no-frame-delay", "-g40x20", mode, "-b", "black",
+             "--loops=1", y4m], tmp_path / "lean.out", monkeypatch, True)
+        assert fast != lean, mode

@@ -104,7 +104,8 @@ def _video_stage_jit(key, builder):
 
 
 def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
-                             full_range: bool, options, state: dict):
+                             full_range: bool, options, state: dict,
+                             resample: str = "lean"):
     """Fused device window for opaque 4:2:0 video in sixel sessions.
 
     Replaces the fetch-RGBA-then-reupload round trip (2 x ~4 B/px over
@@ -152,12 +153,19 @@ def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
 
     def build_resize():
         from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.sws_resize import sws_yuv420_to_rgba_words
         from timg_tpu.ops.yuv import yuv420_to_rgba_words
 
         @jax.jit
         def fn(y, u, v):
-            words = yuv420_to_rgba_words(y, u, v, full_range)
-            words = resize_video_words(words, th, tw)
+            if resample == "sws":
+                # --resample=sws-bitexact: swscale's exact arithmetic
+                # on device (ops/sws_resize.py)
+                words = sws_yuv420_to_rgba_words(y, u, v, th, tw,
+                                                 full_range)
+            else:
+                words = yuv420_to_rgba_words(y, u, v, full_range)
+                words = resize_video_words(words, th, tw)
             if padded_h > th:
                 pad = jnp.full((words.shape[0], padded_h - th, tw),
                                np.int32(bg_word), jnp.int32)
@@ -167,8 +175,8 @@ def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
         return fn
 
     resize_fn = _video_stage_jit(
-        ("resize", th, tw, full_range, padded_h, bg_word, stride),
-        build_resize)
+        ("resize", th, tw, full_range, padded_h, bg_word, stride,
+         resample), build_resize)
     words_dev, samples_dev = resize_fn(ys, us, vs)
 
     interpret = jax.default_backend() != "tpu"
@@ -503,7 +511,8 @@ def _prime_libsixel(frames: list, batch: np.ndarray, host_mode: bool,
 
 
 def prime_block_video_device(ys, us, vs, th: int, tw: int,
-                             full_range: bool, options, state: dict):
+                             full_range: bool, options, state: dict,
+                             resample: str = "lean"):
     """Fused device window for opaque 4:2:0 video in BLOCK sessions
     (the half/quarter analog of prime_sixel_video_device): convert +
     resize + glyph argmin + inter-frame cell diffs in device dispatches,
@@ -537,6 +546,7 @@ def prime_block_video_device(ys, us, vs, th: int, tw: int,
         from timg_tpu.ops import blocks as blocks_op
         from timg_tpu.ops.diff import window_cell_diff
         from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.sws_resize import sws_yuv420_to_rgba_words
         from timg_tpu.ops.yuv import yuv420_to_rgba_words
 
         fn_blocks = (blocks_op.quarter_blocks if quarter
@@ -544,8 +554,13 @@ def prime_block_video_device(ys, us, vs, th: int, tw: int,
 
         @jax.jit
         def fn(y, u, v, prev_tail):
-            words = yuv420_to_rgba_words(y, u, v, full_range)
-            words = resize_video_words(words, th, tw)
+            if resample == "sws":
+                # --resample=sws-bitexact (ops/sws_resize.py)
+                words = sws_yuv420_to_rgba_words(y, u, v, th, tw,
+                                                 full_range)
+            else:
+                words = yuv420_to_rgba_words(y, u, v, full_range)
+                words = resize_video_words(words, th, tw)
             if odd:
                 blank = jnp.zeros((words.shape[0], 1, tw), jnp.int32)
                 pair = ([words, blank] if use_upper else [blank, words])
@@ -563,7 +578,7 @@ def prime_block_video_device(ys, us, vs, th: int, tw: int,
         return fn
 
     fn = _video_stage_jit(("blocks", th, tw, full_range, quarter,
-                           use_upper, odd), build)
+                           use_upper, odd, resample), build)
     prev_words = state.get("block_tail_words")
     has_prev = prev_words is not None
     if not has_prev:

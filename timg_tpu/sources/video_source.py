@@ -215,13 +215,25 @@ class VideoSource(ImageSource):
             # (host swscale); only compose + plane priming remain.
             result = np.stack(raw)
         elif kind == "yuv" and getattr(self, "_sws_device", False):
-            # --resample=sws-bitexact: device swscale kernel; bypasses
-            # the fused stb-resize windows (different resize bytes) but
-            # keeps the batched device dispatch + plane priming below.
+            # --resample=sws-bitexact: device swscale kernel
+            # (ops/sws_resize.py) slotted into the same device-resident
+            # window transport as the lean path, so the exact-swscale
+            # mode pays no extra host traffic.
             ys = np.stack([f[0] for f in raw])
             us = np.stack([f[1] for f in raw])
             vs = np.stack([f[2] for f in raw])
             full_range = self._full_range
+            from timg_tpu.render.plane_cache import (
+                prime_block_video_device, prime_sixel_video_device)
+            fast = prime_sixel_video_device(
+                ys, us, vs, th, tw, full_range, opts,
+                self._sixel_state, resample="sws")
+            if fast is None:
+                fast = prime_block_video_device(
+                    ys, us, vs, th, tw, full_range, opts,
+                    self._sixel_state, resample="sws")
+            if fast is not None:
+                return fast
 
             def _sws_shard(y, u, v):
                 import jax
