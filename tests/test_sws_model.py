@@ -53,6 +53,13 @@ GEOS = [
     (37, 23, 22, 37),    # odd source dims, up+down mix
     (129, 47, 48, 96),   # prime-ish sizes
     (16, 4, 200, 3),     # extreme aspect change
+    # odd dst_w: the SWS_FULL_CHR_H_INT path (full-width chroma +
+    # yuv2rgb_write_full with int32-wraparound semantics)
+    (64, 48, 31, 24),    # full_2 template
+    (64, 48, 33, 48),    # full_1 template (vertical unscaled luma)
+    (32, 24, 65, 48),    # odd upscale
+    (16, 4, 201, 3),     # odd extreme aspect (full_X template)
+    (63, 47, 63, 47),    # odd equal size -> unscaled converter
 ]
 
 
@@ -75,8 +82,8 @@ def test_model_random_geometry_sweep():
     for t in range(12):
         sw = int(rng.integers(8, 160))
         sh = int(rng.integers(4, 120))
-        dw = int(rng.integers(2, 80)) * 2  # even: the pair-chroma path
-        dh = int(rng.integers(3, 100))
+        dw = int(rng.integers(3, 160))  # both parities: pair-chroma
+        dh = int(rng.integers(3, 100))  # and full-chroma paths
         full = bool(rng.integers(0, 2))
         y, u, v = _planes(rng, sw, sh, t % 4)
         want = runtime.sws_scale_yuv420(y, u, v, dh, dw, full,

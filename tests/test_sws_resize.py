@@ -36,6 +36,11 @@ GEOS = [
     (37, 23, 22, 37),    # odd source dims
     (129, 47, 48, 96),   # prime-ish
     (16, 4, 200, 4),     # extreme aspect (packedX template)
+    # odd dst_w (full-chroma) + equal-size (unscaled converter)
+    (64, 48, 31, 24),    # full_2 template
+    (64, 48, 33, 48),    # full_1 template
+    (32, 24, 65, 48),    # odd upscale (int32-wrap coverage)
+    (64, 48, 64, 48),    # unscaled special converter
 ]
 
 
@@ -53,7 +58,7 @@ def test_numpy_mirror_matches_scalar_model(sw, sh, dw, dh, full):
         np.testing.assert_array_equal(rgba[i], want)
 
 
-@pytest.mark.parametrize("sw,sh,dw,dh", GEOS[:4])
+@pytest.mark.parametrize("sw,sh,dw,dh", GEOS[:4] + GEOS[-4:])
 def test_jax_kernel_matches_numpy_mirror(sw, sh, dw, dh):
     import jax.numpy as jnp
 
@@ -68,10 +73,11 @@ def test_jax_kernel_matches_numpy_mirror(sw, sh, dw, dh):
         np.testing.assert_array_equal(got, want)
 
 
-def test_supports_gate():
-    assert sws_resize.supports(32) and not sws_resize.supports(33)
-    with pytest.raises(ValueError):
-        sws_resize.Plan(16, 16, 15, 16, False)
+def test_plan_layout_selection():
+    assert sws_resize.supports(32) and sws_resize.supports(33)
+    assert sws_resize.Plan(16, 16, 15, 16, False).full_chroma
+    assert not sws_resize.Plan(16, 16, 14, 16, False).full_chroma
+    assert sws_resize.Plan(16, 16, 16, 16, False).unscaled
 
 
 # --- VideoSource wiring ----------------------------------------------------

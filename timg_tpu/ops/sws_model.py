@@ -69,6 +69,30 @@ FULL_UNSCALED = dict(cy=65536, a0=32768, crv=91881, cbu=116129,
 SWS_MAX_REDUCE_CUTOFF = 0.002
 
 
+def full_chroma_coeffs(full_range: bool) -> dict:
+    """yuv2rgb_write_full's int16 coefficients (utils.c
+    sws_setColorspaceDetails): ITU601 inverse table, range-scaled,
+    then roundToInt16(v << 13).  Verified byte-exact by the odd-width
+    fuzz matrix in tests/test_sws_model.py."""
+    crv, cbu, cgu, cgv = 104597, 132201, -25675, -53279
+    cy, oy = 1 << 16, 0
+    if not full_range:
+        cy = (cy * 255) // 219
+        oy = 16 << 16
+    else:
+        crv = (crv * 224) // 255
+        cbu = (cbu * 224) // 255
+        cgu = (cgu * 224) // 255
+        cgv = (cgv * 224) // 255
+
+    def r16(v):
+        return (v + (1 << 15)) >> 16
+
+    return dict(y_coe=r16(cy << 13), y_off=r16(oy << 9),
+                v2r=r16(crv << 13), u2b=r16(cbu << 13),
+                u2g=r16(cgu << 13), v2g=r16(cgv << 13))
+
+
 def _c_div(a: int, b: int) -> int:
     """C integer division (truncates toward zero)."""
     q = abs(a) // abs(b)
@@ -203,10 +227,15 @@ def init_filter(x_inc: int, src_w: int, dst_w: int, filter_align: int,
 
 
 def sws_geometry(src_w: int, src_h: int, dst_w: int, dst_h: int):
-    """Scale increments + chroma plane sizes for yuv420p -> RGBA."""
+    """Scale increments + chroma plane sizes for yuv420p -> RGBA.
+
+    Even dst_w: chroma is scaled to HALF the output width and shared by
+    pixel pairs.  Odd dst_w: libswscale enables full chroma horizontal
+    interpolation (SWS_FULL_CHR_H_INT) -- chroma is scaled to the FULL
+    output width and converted per pixel via yuv2rgb_write_full."""
     chr_src_w = -(-src_w // 2)
     chr_src_h = -(-src_h // 2)
-    chr_dst_w = -(-dst_w // 2)  # RGB dst: chroma at half width
+    chr_dst_w = dst_w if dst_w % 2 else dst_w // 2
     chr_dst_h = dst_h
     lum_x_inc = ((src_w << 16) + (dst_w >> 1)) // dst_w
     lum_y_inc = ((src_h << 16) + (dst_h >> 1)) // dst_h
@@ -241,6 +270,71 @@ def _filters(src_w, src_h, dst_w, dst_h):
     return g, h_lum, h_chr, v_lum, v_chr
 
 
+def _wrap32(x):
+    """C int32 wraparound ((unsigned)Y + V*coeff in yuv2rgb_write_full
+    wraps mod 2**32 before the sign-bit clip test)."""
+    return ((x + (1 << 31)) % (1 << 32)) - (1 << 31)
+
+
+def _write_full(y1, uu, vv, cst):
+    """yuv2rgb_write_full (output.c): value-composed per-pixel
+    conversion used on the full-chroma path; av_clip_uintp2(.,30)
+    then >>22."""
+    y1 = _wrap32(_wrap32((y1 - cst["y_off"]) * cst["y_coe"]) + (1 << 21))
+    r = _wrap32(y1 + vv * cst["v2r"])
+    g = _wrap32(y1 + vv * cst["v2g"] + uu * cst["u2g"])
+    b = _wrap32(y1 + uu * cst["u2b"])
+
+    def clip30(x):
+        return np.clip(x, 0, (1 << 30) - 1)
+
+    return clip30(r) >> 22, clip30(g) >> 22, clip30(b) >> 22
+
+
+def _full_chroma_rows(y15, u15, v15, vlp, vlc, vcp, vcc, dst_h, dst_w,
+                      full_range):
+    """The yuv2rgb_full_{1,2,X} vertical templates (output.c): same
+    three-way selection as the packed path but 19-bit >>10
+    intermediates and per-pixel write_full conversion."""
+    v_lum_size = vlc.shape[1]
+    v_chr_size = vcc.shape[1]
+    cst = full_chroma_coeffs(full_range)
+    out = np.zeros((dst_h, dst_w, 4), np.uint8)
+    for dy in range(dst_h):
+        ly = y15[vlp[dy]:vlp[dy] + v_lum_size].astype(np.int64)
+        lu = u15[vcp[dy]:vcp[dy] + v_chr_size].astype(np.int64)
+        lv = v15[vcp[dy]:vcp[dy] + v_chr_size].astype(np.int64)
+        if v_lum_size == 1 and v_chr_size <= 2:
+            uvalpha = int(vcc[dy, 1]) if v_chr_size == 2 else 0
+            y1 = ly[0] << 2
+            if uvalpha < 2048:
+                uu = (lu[0] - (128 << 7)) << 2
+                vv = (lv[0] - (128 << 7)) << 2
+            else:
+                uu = (lu[0] + lu[1] - (128 << 8)) << 1
+                vv = (lv[0] + lv[1] - (128 << 8)) << 1
+        elif v_lum_size == 2 and v_chr_size == 2:
+            yalpha = int(vlc[dy, 1])
+            uvalpha = int(vcc[dy, 1])
+            y1 = (ly[0] * (4096 - yalpha) + ly[1] * yalpha) >> 10
+            uu = (lu[0] * (4096 - uvalpha) + lu[1] * uvalpha
+                  - (128 << 19)) >> 10
+            vv = (lv[0] * (4096 - uvalpha) + lv[1] * uvalpha
+                  - (128 << 19)) >> 10
+        else:
+            y1 = ((1 << 9) + (ly * vlc[dy][:, None]).sum(0)) >> 10
+            uu = ((1 << 9) - (128 << 19)
+                  + (lu * vcc[dy][:, None]).sum(0)) >> 10
+            vv = ((1 << 9) - (128 << 19)
+                  + (lv * vcc[dy][:, None]).sum(0)) >> 10
+        r, g, b = _write_full(y1, uu, vv, cst)
+        out[dy, :, 0] = r
+        out[dy, :, 1] = g
+        out[dy, :, 2] = b
+        out[dy, :, 3] = 255
+    return out
+
+
 def sws_bilinear_yuv420_to_rgba(y: np.ndarray, u: np.ndarray,
                                 v: np.ndarray, dst_h: int, dst_w: int,
                                 full_range: bool) -> np.ndarray:
@@ -258,6 +352,10 @@ def sws_bilinear_yuv420_to_rgba(y: np.ndarray, u: np.ndarray,
 
     if dst_h == src_h and dst_w == src_w:
         return unscaled_yuv420_to_rgba(y, u, v, full_range)
+
+    if dst_w % 2:
+        return _full_chroma_rows(y15, u15, v15, vlp, vlc, vcp, vcc,
+                                 dst_h, dst_w, full_range)
 
     out = np.zeros((dst_h, dst_w, 4), np.uint8)
     cst = FULL_SCALED if full_range else MPEG_SCALED

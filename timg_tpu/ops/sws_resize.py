@@ -16,9 +16,10 @@ constants.  Output is [B, dst_h, dst_w] RGBA-packed int32 words
 (alpha 255), the same convention as ops/yuv.yuv420_to_rgba_words, so
 the device video window consumes it unchanged.
 
-Odd output widths take libswscale's full-chroma-interpolation path,
-which this kernel does not model; callers must gate on even dst_w
-(``supports`` below) and fall back to the host leg.
+Odd output widths take libswscale's full-chroma-interpolation path
+(SWS_FULL_CHR_H_INT: chroma scaled to the full output width, per-pixel
+yuv2rgb_write_full conversion with int32-wraparound semantics); the
+kernel models both layouts, so every geometry runs on device.
 """
 
 from __future__ import annotations
@@ -31,8 +32,9 @@ from timg_tpu.ops import sws_model
 
 
 def supports(dst_w: int) -> bool:
-    """Even output widths only (odd -> SWS_FULL_CHR_H_INT in the lib)."""
-    return dst_w % 2 == 0
+    """Every geometry is modeled (odd widths since round 4's
+    full-chroma reconstruction); kept for call-site compatibility."""
+    return True
 
 
 class Plan:
@@ -40,8 +42,6 @@ class Plan:
 
     def __init__(self, src_w: int, src_h: int, dst_w: int, dst_h: int,
                  full_range: bool):
-        if not supports(dst_w):
-            raise ValueError("sws device path requires even dst_w")
         g = sws_model.sws_geometry(src_w, src_h, dst_w, dst_h)
         self.src_w, self.src_h = src_w, src_h
         self.dst_w, self.dst_h = dst_w, dst_h
@@ -70,6 +70,8 @@ class Plan:
         self.v_chr_coef = vcc.astype(np.int32)
         self.v_lum_size = vlc.shape[1]
         self.v_chr_size = vcc.shape[1]
+        self.full_chroma = dst_w % 2 == 1  # SWS_FULL_CHR_H_INT
+        self.unscaled = src_w == dst_w and src_h == dst_h
         if self.v_lum_size == 1 and self.v_chr_size <= 2:
             self.template = 1
             self.uvalpha = (vcc[:, 1].astype(np.int32)
@@ -89,14 +91,39 @@ def get_plan(src_w: int, src_h: int, dst_w: int, dst_h: int,
     return Plan(src_w, src_h, dst_w, dst_h, full_range)
 
 
+def _unscaled_pipeline(xp, y, u, v, plan: Plan):
+    """Equal-size special converter (ff_yuv2rgb_get_func_ptr path):
+    value-composed conversion, chroma shared per 2x2 block (see
+    sws_model.unscaled_yuv420_to_rgba)."""
+    cst = (sws_model.FULL_UNSCALED if plan.full_range
+           else sws_model.MPEG_UNSCALED)
+    h, w = plan.src_h, plan.src_w
+    yv = y.astype(xp.int32)
+    uu = xp.repeat(xp.repeat(u.astype(xp.int32), 2, axis=1), 2,
+                   axis=2)[:, :h, :w]
+    vv = xp.repeat(xp.repeat(v.astype(xp.int32), 2, axis=1), 2,
+                   axis=2)[:, :h, :w]
+    f = (cst["a0"] + yv * cst["cy"]) >> 16
+    r = xp.clip(f + ((cst["crv"] * (vv - 128)) >> 16), 0, 255)
+    g = xp.clip(f + ((cst["cgu"] * (uu - 128)) >> 16)
+                + ((cst["cgv"] * (vv - 128)) >> 16), 0, 255)
+    b = xp.clip(f + ((cst["cbu"] * (uu - 128)) >> 16), 0, 255)
+    return r | (g << 8) | (b << 16) | xp.int32(-(1 << 24))
+
+
 def _pipeline(xp, y, u, v, plan: Plan):
     """Shared numpy/jax.numpy implementation ([B,H,W] u8 planes in)."""
+    if plan.unscaled:
+        return _unscaled_pipeline(xp, y, u, v, plan)
 
     def hscale(src, idx, coef):
-        # [B, H, srcW] u8 -> [B, H, dstW] i32 15-bit
+        # [B, H, srcW] u8 -> [B, H, dstW] i32 15-bit.  The post-sum
+        # int32 cast matters: numpy promotes int32 sums to int64,
+        # which would dodge the int32 wraparound the C path (and the
+        # jax kernel) has on extreme inputs.
         win = xp.take(src.astype(xp.int32), idx.reshape(-1), axis=-1)
         win = win.reshape(src.shape[:-1] + idx.shape)
-        acc = (win * coef[None, None]).sum(-1)
+        acc = (win * coef[None, None]).sum(-1).astype(xp.int32)
         return xp.minimum(acc >> 7, 32767)
 
     y15 = hscale(y, plan.h_lum_idx, plan.h_lum_coef)
@@ -112,6 +139,9 @@ def _pipeline(xp, y, u, v, plan: Plan):
     ly = vlines(y15, plan.v_lum_idx)            # [B, dstH, L, dstW]
     lu = vlines(u15, plan.v_chr_idx)
     lv = vlines(v15, plan.v_chr_idx)
+
+    if plan.full_chroma:
+        return _full_chroma_pack(xp, ly, lu, lv, plan)
 
     if plan.template == 1:
         uva = plan.uvalpha[None, :, None]
@@ -134,9 +164,12 @@ def _pipeline(xp, y, u, v, plan: Plan):
     else:
         vlc = plan.v_lum_coef[None, :, :, None]
         vcc = plan.v_chr_coef[None, :, :, None]
-        y1 = xp.clip(((1 << 18) + (ly * vlc).sum(2)) >> 19, 0, 255)
-        uu = xp.clip(((1 << 18) + (lu * vcc).sum(2)) >> 19, 0, 255)
-        vv = xp.clip(((1 << 18) + (lv * vcc).sum(2)) >> 19, 0, 255)
+        y1 = xp.clip(((1 << 18) + (ly * vlc).sum(2).astype(xp.int32))
+                     >> 19, 0, 255)
+        uu = xp.clip(((1 << 18) + (lu * vcc).sum(2).astype(xp.int32))
+                     >> 19, 0, 255)
+        vv = xp.clip(((1 << 18) + (lv * vcc).sum(2).astype(xp.int32))
+                     >> 19, 0, 255)
 
     cst = (sws_model.FULL_SCALED if plan.full_range
            else sws_model.MPEG_SCALED)
@@ -159,6 +192,56 @@ def _pipeline(xp, y, u, v, plan: Plan):
     r = tab(y1 + widen(ov_r))
     g = tab(y1 + widen(ou_g) + widen(ov_g))
     b = tab(y1 + widen(ou_b))
+    return r | (g << 8) | (b << 16) | xp.int32(-(1 << 24))
+
+
+def _full_chroma_pack(xp, ly, lu, lv, plan: Plan):
+    """Odd dst_w (SWS_FULL_CHR_H_INT): yuv2rgb_full_{1,2,X} vertical
+    templates (19-bit >>10 intermediates) + per-pixel
+    yuv2rgb_write_full.  All arithmetic int32 — the C path's
+    wraparound IS the semantics (see sws_model._write_full)."""
+    if plan.template == 1:
+        y1 = ly[:, :, 0] << 2
+        if plan.v_chr_size == 2:
+            avg = plan.uvalpha[None, :, None] >= 2048
+            uu = xp.where(avg,
+                          (lu[:, :, 0] + lu[:, :, 1] - (128 << 8)) << 1,
+                          (lu[:, :, 0] - (128 << 7)) << 2)
+            vv = xp.where(avg,
+                          (lv[:, :, 0] + lv[:, :, 1] - (128 << 8)) << 1,
+                          (lv[:, :, 0] - (128 << 7)) << 2)
+        else:
+            uu = (lu[:, :, 0] - (128 << 7)) << 2
+            vv = (lv[:, :, 0] - (128 << 7)) << 2
+    elif plan.template == 2:
+        ya = plan.yalpha[None, :, None]
+        uva = plan.uvalpha[None, :, None]
+        y1 = (ly[:, :, 0] * (4096 - ya) + ly[:, :, 1] * ya) >> 10
+        uu = (lu[:, :, 0] * (4096 - uva) + lu[:, :, 1] * uva
+              - (128 << 19)) >> 10
+        vv = (lv[:, :, 0] * (4096 - uva) + lv[:, :, 1] * uva
+              - (128 << 19)) >> 10
+    else:
+        vlc = plan.v_lum_coef[None, :, :, None]
+        vcc = plan.v_chr_coef[None, :, :, None]
+        y1 = ((1 << 9) + (ly * vlc).sum(2).astype(xp.int32)) >> 10
+        uu = ((1 << 9) - (128 << 19)
+              + (lu * vcc).sum(2).astype(xp.int32)) >> 10
+        vv = ((1 << 9) - (128 << 19)
+              + (lv * vcc).sum(2).astype(xp.int32)) >> 10
+
+    cst = sws_model.full_chroma_coeffs(plan.full_range)
+    y1 = (y1 - cst["y_off"]) * cst["y_coe"] + (1 << 21)
+    r = y1 + vv * cst["v2r"]
+    g = y1 + vv * cst["v2g"] + uu * cst["u2g"]
+    b = y1 + uu * cst["u2b"]
+
+    def clip30(x):
+        return xp.clip(x, 0, (1 << 30) - 1)
+
+    r = clip30(r) >> 22
+    g = clip30(g) >> 22
+    b = clip30(b) >> 22
     return r | (g << 8) | (b << 16) | xp.int32(-(1 << 24))
 
 
