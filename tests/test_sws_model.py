@@ -59,7 +59,12 @@ GEOS = [
     (64, 48, 33, 48),    # full_1 template (vertical unscaled luma)
     (32, 24, 65, 48),    # odd upscale
     (16, 4, 201, 3),     # odd extreme aspect (full_X template)
-    (63, 47, 63, 47),    # odd equal size -> unscaled converter
+    # equal-size parity matrix: the unscaled special converter is gated
+    # on EVEN dst height (ff_get_unscaled_swscale's !(dstH & 1)); odd
+    # heights run the scaled pipeline with identity filters.
+    (63, 47, 63, 47),    # odd equal size -> scaled path (full chroma)
+    (64, 47, 64, 47),    # even-w odd-h equal -> scaled packed path
+    (63, 48, 63, 48),    # odd-w even-h equal -> unscaled converter
 ]
 
 

@@ -40,7 +40,9 @@ GEOS = [
     (64, 48, 31, 24),    # full_2 template
     (64, 48, 33, 48),    # full_1 template
     (32, 24, 65, 48),    # odd upscale (int32-wrap coverage)
-    (64, 48, 64, 48),    # unscaled special converter
+    (64, 48, 64, 48),    # unscaled special converter (even dst_h)
+    (63, 47, 63, 47),    # odd-height equal size -> scaled path
+    (64, 47, 64, 47),    # even-w odd-h equal size -> scaled path
 ]
 
 
@@ -87,13 +89,12 @@ def _y4m(path, w=64, h=48, n=5):
     with open(path, "wb") as f:
         f.write(("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n"
                  % (w, h)).encode())
+        ch, cw = (h + 1) // 2, (w + 1) // 2  # 4:2:0 chroma ceil-dims
         for _ in range(n):
             f.write(b"FRAME\n")
             f.write(rng.integers(0, 256, (h, w), np.uint8).tobytes())
-            f.write(rng.integers(0, 256, (h // 2, w // 2),
-                                 np.uint8).tobytes())
-            f.write(rng.integers(0, 256, (h // 2, w // 2),
-                                 np.uint8).tobytes())
+            f.write(rng.integers(0, 256, (ch, cw), np.uint8).tobytes())
+            f.write(rng.integers(0, 256, (ch, cw), np.uint8).tobytes())
 
 
 def _collect_raw_planes(path, n):
@@ -169,8 +170,10 @@ def test_video_source_sws_bitexact_path():
         os.unlink(path)
 
 
-def test_video_source_sws_bitexact_falls_back_odd_width():
-    """Odd display width -> host sws leg, not the device kernel."""
+def test_video_source_sws_bitexact_odd_width_on_device():
+    """Odd display widths run the device kernel too (full-chroma layout
+    since r4; the r5 odd-height routing fix closed the last gap), and
+    the emitted frames byte-match the scalar model."""
     from timg_tpu.native import runtime
     from timg_tpu.options import DisplayOptions
     from timg_tpu.sources.video_source import VideoSource
@@ -191,9 +194,20 @@ def test_video_source_sws_bitexact_falls_back_odd_width():
         opts.resample = "sws-bitexact"
         src = VideoSource(path)
         assert src.load_and_scale(opts, 0, -1)
-        tw, _ = src._target
+        tw, th = src._target
         assert tw % 2 == 1, tw
-        assert not src._sws_device and src._use_sws
+        assert src._sws_device
+
+        frames = []
+        src.send_frames(float("inf"), 1, lambda: False,
+                        lambda dx, dy, fb, seq, t: frames.append(fb))
+        assert len(frames) == 5
+
+        planes, full = _collect_raw_planes(path, 5)
+        for fb, (y, u, v) in zip(frames, planes):
+            want = sws_model.sws_bilinear_yuv420_to_rgba(y, u, v, th, tw,
+                                                         full)
+            np.testing.assert_array_equal(np.asarray(fb), want)
     finally:
         os.unlink(path)
 

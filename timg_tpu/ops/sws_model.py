@@ -61,6 +61,11 @@ FULL_SCALED = dict(cy=65536, a0=32767, crv=91881, cbu=116127,
 # ff_yuv2rgb_get_func_ptr instead of the scaled pipeline) composes in
 # VALUE space: out = clip(fY(Y) + k(c)), fY(Y) = (A0 + Y*CY) >> 16,
 # k(c) = (COEF*(c-128)) >> 16.  Recovered/verified exhaustively.
+# Selection requires EVEN dst height (ff_get_unscaled_swscale's
+# ``!(dstH & 1)`` gate); odd-height equal-size runs the normal scaled
+# pipeline with identity filters (probed: 63x47/64x47/61x45 match the
+# scaled templates byte-exactly, not this converter).  Width parity is
+# irrelevant to the gate (63x48 uses this converter).
 MPEG_UNSCALED = dict(cy=76309, a0=-1220491, crv=104597, cbu=132201,
                      cgu=-25671, cgv=-53279)
 FULL_UNSCALED = dict(cy=65536, a0=32768, crv=91881, cbu=116129,
@@ -340,6 +345,11 @@ def sws_bilinear_yuv420_to_rgba(y: np.ndarray, u: np.ndarray,
                                 full_range: bool) -> np.ndarray:
     """The full scalar pipeline; byte-equal to the bitexact oracle."""
     src_h, src_w = y.shape
+    if dst_h == src_h and dst_w == src_w and dst_h % 2 == 0:
+        # ff_get_unscaled_swscale selects the yuv2rgb special converter
+        # only for even dst heights; odd heights stay on the scaled path.
+        return unscaled_yuv420_to_rgba(y, u, v, full_range)
+
     g, (hlp, hlc), (hcp, hcc), (vlp, vlc), (vcp, vcc) = _filters(
         src_w, src_h, dst_w, dst_h)
 
@@ -349,9 +359,6 @@ def sws_bilinear_yuv420_to_rgba(y: np.ndarray, u: np.ndarray,
 
     v_lum_size = vlc.shape[1]
     v_chr_size = vcc.shape[1]
-
-    if dst_h == src_h and dst_w == src_w:
-        return unscaled_yuv420_to_rgba(y, u, v, full_range)
 
     if dst_w % 2:
         return _full_chroma_rows(y15, u15, v15, vlp, vlc, vcp, vcc,

@@ -71,7 +71,11 @@ class Plan:
         self.v_lum_size = vlc.shape[1]
         self.v_chr_size = vcc.shape[1]
         self.full_chroma = dst_w % 2 == 1  # SWS_FULL_CHR_H_INT
-        self.unscaled = src_w == dst_w and src_h == dst_h
+        # ff_get_unscaled_swscale gates the equal-size special converter
+        # on EVEN dst height (!(dstH & 1)); odd-height equal-size runs
+        # the scaled pipeline with identity filters (sws_model probe).
+        self.unscaled = (src_w == dst_w and src_h == dst_h
+                         and dst_h % 2 == 0)
         if self.v_lum_size == 1 and self.v_chr_size <= 2:
             self.template = 1
             self.uvalpha = (vcc[:, 1].astype(np.int32)
