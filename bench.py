@@ -61,7 +61,10 @@ def _device_fps(jax, jnp, np, pipeline, pool_dev, iters=ITERS,
     inside one process makes the recorded artifact stable without
     re-paying compiles."""
     if repeats is None:
-        repeats = int(os.environ.get("TIMG_TPU_BENCH_REPEATS", "3"))
+        # 15 timed medians (VERDICT r4 #5: 3-5 samples left a 23% spread
+        # on the recorded artifact; each sample is ~0.2 s of device time
+        # so the wall cost of 15 is seconds).
+        repeats = int(os.environ.get("TIMG_TPU_BENCH_REPEATS", "15"))
 
     @jax.jit
     def run(p0, p1, n):
@@ -89,7 +92,8 @@ def _device_fps(jax, jnp, np, pipeline, pool_dev, iters=ITERS,
     med = samples[len(samples) // 2] if len(samples) % 2 else \
         0.5 * (samples[len(samples) // 2 - 1] + samples[len(samples) // 2])
     spread = (samples[-1] - samples[0]) / med if med else 0.0
-    return med, round(spread, 3)
+    return med, round(spread, 3), (round(samples[0], 1),
+                                   round(samples[-1], 1))
 
 
 def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
@@ -149,10 +153,9 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
 
     devnull = open(os.devnull, "wb")
 
-    def assemble(planes_host):
-        """Pooled C sixel assembly of one batch (the CLI architecture:
-        per-frame assembly futures in the compression pool, thread-local
-        output buffers reused across frames)."""
+    def assemble_planes(planes_host):
+        """Pooled C sixel assembly of one batch from raw index planes
+        (the r4 architecture; kept as the measured comparison leg)."""
         from timg_tpu.render.sixel_render import _tls_buffer
 
         pitch = planes_host.strides[1]
@@ -169,13 +172,43 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         for fut in [pool_exec.submit(one, i) for i in range(E2E_BATCH)]:
             devnull.write(fut.result())
 
+    # r5 transport: the device emits the final DCS body bytes
+    # (ops/sixel_dcs.py); the host splice is a join of band slices.
+    from timg_tpu.ops import sixel_dcs as dcs_op
+    pal3 = palette.reshape(-1, 3)
+
+    def fetch_dcs(out_dev):
+        """Transport leg: device sizing + emission + D2H of the padded
+        band buffers (replaces the raw-plane D2H)."""
+        lens, _ = dcs_op.batch_band_lens(out_dev, E2E_BATCH, OUT_H, OUT_W)
+        cap = dcs_op.bucket_cap(int(np.asarray(lens).max()))
+        bands, lens_d = dcs_op.batch_encode(out_dev, E2E_BATCH, OUT_H,
+                                            OUT_W, cap)
+        return np.asarray(bands), np.asarray(lens_d)
+
+    def assemble_dcs(bands, lens_d):
+        """Host splice of device-emitted DCS bytes + write."""
+        for i in range(E2E_BATCH):
+            devnull.write(dcs_op.splice_host(bands[i], lens_d[i],
+                                             OUT_H, OUT_W, pal3))
+
     import queue as queue_mod
     import threading
 
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 4) as pool_exec:
-        # Warmup: compile + touch every leg once.
+        # Warmup: compile + touch every leg once.  One byte-identity
+        # spot check keeps the transport honest: spliced device bytes
+        # == the C plane assembler's output.
         warm = dev(jax.device_put(host_pool[0]))
-        assemble(np.asarray(warm))
+        wb, wl = fetch_dcs(warm)
+        warm_host = np.asarray(warm)
+        from timg_tpu.render.sixel_render import encode_sixel_stream
+        spliced = dcs_op.splice_host(wb[0], wl[0], OUT_H, OUT_W, pal3)
+        plane_bytes = encode_sixel_stream(warm_host[0], pal3)
+        if spliced != plane_bytes:
+            return None, {"error": "dcs transport byte mismatch"}, "bug"
+        assemble_dcs(wb, wl)
+        assemble_planes(warm_host)
 
         # Pipelined run: a dedicated uploader thread stages + dispatches
         # windows (H2D overlaps the consumer's D2H + assembly; jax
@@ -202,9 +235,9 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
             if out is None:
                 break
             t0 = time.perf_counter()
-            host_planes = np.asarray(out)           # D2H
+            bands, lens_d = fetch_dcs(out)          # device emit + D2H
             t1 = time.perf_counter()
-            assemble(host_planes)                   # pooled C assembly
+            assemble_dcs(bands, lens_d)             # host band splice
             t2 = time.perf_counter()
             spans["d2h"].append((t0, t1))
             spans["assemble"].append((t1, t2))
@@ -241,19 +274,29 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
     legs["device_ms_per_frame"] = round(
         (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
     t = time.perf_counter()
-    host_planes = np.asarray(out)
+    bands, lens_d = fetch_dcs(out)
     legs["d2h_ms_per_frame"] = round(
+        (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
+    t = time.perf_counter()
+    assemble_dcs(bands, lens_d)
+    legs["assemble_ms_per_frame"] = round(
+        (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
+    legs["dcs_bytes_per_frame"] = round(bands.nbytes / E2E_BATCH)
+    # comparison rows: the r4 raw-plane D2H + pooled C plane assembly
+    t = time.perf_counter()
+    host_planes = np.asarray(out)
+    legs["d2h_plane_ms_per_frame"] = round(
         (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 4) as pool_exec:
         t = time.perf_counter()
-        assemble(host_planes)
-        legs["assemble_ms_per_frame"] = round(
+        assemble_planes(host_planes)
+        legs["assemble_plane_ms_per_frame"] = round(
             (time.perf_counter() - t) / E2E_BATCH * 1e3, 3)
     devnull.close()
     frame_mb = IN_H * IN_W * 1.5 / 1e6      # YUV 4:2:0 transport
     legs["h2d_mb_per_s"] = round(
         frame_mb / max(legs["h2d_ms_per_frame"], 1e-6) * 1e3, 1)
-    legs["transport"] = "yuv420"
+    legs["transport"] = "yuv420 in / dcs out"
     legs["host_cpus"] = os.cpu_count()
     legs["overlap"] = overlap
     bottleneck = max(
@@ -441,11 +484,13 @@ def main() -> None:
 
     pool_dev = [jax.device_put(pool[i]) for i in range(POOL)]
 
-    fps, fps_spread = _device_fps(jax, jnp, np, pipeline_cube, pool_dev)
-    adaptive_fps, _ = _device_fps(jax, jnp, np, pipeline_tree, pool_dev)
+    fps, fps_spread, fps_band = _device_fps(jax, jnp, np, pipeline_cube,
+                                            pool_dev)
+    adaptive_fps, adaptive_spread, adaptive_band = _device_fps(
+        jax, jnp, np, pipeline_tree, pool_dev)
     if _pal_res is not None:
-        libsixel_fps, _ = _device_fps(jax, jnp, np, pipeline_libsixel,
-                                      pool_dev)
+        libsixel_fps, _, _ = _device_fps(jax, jnp, np, pipeline_libsixel,
+                                         pool_dev)
     del pool_dev
     e2e_fps, legs, bottleneck = _bench_e2e(jax, np, resize_op,
                                            fs_dither_cube_fused)
@@ -458,7 +503,13 @@ def main() -> None:
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "extra": {
             "headline_spread": fps_spread,
+            "headline_band": fps_band,
+            # the CLI-default mode is the primary pass/fail number
+            # (VERDICT r4 #5): users get the adaptive median-cut path.
+            "primary": "adaptive_fps",
             "adaptive_fps": round(adaptive_fps, 1),
+            "adaptive_spread": adaptive_spread,
+            "adaptive_band": adaptive_band,
             "adaptive_vs_baseline": round(adaptive_fps / TARGET_FPS, 3),
             "libsixel_fps": (round(libsixel_fps, 1)
                              if libsixel_fps is not None else None),

@@ -151,29 +151,34 @@ def _bucket(n: int, cap: int) -> int:
 
 # Transport accounting (frames moved, bytes shipped vs the plane-
 # equivalent bytes); read by --verbose stats and the bench harness.
-STATS = {"frames_runs": 0, "frames_plane": 0,
+STATS = {"frames_runs": 0, "frames_plane": 0, "frames_dcs": 0,
          "bytes_shipped": 0, "bytes_plane_equiv": 0}
 
 
 def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
     """Transport decision for device-resident dither planes.
 
-    Fetches either raw [h, w] planes (one list entry per frame) or
-    SixelRuns records, whichever is smaller on the link — the run
-    records win 17-120x on flat/UI/film content under adaptive
-    palettes and lose on FS-dithered photo noise, where the plane is
-    the compact form (measured; see module docstring).  Policy knob:
-    TIMG_TPU_SIXEL_TRANSPORT = auto (default) | plane | runs.
+    Fetches raw [h, w] planes (one list entry per frame), SixelRuns
+    records, or device-emitted SixelDcs bytes — whichever costs least:
+    the run records win 17-120x on flat/UI/film content under adaptive
+    palettes (measured; see module docstring); on dense/dithered
+    content the device-emitted DCS body (ops/sixel_dcs.py) ships
+    slightly UNDER plane size and removes the host assembly leg
+    entirely (VERDICT r4 #4: 7.8 ms/frame -> a band splice).  The raw
+    plane remains the fallback (per-band distinct colors beyond the
+    emitter's cap, or pathological content where padding inflates the
+    DCS body).  Policy knob: TIMG_TPU_SIXEL_TRANSPORT = auto (default)
+    | plane | runs | dcs.
     """
     import os
 
     import numpy as np
 
     mode = os.environ.get("TIMG_TPU_SIXEL_TRANSPORT", "auto")
-    if mode not in ("auto", "plane", "runs"):
+    if mode not in ("auto", "plane", "runs", "dcs"):
         mode = "auto"
     nb = (h + 5) // 6
-    if mode != "plane" and w < (1 << 15):
+    if mode in ("auto", "runs") and w < (1 << 15):
         counts = np.asarray(run_counts_jit(planes_dev, h, w))[:n_frames]
         cap = default_cap(h, w)
         rec_bytes = 8 * int(counts.sum()) + 4 * nb * n_frames
@@ -191,6 +196,27 @@ def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
             STATS["bytes_plane_equiv"] += h * w * n_frames
             return [SixelRuns(records[i, :counts[i]], band_counts[i],
                               h, w)
+                    for i in range(n_frames)]
+    if mode in ("auto", "dcs"):
+        from timg_tpu.ops import sixel_dcs
+
+        lens, ccounts = sixel_dcs.batch_band_lens(planes_dev, n_frames,
+                                                  h, w)
+        lens = np.asarray(lens)
+        ccounts = np.asarray(ccounts)
+        cap = sixel_dcs.bucket_cap(int(lens.max()) if lens.size else 1)
+        ship = nb * cap * n_frames
+        use_dcs = (int(ccounts.max()) <= sixel_dcs.COLOR_CAP
+                   and (mode == "dcs" or ship <= h * w * n_frames))
+        if use_dcs:
+            bands, lens_d = sixel_dcs.batch_encode(planes_dev, n_frames,
+                                                   h, w, cap)
+            bands = np.asarray(bands)
+            lens_d = np.asarray(lens_d)
+            STATS["frames_dcs"] += n_frames
+            STATS["bytes_shipped"] += bands.nbytes + lens_d.nbytes
+            STATS["bytes_plane_equiv"] += h * w * n_frames
+            return [sixel_dcs.SixelDcs(bands[i], lens_d[i], h, w)
                     for i in range(n_frames)]
     full = np.asarray(planes_dev)
     STATS["frames_plane"] += n_frames

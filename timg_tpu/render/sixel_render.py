@@ -111,6 +111,17 @@ def encode_sixel_stream_runs(runs, palette: np.ndarray) -> bytes:
     return encode_sixel_stream(expand_runs_np(runs), palette)
 
 
+def encode_sixel_stream_dcs(dcs, palette: np.ndarray) -> bytes:
+    """SixelDcs (device-emitted DCS body, ops/sixel_dcs.py) -> full
+    sixel payload, byte-identical to encode_sixel_stream on the source
+    plane.  Host work is one join of band slices (VERDICT r4 #4: the
+    7.8 ms/frame assembly leg becomes a splice)."""
+    from timg_tpu.ops.sixel_dcs import splice_host
+
+    return splice_host(dcs.bands, dcs.band_lens, dcs.h, dcs.w,
+                       np.ascontiguousarray(palette[:, :3], np.uint8))
+
+
 def encode_sixel_stream_py(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Pure-python sixel assembly (reference implementation)."""
     h, w = indices.shape
@@ -403,11 +414,15 @@ class SixelCanvas(TerminalCanvas):
         """Assemble + hand to the sequencer; async when pooled."""
         prefix = self.consume_prefix()
 
+        from timg_tpu.ops.sixel_dcs import SixelDcs
         from timg_tpu.ops.sixel_runs import SixelRuns
 
-        encode = (encode_sixel_stream_runs
-                  if isinstance(indices, SixelRuns) else
-                  encode_sixel_stream)
+        if isinstance(indices, SixelRuns):
+            encode = encode_sixel_stream_runs
+        elif isinstance(indices, SixelDcs):
+            encode = encode_sixel_stream_dcs
+        else:
+            encode = encode_sixel_stream
 
         def assemble() -> bytes:
             out = bytearray(prefix)
