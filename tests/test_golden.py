@@ -45,7 +45,15 @@ def run_reference(args, files):
         os.unlink(out)
 
 
+# VERDICT r4 #9: the whole golden corpus also runs through a resident
+# --serve session (one boot per pytest session) to catch env/cwd/state
+# leakage classes; the autouse `via` fixture below flips this switch.
+_VIA = "direct"
+_SERVER_SOCKET = None
+
+
 def run_ours(args, files):
+    from timg_tpu import serve as serve_mod
     from timg_tpu.cli import main
 
     with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as tf:
@@ -53,13 +61,46 @@ def run_ours(args, files):
     saved = {k: os.environ.pop(k) for k in list(os.environ)
              if k.startswith("TIMG_")}
     try:
-        rc = main([*args, "-o", out, *files])
+        if _VIA == "served" and _SERVER_SOCKET:
+            rc = serve_mod.request([*args, "-o", out, *files],
+                                   socket_path=_SERVER_SOCKET)
+            assert rc is not None, "resident server did not serve"
+        else:
+            rc = main([*args, "-o", out, *files])
         assert rc in (0, 1), f"unexpected exit code {rc}"
         with open(out, "rb") as f:
             return f.read()
     finally:
         os.environ.update(saved)
         os.unlink(out)
+
+
+@pytest.fixture(scope="session")
+def _golden_server(tmp_path_factory):
+    import threading
+
+    from timg_tpu import serve as serve_mod
+
+    sock = str(tmp_path_factory.mktemp("srv") / "golden.sock")
+    ready = threading.Event()
+    t = threading.Thread(
+        target=lambda: serve_mod.serve(sock, ready_callback=ready.set),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=120), "golden serve session did not boot"
+    yield sock
+
+
+@pytest.fixture(params=["direct", "served"], autouse=True)
+def via(request):
+    """Every golden case runs twice: direct in-process, and through the
+    resident --serve session (same bytes required)."""
+    global _VIA, _SERVER_SOCKET
+    if request.param == "served":
+        _SERVER_SOCKET = request.getfixturevalue("_golden_server")
+    _VIA = request.param
+    yield request.param
+    _VIA = "direct"
 
 
 def assert_parity(args, files):

@@ -233,3 +233,171 @@ def test_launcher_falls_back_when_server_absent(tmp_path):
         env=env, capture_output=True, timeout=300)
     assert r.returncode == 0, r.stderr.decode()[-400:]
     assert out.read_bytes()
+
+
+# --- hardening (VERDICT r4 #7): wedged clients, stale sockets, ------------
+# --- interleaved clients ----------------------------------------------------
+
+def _raw_request(sock_path, argv, fds, timeout=30.0):
+    """Protocol client with explicit stdio fds (serve.request uses the
+    process's own)."""
+    import array
+    import json
+    import socket as s
+
+    conn = s.socket(s.AF_UNIX, s.SOCK_STREAM)
+    try:
+        conn.settimeout(timeout)
+        conn.connect(sock_path)
+        conn.sendmsg([b"F"], [(s.SOL_SOCKET, s.SCM_RIGHTS,
+                               array.array("i", fds))])
+        req = {"argv": argv, "cwd": os.getcwd(), "env": dict(os.environ)}
+        conn.sendall(json.dumps(req).encode() + b"\n")
+        buf = bytearray()
+        while len(buf) < 64:
+            ch = conn.recv(1)
+            if not ch or ch == b"\n":
+                break
+            buf += ch
+        if buf.startswith(b"R "):
+            return int(buf[2:])
+        return None
+    except OSError:
+        return None
+    finally:
+        conn.close()
+
+
+def test_wedged_client_does_not_starve_later_requests(tmp_path,
+                                                      monkeypatch,
+                                                      capfd):
+    """A client whose tty is never drained is cut off by the
+    per-request watchdog; the next client is served normally.
+
+    capfd is disabled around the wedged request: the served CLI
+    resolves its output fd via sys.stdout.fileno(), which must be the
+    real fd 1 (as in production) for the guard's dup2 routing — not
+    pytest's capture file."""
+    import pty
+
+    monkeypatch.setenv("TIMG_TPU_SERVE_REQUEST_TIMEOUT", "2")
+    sock = str(tmp_path / "w.sock")
+    ready = threading.Event()
+    state = {"rc": None}
+
+    def run():
+        state["rc"] = serve_mod.serve(sock, ready_callback=ready.set,
+                                      max_requests=2)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert ready.wait(timeout=60)
+
+    # big sixel output into a pty nobody reads: fills the ~64 KB tty
+    # buffer and wedges a blocking writer forever.  A large noise PNG
+    # guarantees the stream far exceeds the buffer (sixel of noise is
+    # ~several hundred KB).
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    big = tmp_path / "big.png"
+    Image.fromarray(rng.integers(0, 256, (600, 800, 3), dtype=np.uint8),
+                    "RGB").save(big)
+    master, slave = pty.openpty()
+    devnull = os.open(os.devnull, os.O_RDONLY)
+    t0 = time.monotonic()
+    with capfd.disabled():
+        rc = _raw_request(sock, ["-ps", "-g300x100",
+                                 "--debug-no-frame-delay", "-b", "black",
+                                 str(big)], [devnull, slave, slave],
+                          timeout=60)
+    elapsed = time.monotonic() - t0
+    os.close(devnull)
+    os.close(slave)
+    os.close(master)
+    assert rc is not None, "watchdog never unwedged the request"
+    # the request genuinely wedged (>= the 2 s watchdog budget) and was
+    # then cut off promptly
+    assert 1.5 <= elapsed < 30, f"unwedge took {elapsed:.1f}s"
+
+    # the server must still serve the next request, bytes intact
+    from tests.test_golden import run_ours
+
+    png2 = _png(tmp_path, "after.png", seed=10)
+    cold = run_ours(BASE, [png2])
+    out = tmp_path / "after.out"
+    rc2 = serve_mod.request(BASE + ["-o", str(out), png2],
+                            socket_path=sock)
+    assert rc2 == 0
+    assert out.read_bytes() == cold
+    t.join(timeout=30)
+    assert state["rc"] == 0
+
+
+def test_request_guard_restores_blocking_stdout(server, tmp_path):
+    """The client's stdout description is blocking again after a
+    served request (O_NONBLOCK is set only for the request)."""
+    import fcntl
+
+    png = _png(tmp_path, "fl.png", seed=3)
+    r, w = os.pipe()
+    devnull = os.open(os.devnull, os.O_RDONLY)
+    rc = _raw_request(server, BASE + [png], [devnull, w, w])
+    assert rc == 0
+    flags = fcntl.fcntl(w, fcntl.F_GETFL)
+    os.close(devnull)
+    os.close(w)
+    os.close(r)
+    assert not (flags & os.O_NONBLOCK)
+
+
+def test_stale_socket_client_falls_back_fast(tmp_path):
+    """A socket file with no listener: the python client returns None
+    immediately (callers run the one-shot path); the C launcher falls
+    back and still renders."""
+    import socket as s
+    import subprocess
+
+    stale = str(tmp_path / "stale.sock")
+    srv = s.socket(s.AF_UNIX, s.SOCK_STREAM)
+    srv.bind(stale)
+    srv.close()  # file remains, nobody listens
+    t0 = time.monotonic()
+    assert serve_mod.request(["-h"], socket_path=stale) is None
+    assert time.monotonic() - t0 < 5
+
+    png = _png(tmp_path, "st.png", seed=4)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("TIMG_")}
+    env["TIMG_TPU_SERVE_SOCKET"] = stale
+    out = tmp_path / "st.out"
+    r = subprocess.run(
+        [_launcher(), "-pq", "-g40x12", "--debug-no-frame-delay", "-b",
+         "black", "-o", str(out), png],
+        env=env, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    assert out.read_bytes()
+
+
+def test_two_interleaved_clients(server, tmp_path):
+    """Two clients racing: both complete with correct bytes (requests
+    serialize on the server; the backlog holds the second)."""
+    from tests.test_golden import run_ours
+
+    pngs = [_png(tmp_path, f"i{i}.png", seed=20 + i) for i in range(2)]
+    colds = [run_ours(BASE, [p]) for p in pngs]
+    outs = [tmp_path / f"i{i}.out" for i in range(2)]
+    rcs = [None, None]
+
+    def go(i):
+        rcs[i] = serve_mod.request(BASE + ["-o", str(outs[i]), pngs[i]],
+                                   socket_path=server)
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert rcs == [0, 0]
+    for i in range(2):
+        assert outs[i].read_bytes() == colds[i], f"client {i} diverged"

@@ -143,6 +143,22 @@ def _reliable_write(fd: int, buffer: bytes) -> None:
     while view:
         try:
             written = os.write(fd, view)
+        except BlockingIOError:
+            # Served sessions run the client's tty non-blocking (see
+            # serve._RequestGuard) so a wedged client that never drains
+            # its terminal cannot block the resident process forever:
+            # wait for writability in slices, honoring the interrupt
+            # flag the serve watchdog (or the client's death) sets.
+            import select
+
+            from timg_tpu import cli
+            if cli.interrupt_received:
+                return
+            try:
+                select.select([], [fd], [], 0.2)
+            except OSError:
+                return
+            continue
         except OSError:
             return
         if written <= 0:

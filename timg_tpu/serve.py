@@ -118,11 +118,25 @@ class _RequestGuard:
         self._saved_fds: List[int] = []
         self._saved_cwd = ""
         self._saved_env: dict = {}
+        self._saved_flags = None
 
     def __enter__(self):
         self._saved_fds = [os.dup(i) for i in range(3)]
         for i, fd in enumerate(self._fds):
             os.dup2(fd, i)
+        # Non-blocking stdout for the request: a wedged client (tty
+        # never drained) must not block the resident process forever —
+        # the sequencer's write loop handles EAGAIN + the watchdog's
+        # interrupt flag.  Flags live on the shared open file
+        # description, so restore them on exit (the client still owns
+        # the terminal afterwards).
+        import fcntl
+        try:
+            self._saved_flags = fcntl.fcntl(1, fcntl.F_GETFL)
+            fcntl.fcntl(1, fcntl.F_SETFL,
+                        self._saved_flags | os.O_NONBLOCK)
+        except OSError:
+            self._saved_flags = None
         self._saved_cwd = os.getcwd()
         try:
             os.chdir(self._cwd)
@@ -139,6 +153,12 @@ class _RequestGuard:
             sys.stderr.flush()
         except Exception:
             pass
+        if self._saved_flags is not None:
+            import fcntl
+            try:
+                fcntl.fcntl(1, fcntl.F_SETFL, self._saved_flags)
+            except OSError:
+                pass
         for i, fd in enumerate(self._saved_fds):
             os.dup2(fd, i)
             os.close(fd)
@@ -212,6 +232,25 @@ def _handle(conn: socket.socket) -> None:
     watcher = threading.Thread(target=_watch_interrupt,
                                args=(conn, done), daemon=True)
     watcher.start()
+
+    # Per-request watchdog (VERDICT r4 #7): a request that outlives the
+    # budget gets the interrupt flag — combined with the non-blocking
+    # client stdout this unwedges blocked writes, so one stuck client
+    # cannot starve every later invocation.  cli.main resets the flag
+    # at entry, so a watchdog firing at the done/next-request boundary
+    # cannot poison the following request.
+    try:
+        budget = float(os.environ.get("TIMG_TPU_SERVE_REQUEST_TIMEOUT",
+                                      "300"))
+    except ValueError:
+        budget = 300.0
+
+    def _watchdog():
+        if not done.wait(budget):
+            cli.interrupt_received = True
+
+    if budget > 0:
+        threading.Thread(target=_watchdog, daemon=True).start()
     code = 1
     try:
         with _RequestGuard(fds, cwd, env):
