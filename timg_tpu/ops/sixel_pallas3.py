@@ -572,9 +572,16 @@ def _make_fs_table_kernel(b: int, hp: int, K: int, h: int, w: int):
             lanes64 = jnp.tile(lane, (64, 1))
             g = jnp.take_along_axis(tab, lanes64, axis=1).reshape(
                 64, b, 128)
-            word = jnp.zeros((b, 128), jnp.int32)
-            for r in range(64):
-                word = word | jnp.where(row == r, g[r], 0)
+            # row select as a log2 bisection tree: the r4 fold was a
+            # 64-deep or-chain (serial dependency); six halving selects
+            # keyed on row's bits touch the same element count with a
+            # depth-6 chain.  (r5 experiment for the ROADMAP "libsixel
+            # device mode" record; byte-identical by construction.)
+            for bit in (5, 4, 3, 2, 1, 0):
+                half = 1 << bit
+                g = jnp.where((row & half) != 0, g[half:2 * half],
+                              g[:half])
+            word = g[0]
             idx = jax.lax.shift_right_logical(
                 word, 8 * byte) & 0xFF
             palw = jnp.where(idx < 128,
