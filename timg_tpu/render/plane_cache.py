@@ -278,6 +278,59 @@ def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
     return frames
 
 
+def prime_pixel_video_device(ys, us, vs, th: int, tw: int,
+                             full_range: bool, options,
+                             resample: str = "lean"):
+    """Device-resident window for opaque 4:2:0 video in pixel-direct
+    (kitty/iTerm2) sessions.
+
+    The PNG encode is inherently host-side (the reference runs it per
+    frame on host threads, ref kitty-canvas.cc:126-236), but the
+    convert + resize legs ride the same device window transport as the
+    sixel/block paths: one fused dispatch per window, frames returned
+    as DeviceFrame placeholders.  Each frame's RGBA crosses the link
+    lazily — DeviceFrame.__array__ runs *inside the canvas encode-pool
+    worker* — so the window's D2H overlaps the other workers' deflate
+    and the next window's decode/dispatch instead of blocking the
+    pipeline up front.  Byte-identical to the eager flow (same device
+    arithmetic, same bytes fetched; tests/test_video_device_window).
+
+    Returns the placeholder frame list, or None when the fast path does
+    not apply (non-pixel session, host mode, multi-device, disabled)."""
+    if getattr(options, "sixel_batch_dither", None) is not None \
+            or options.cell_y_px == 2:
+        return None  # sixel/block sessions have their own device windows
+    if os.environ.get("TIMG_TPU_VIDEO_DEVICE_WINDOW", "1") == "0":
+        return None
+    from timg_tpu.ops.backend import prefer_host, use_numpy
+    if prefer_host(len(ys), sustained=True) or use_numpy():
+        return None
+    from timg_tpu.parallel import auto
+    if auto.configured_devices() > 1:
+        return None
+    import jax
+
+    def build():
+        from timg_tpu.ops.resize import resize_video_words
+        from timg_tpu.ops.sws_resize import sws_yuv420_to_rgba_words
+        from timg_tpu.ops.yuv import yuv420_to_rgba_words
+
+        @jax.jit
+        def fn(y, u, v):
+            if resample == "sws":
+                # --resample=sws-bitexact (ops/sws_resize.py)
+                return sws_yuv420_to_rgba_words(y, u, v, th, tw,
+                                                full_range)
+            words = yuv420_to_rgba_words(y, u, v, full_range)
+            return resize_video_words(words, th, tw)
+        return fn
+
+    fn = _video_stage_jit(("pixel", th, tw, full_range, resample), build)
+    words_dev = fn(ys, us, vs)
+    return [DeviceFrame(words_dev, i, th, tw)
+            for i in range(ys.shape[0])]
+
+
 def pad_odd_height(frames: np.ndarray, use_upper_half_block: bool
                    ) -> np.ndarray:
     """Batched odd-height empty-line shift (ref unicode-block-canvas.cc

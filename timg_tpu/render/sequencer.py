@@ -84,7 +84,12 @@ class BufferedWriteSequencer:
                         # A failed async encode must not kill the
                         # writer thread: the bounded queue would then
                         # deadlock every producer.  Drop the frame and
-                        # keep draining.
+                        # keep draining.  TIMG_TPU_DEBUG_ENCODE_ERRORS=1
+                        # surfaces the swallowed traceback on stderr.
+                        if os.environ.get("TIMG_TPU_DEBUG_ENCODE_ERRORS"):
+                            import sys
+                            import traceback
+                            traceback.print_exc(file=sys.stderr)
                         continue
                 if block is None:  # flush sentinel
                     continue

@@ -224,7 +224,8 @@ class VideoSource(ImageSource):
             vs = np.stack([f[2] for f in raw])
             full_range = self._full_range
             from timg_tpu.render.plane_cache import (
-                prime_block_video_device, prime_sixel_video_device)
+                prime_block_video_device, prime_pixel_video_device,
+                prime_sixel_video_device)
             fast = prime_sixel_video_device(
                 ys, us, vs, th, tw, full_range, opts,
                 self._sixel_state, resample="sws")
@@ -232,6 +233,9 @@ class VideoSource(ImageSource):
                 fast = prime_block_video_device(
                     ys, us, vs, th, tw, full_range, opts,
                     self._sixel_state, resample="sws")
+            if fast is None:
+                fast = prime_pixel_video_device(
+                    ys, us, vs, th, tw, full_range, opts, resample="sws")
             if fast is not None:
                 return fast
 
@@ -259,7 +263,8 @@ class VideoSource(ImageSource):
             # — the legacy flow shipped ~4 B/px down AND back up per
             # window; see plane_cache.prime_sixel_video_device).
             from timg_tpu.render.plane_cache import (
-                prime_block_video_device, prime_sixel_video_device)
+                prime_block_video_device, prime_pixel_video_device,
+                prime_sixel_video_device)
             fast = prime_sixel_video_device(
                 ys, us, vs, th, tw, self._full_range, opts,
                 self._sixel_state)
@@ -269,6 +274,12 @@ class VideoSource(ImageSource):
                 fast = prime_block_video_device(
                     ys, us, vs, th, tw, self._full_range, opts,
                     self._sixel_state)
+            if fast is None:
+                # pixel-direct (kitty/iTerm2) sessions: convert+resize
+                # stay on device; each frame's RGBA D2H happens lazily
+                # inside the canvas encode pool (overlapping deflate)
+                fast = prime_pixel_video_device(
+                    ys, us, vs, th, tw, self._full_range, opts)
             if fast is not None:
                 return fast
             # Multi-chip: pure data parallelism over the frame axis
