@@ -1058,7 +1058,43 @@ static void resample_horizontal(const float *src, float *dst, int rows,
 // per-channel arithmetic is unchanged).
 static void row_to_float(const uint8_t *src, float *dst, int n, int ch,
                          int alpha_weighted) {
-    for (int p = 0; p < n; ++p) {
+    int p = 0;
+#if defined(__AVX2__)
+    // 2 px / 8 source bytes per iteration.  Lane-exact with the scalar
+    // walk: cvtepi32_ps is exact on 0..255, the *kInv255 and premult
+    // muls are the same single-rounded f32 ops, and the masked lane is
+    // +0.0f like the scalar store.
+    if (alpha_weighted) {
+        const __m256 k = _mm256_set1_ps(kInv255);
+        const __m256i aidx = _mm256_setr_epi32(3, 3, 3, 3, 7, 7, 7, 7);
+        const __m256 pmmask = _mm256_castsi256_ps(
+            _mm256_setr_epi32(-1, -1, -1, 0, -1, -1, -1, 0));
+        for (; p + 2 <= n; p += 2) {
+            __m128i b8 =
+                _mm_loadl_epi64((const __m128i *)(src + (long)p * 4));
+            __m256 v = _mm256_mul_ps(
+                _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(b8)), k);
+            __m256 av = _mm256_permutevar8x32_ps(v, aidx);
+            __m256 pm = _mm256_and_ps(_mm256_mul_ps(v, av), pmmask);
+            float *o = dst + (long)p * 8;
+            _mm256_storeu_ps(o, _mm256_permute2f128_ps(v, pm, 0x20));
+            _mm256_storeu_ps(o + 8, _mm256_permute2f128_ps(v, pm, 0x31));
+        }
+    } else {
+        const __m256 k = _mm256_set1_ps(kInv255);
+        const long total = (long)n * 4;
+        long i = 0;
+        for (; i + 8 <= total; i += 8) {
+            __m128i b8 = _mm_loadl_epi64((const __m128i *)(src + i));
+            _mm256_storeu_ps(
+                dst + i,
+                _mm256_mul_ps(
+                    _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(b8)), k));
+        }
+        p = (int)(i / 4);  // i is a multiple of 8, so this is exact
+    }
+#endif
+    for (; p < n; ++p) {
         float *v = dst + (long)p * ch;
         v[0] = (float)src[p * 4 + 0] * kInv255;
         v[1] = (float)src[p * 4 + 1] * kInv255;
@@ -1150,6 +1186,67 @@ static void row_repack(const float *src, uint8_t *dst, int n, int ch,
 // identical to the gather executor; pinned by the stb-oracle parity
 // tests.  Requires non-decreasing starts_v (the stb band builder
 // guarantees it; caller checks and falls back otherwise).
+// Vertical-first tiled-gather executor: each output row is combined
+// directly from its widest_v source rows, one L1-sized column tile at
+// a time -- the u8 source tile is converted (SIMD) into a hot scratch
+// tile and multiply-accumulated into an accumulator tile that stays
+// L1-resident through the tap loop.  Unlike the scatter form below it
+// never streams image-width accumulator rows through L2 (the scatter's
+// floor: ~max_active x row_floats x 2 of L2 traffic per source row).
+// The price is re-converting overlapping window rows (~4x for Mitchell
+// downsampling), which the AVX2 row_to_float makes cheap.  Per output
+// element the taps are applied in ascending t with the identical
+// mul/add sequence, so output bytes are unchanged.
+static long resize_polyphase_vfirst_gather(
+    const uint8_t *in, int batch, int in_h, int in_w, uint8_t *out,
+    int out_h, int out_w, const int32_t *starts_v, const float *coeffs_v,
+    int widest_v, const int32_t *starts_h, const float *coeffs_h,
+    int widest_h, int alpha_weighted) {
+    const int ch = alpha_weighted ? 8 : 4;
+    const long in_px = (long)in_h * in_w;
+    const long row_floats = (long)in_w * ch;
+    const int kTilePx = 512;
+
+    float *acc_row = (float *)malloc((size_t)row_floats * sizeof(float));
+    float *tmp = (float *)malloc((size_t)kTilePx * ch * sizeof(float));
+    float *final_row = (float *)malloc((size_t)out_w * ch * sizeof(float));
+    if (!acc_row || !tmp || !final_row) {
+        free(acc_row);
+        free(tmp);
+        free(final_row);
+        return -1;
+    }
+
+    for (int b = 0; b < batch; ++b) {
+        const uint8_t *src = in + (long)b * in_px * 4;
+        uint8_t *dst = out + (long)b * (long)out_h * out_w * 4;
+        for (int o = 0; o < out_h; ++o) {
+            const float *cfo = coeffs_v + (long)o * widest_v;
+            const int s0 = starts_v[o];
+            for (int px0 = 0; px0 < in_w; px0 += kTilePx) {
+                const int tw =
+                    (in_w - px0 < kTilePx) ? (in_w - px0) : kTilePx;
+                const long tf = (long)tw * ch;
+                float *at = acc_row + (long)px0 * ch;
+                for (int t = 0; t < widest_v; ++t) {
+                    const int y = clip_int(s0 + t, 0, in_h - 1);
+                    row_to_float(src + (long)y * in_w * 4 + (long)px0 * 4,
+                                 tmp, tw, ch, alpha_weighted);
+                    axpy_row(at, tmp, cfo[t], tf, t == 0);
+                }
+            }
+            resample_horizontal(acc_row, final_row, 1, in_w, out_w, ch,
+                                starts_h, coeffs_h, widest_h);
+            row_repack(final_row, dst + (long)o * out_w * 4, out_w, ch,
+                       alpha_weighted);
+        }
+    }
+    free(acc_row);
+    free(tmp);
+    free(final_row);
+    return 0;
+}
+
 static long resize_polyphase_vfirst_scatter(
     const uint8_t *in, int batch, int in_h, int in_w, uint8_t *out,
     int out_h, int out_w, const int32_t *starts_v, const float *coeffs_v,
@@ -1159,15 +1256,19 @@ static long resize_polyphase_vfirst_scatter(
     const long in_px = (long)in_h * in_w;
     const long row_floats = (long)in_w * ch;
 
-    // Max simultaneously-active output rows: o is active from
-    // y=clip(starts_v[o]) through y=clip(starts_v[o]+widest_v-1); both
-    // bounds are non-decreasing in o, so a two-pointer sweep finds the
-    // widest overlap.
+    // Max simultaneously-active output rows AT BLOCK GRANULARITY: o is
+    // active from the y-block containing clip(starts_v[o]) through
+    // y=clip(starts_v[o]+widest_v-1); both bounds are non-decreasing
+    // in o, so a two-pointer sweep finds the widest overlap.  The
+    // activation bound is rounded down to the processing block (4
+    // rows, kYBlock below): the executor activates an output at the
+    // start of the block its first tap lands in, so two outputs that
+    // never share a single source row can still share a block.
     int max_active = 1;
     {
         int lo = 0;
         for (int o = 0; o < out_h; ++o) {
-            const int act = clip_int(starts_v[o], 0, in_h - 1);
+            const int act = (clip_int(starts_v[o], 0, in_h - 1) / 4) * 4;
             while (lo < o &&
                    clip_int(starts_v[lo] + widest_v - 1, 0, in_h - 1) < act)
                 ++lo;
@@ -1176,16 +1277,30 @@ static long resize_polyphase_vfirst_scatter(
         }
     }
 
+    // Source rows are processed in blocks of kYBlock, column-tiled at
+    // kTilePx: the block's converted source tiles (kYBlock x 8 KB at
+    // ch=8) and the current accumulator tile stay L1-resident, so each
+    // accumulator tile is loaded/stored once per BLOCK instead of once
+    // per tap -- the acc streaming was the executor's measured floor
+    // (~max_active x row_floats x 2 of L2 traffic per source row on a
+    // 4K still).  Within a block each output's taps are still applied
+    // in ascending t (j below is forced by clip order), so per output
+    // element the f32 op sequence is exactly the untiled walk's.
+    const int kTilePx = 256;
+    const int kYBlock = 4;
     float *acc = (float *)malloc((size_t)max_active * row_floats *
                                  sizeof(float));
-    float *rowf = (float *)malloc((size_t)row_floats * sizeof(float));
+    float *tmp =
+        (float *)malloc((size_t)kYBlock * kTilePx * ch * sizeof(float));
     float *final_row = (float *)malloc((size_t)out_w * ch * sizeof(float));
     int *next_tap = (int *)malloc((size_t)out_h * sizeof(int));
-    if (!acc || !rowf || !final_row || !next_tap) {
+    int *tap_end = (int *)malloc((size_t)out_h * sizeof(int));
+    if (!acc || !tmp || !final_row || !next_tap || !tap_end) {
         free(acc);
-        free(rowf);
+        free(tmp);
         free(final_row);
         free(next_tap);
+        free(tap_end);
         return -1;
     }
 
@@ -1195,24 +1310,45 @@ static long resize_polyphase_vfirst_scatter(
         uint8_t *dst = out + (long)b * (long)out_h * out_w * 4;
         for (int o = 0; o < out_h; ++o) next_tap[o] = 0;
         int o_lo = 0, o_hi = 0;
-        for (int y = 0; y < in_h && o_lo < out_h; ++y) {
+        for (int yb = 0; yb < in_h && o_lo < out_h; yb += kYBlock) {
+            const int ylim = (yb + kYBlock < in_h) ? yb + kYBlock : in_h;
             while (o_hi < out_h &&
-                   clip_int(starts_v[o_hi], 0, in_h - 1) <= y)
+                   clip_int(starts_v[o_hi], 0, in_h - 1) < ylim)
                 ++o_hi;
             if (o_lo == o_hi) continue;
-            row_to_float(src + (long)y * in_w * 4, rowf, in_w, ch,
-                         alpha_weighted);
+            // Tap span per active output for this block (index math
+            // only): taps whose clipped source row lands in [yb, ylim).
             for (int o = o_lo; o < o_hi; ++o) {
-                const float *cfo = coeffs_v + (long)o * widest_v;
-                float *ao = acc + (long)(o % max_active) * row_floats;
                 int t = next_tap[o];
                 while (t < widest_v &&
-                       clip_int(starts_v[o] + t, 0, in_h - 1) == y) {
-                    axpy_row(ao, rowf, cfo[t], row_floats, t == 0);
+                       clip_int(starts_v[o] + t, 0, in_h - 1) < ylim)
                     ++t;
+                tap_end[o] = t;
+            }
+            for (int px0 = 0; px0 < in_w; px0 += kTilePx) {
+                const int tw =
+                    (in_w - px0 < kTilePx) ? (in_w - px0) : kTilePx;
+                const long tf = (long)tw * ch;
+                for (int y = yb; y < ylim; ++y)
+                    row_to_float(src + (long)y * in_w * 4 + (long)px0 * 4,
+                                 tmp + (long)(y - yb) * kTilePx * ch, tw,
+                                 ch, alpha_weighted);
+                for (int o = o_lo; o < o_hi; ++o) {
+                    const float *cfo = coeffs_v + (long)o * widest_v;
+                    float *at = acc + (long)(o % max_active) * row_floats +
+                                (long)px0 * ch;
+                    for (int t = next_tap[o]; t < tap_end[o]; ++t) {
+                        const int j =
+                            clip_int(starts_v[o] + t, 0, in_h - 1) - yb;
+                        axpy_row(at, tmp + (long)j * kTilePx * ch, cfo[t],
+                                 tf, t == 0);
+                    }
                 }
-                next_tap[o] = t;
-                if (t == widest_v) {
+            }
+            for (int o = o_lo; o < o_hi; ++o) {
+                next_tap[o] = tap_end[o];
+                if (tap_end[o] == widest_v) {
+                    float *ao = acc + (long)(o % max_active) * row_floats;
                     resample_horizontal(ao, final_row, 1, in_w, out_w, ch,
                                         starts_h, coeffs_h, widest_h);
                     row_repack(final_row, dst + (long)o * out_w * 4, out_w,
@@ -1227,9 +1363,10 @@ static long resize_polyphase_vfirst_scatter(
         }
     }
     free(acc);
-    free(rowf);
+    free(tmp);
     free(final_row);
     free(next_tap);
+    free(tap_end);
     return rc;
 }
 
@@ -1240,6 +1377,16 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
                            const float *coeffs_h, int widest_h,
                            int vertical_first, int alpha_weighted) {
     if (vertical_first && in_h > 0 && out_h > 0 && widest_v > 0) {
+        // Measured on the 4K kitty-size leg (one-core Xeon): blocked
+        // scatter 64 ms, tiled gather 87 ms (the gather's ~4x window
+        // re-conversion outweighs its acc-tile L1 residency even with
+        // the AVX2 converter).  The knob keeps the A/B reproducible.
+        const char *ex = getenv("TIMG_TPU_RESIZE_EXEC");
+        if (ex && strcmp(ex, "gather") == 0)
+            return resize_polyphase_vfirst_gather(
+                in, batch, in_h, in_w, out, out_h, out_w, starts_v,
+                coeffs_v, widest_v, starts_h, coeffs_h, widest_h,
+                alpha_weighted);
         int monotonic = 1;
         for (int o = 1; o < out_h; ++o)
             if (starts_v[o] < starts_v[o - 1]) {
