@@ -401,6 +401,30 @@ def _bench_e2e_film(jax, np):
 
 
 def main() -> None:
+    import threading
+
+    # Watchdog: a wedged device tunnel (observed in r5: dispatches
+    # block forever with ~0 CPU) would otherwise hang the bench and
+    # the round records nothing.  If the run hasn't finished within
+    # the budget, emit the one-line JSON contract with value 0 and an
+    # error field, then hard-exit -- an honest artifact beats a hang.
+    _done = threading.Event()
+    _budget = float(os.environ.get("TIMG_TPU_BENCH_WATCHDOG_S", "1500"))
+
+    def _watchdog():
+        if not _done.wait(_budget):
+            print(json.dumps({
+                "metric": "1080p_frames_per_sec_resize_dither_sixel",
+                "value": 0.0,
+                "unit": "frames/s/chip",
+                "vs_baseline": 0.0,
+                "error": "watchdog: no result after %.0fs -- device "
+                         "tunnel unresponsive; see ROADMAP r5 tunnel "
+                         "wedge note" % _budget}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -525,6 +549,7 @@ def main() -> None:
             "e2e_film": e2e_film,
         },
     }))
+    _done.set()
 
 
 if __name__ == "__main__":

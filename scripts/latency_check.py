@@ -71,11 +71,22 @@ def measure(cmd, env, warmup=1, runs=RUNS):
 
 
 class Emitter:
-    """Accumulates rows; rewrites the artifact after every one."""
+    """Accumulates rows; rewrites the artifact after every one.
+
+    An existing artifact at ``out_path`` is loaded and updated in
+    place, so ``--tier=host`` and a later ``--tier=device`` run compose
+    into one file (each tier refreshes only its own rows).
+    """
 
     def __init__(self, out_path):
         self.out = {}
         self.path = out_path
+        if out_path and os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    self.out = json.load(f)
+            except Exception:
+                self.out = {}
 
     def __setitem__(self, key, value):
         self.out[key] = value
@@ -245,6 +256,13 @@ def host_tier(out, args, img, base_env, native):
             times, _ = measure([REF, *margs], base_env, runs=6)
             if times:
                 out.med_row(f"reference_4k_p{mode}_ms", times)
+                if mode == "s":
+                    row = dict(out.out[f"reference_4k_p{mode}_ms"])
+                    row["note"] = ("minimal reference build lacks "
+                                   "libsixel: it warns on -ps and "
+                                   "renders its default block mode -- "
+                                   "not a sixel anchor")
+                    out[f"reference_4k_p{mode}_ms"] = row
 
     # Serve mode, host path (VERDICT r3 #6): one-shot latency against a
     # resident --serve process — the former python-boot fallback case
@@ -385,7 +403,8 @@ def main() -> int:
     out["config"] = "512x512 PNG -> -pq 80x24 (BASELINE.md #1)"
     out["runs"] = RUNS
     out["reference_baseline_ms"] = 9.5
-    out["tier"] = ns.tier
+    prev_tier = out.out.get("tier")
+    out["tier"] = (ns.tier if prev_tier in (None, ns.tier) else "all")
 
     native = os.path.join(REPO, "timg-tpu-fast")
     if not os.path.exists(native):
