@@ -569,6 +569,36 @@ def test_env_knobs(binary, corpus, tmp_path):
         assert c == py, extra_env
 
 
+def test_resize_exec_knob_parity(binary, corpus, tmp_path):
+    """TIMG_TPU_RESIZE_EXEC selects the vertical-first executor
+    (blocked scatter by default, tiled gather for A/B); every value
+    must produce identical bytes.  -g80x48 on the 512x512 image is a
+    vertical-first geometry (plan_passes -> True), so the knob's two
+    code paths really run; -U adds the upsample branch."""
+    img = corpus["noise_512x512.png"]
+    small = corpus["noise_64x48.png"]
+    for args, src in (
+        (["-pq", "-g80x48", "-b", "black"], img),
+        (["-pk", "-g80x48", "-b", "black"], img),
+        (["-pq", "-g80x48", "-b", "black", "-U"], small),
+    ):
+        outs = {}
+        for exec_name in ("", "scatter", "gather"):
+            env = dict(_CLEAN_ENV)
+            if exec_name:
+                env["TIMG_TPU_RESIZE_EXEC"] = exec_name
+            out = os.path.join(str(tmp_path),
+                               "knob_%s_%s" % (exec_name or "default",
+                                               args[1][2:]))
+            r = subprocess.run([binary, *args, "--debug-no-frame-delay",
+                                "-o", out, src], env=env,
+                               capture_output=True, timeout=60)
+            assert r.returncode == 0, (exec_name, r.stderr[-300:])
+            with open(out, "rb") as f:
+                outs[exec_name or "default"] = _norm(f.read())
+        assert outs["default"] == outs["scatter"] == outs["gather"], args
+
+
 FUZZ_POOL = [
     ["-pq"], ["-ph"], ["-ps"], ["-pi"], ["--color8"],
     ["-b", "red"], ["-b", "none"], ["-b", "#357"],  # #357 warns -> full
