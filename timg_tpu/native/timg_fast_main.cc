@@ -44,6 +44,7 @@
 #include <new>
 #include <string>
 #include <vector>
+#include <memory>
 
 #include "css3_colors.inc"
 
@@ -2191,12 +2192,14 @@ static bool prep_anim_frame(AnimFrame *afp, const uint8_t *rgba, int tw,
             const long n_bands = (padded_h + 5) / 6;
             const size_t cap = (size_t)n_bands * ncolors * (tw + 12) +
                                ncolors * 20 + 256;
-            std::vector<char> six(cap);
+            // new char[] stays uninitialized: the vector's zero-fill
+            // of this multi-MB bound was ~half the assembly stage.
+            std::unique_ptr<char[]> six(new char[cap]);
             const long sn = timg_sixel_encode(sidx.data(), padded_h, tw,
                                               tw, pal.data(), ncolors,
-                                              six.data());
+                                              six.get());
             if (sn < 0) return false;
-            af.sixel_stream.assign(six.data(), (size_t)sn);
+            af.sixel_stream.assign(six.get(), (size_t)sn);
             return true;
         }
         // block planes (odd-height pad + argmin), ansi.send mirror
@@ -2484,12 +2487,14 @@ static bool sixel_payload(const std::vector<uint8_t> &frame, int w, int h,
     int ncolors = rc & 0xFFFF;
     long n_bands = (padded_h + 5) / 6;
     size_t cap = (size_t)n_bands * ncolors * (w + 12) + ncolors * 20 + 256;
-    std::vector<char> six(cap);
+    // new char[] stays uninitialized: the vector's zero-fill of this
+    // multi-MB bound was ~half the assembly stage.
+    std::unique_ptr<char[]> six(new char[cap]);
     long sn = timg_sixel_encode(idx.data(), padded_h, w, w, pal.data(),
-                                ncolors, six.data());
+                                ncolors, six.get());
     if (sn < 0) return false;
     stage("sixel_rle");
-    out->assign(six.data(), (size_t)sn);
+    out->assign(six.get(), (size_t)sn);
     return true;
 }
 

@@ -158,9 +158,12 @@ inline char *append_sixel_runs(char *pos, const uint8_t *bits, int w) {
 
 // indices: uint8[h x w] rows at ``pitch`` bytes apart (pitch >= w:
 // device kernels emit 128-aligned padded planes; passing the pitch
-// avoids a host repack). palette: uint8[n*3]. out must hold a
-// generous upper bound (~h*w*4 + n*16 + 64). Returns bytes written,
-// -1 on allocation failure.
+// avoids a host repack). palette: uint8[n*3]. out must hold
+// n_bands*n*(w+12) + n*20 + 256 bytes, the bound every caller uses
+// (per color-band: '$#ddd' + leading blank run + <=1 char/column + 2
+// bytes of run-splat slack; h*w*4 is NOT sufficient -- sparse colors'
+// gap runs can exceed it on noise frames at small w).  Returns bytes
+// written, -1 on allocation failure.
 long timg_sixel_encode(const uint8_t *indices, int h, int w, int pitch,
                        const uint8_t *palette, int n_colors, char *out) {
     char *pos = out;
