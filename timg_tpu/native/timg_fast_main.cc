@@ -71,6 +71,17 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
                            int widest_v, const int32_t *starts_h,
                            const float *coeffs_h, int widest_h,
                            int vertical_first, int alpha_weighted);
+long timg_png_decode_raw(const uint8_t *buf, long len, uint8_t **out_raw,
+                         int *out_w, int *out_h, int *out_color,
+                         int *out_flags);
+long timg_resize_polyphase_src(const uint8_t *in, long in_pitch,
+                               int src_rgb, int batch, int in_h, int in_w,
+                               uint8_t *out, int out_h, int out_w,
+                               const int32_t *starts_v,
+                               const float *coeffs_v, int widest_v,
+                               const int32_t *starts_h,
+                               const float *coeffs_h, int widest_h,
+                               int vertical_first, int alpha_weighted);
 void timg_resize_nearest(const uint8_t *in, int in_h, int in_w, uint8_t *out,
                          int out_h, int out_w);
 long timg_has_translucency(const uint8_t *rgba, long npixels);
@@ -2308,6 +2319,8 @@ static bool render_still(const char *fname, StillKind kind,
     if (rerr) return false;
 
     uint8_t *rgba = nullptr;
+    uint8_t *png_raw = nullptr;  // fused decode->resize arena (PNG 2/6)
+    int png_color = 0;
     int iw = 0, ih = 0, flags = 0;
     stage("read");
     if (kind == K_JPEG) {
@@ -2343,6 +2356,12 @@ static bool render_still(const char *fname, StillKind kind,
         flags = 0;
         out->orig_w = iw;
         out->orig_h = ih;
+    } else if (timg_png_decode_raw((const uint8_t *)data.data(),
+                                   (long)data.size(), &png_raw, &iw, &ih,
+                                   &png_color, &flags) == 0) {
+        // Fused path: raw unfiltered scanlines feed the resize executor
+        // directly (no 33 MB RGBA plane at 4K).  Cases that need the
+        // RGBA plane after all fall back below at the decision point.
     } else if (timg_png_decode((const uint8_t *)data.data(),
                                (long)data.size(), &rgba, &iw, &ih,
                                &flags) != 0) {
@@ -2364,6 +2383,18 @@ static bool render_still(const char *fname, StillKind kind,
                         disp.upscale ? 1 : 0, disp.upscale_integer ? 1 : 0,
                         disp.cell_x, disp.cell_y, 0, &tw, &th);
         if (disp.quarter && (tw % 2)) break;  // odd-width overrun case
+        if (png_raw && (!disp.antialias || (ih == th && iw == tw))) {
+            // Nearest/same-size consume an RGBA plane: leave the fused
+            // path and decode normally (small images; the re-parse is
+            // cheap next to the 4K case the fusion exists for).
+            timg_buf_free(png_raw);
+            png_raw = nullptr;
+            int flags2 = 0;
+            if (timg_png_decode((const uint8_t *)data.data(),
+                                (long)data.size(), &rgba, &iw, &ih,
+                                &flags2) != 0)
+                break;
+        }
         std::vector<uint8_t> frame((size_t)th * tw * 4);
         if (ih != th || iw != tw) {
             if (!disp.antialias) {
@@ -2378,10 +2409,20 @@ static bool render_still(const char *fname, StillKind kind,
                 long rc = -1;
                 if (widest_v >= 1 && widest_h >= 1) {
                     int vfirst = timg_plan_passes(ih, iw, th, tw, 1);
-                    rc = timg_resize_polyphase(rgba, 1, ih, iw, frame.data(),
-                                               th, tw, starts_v, coeffs_v,
-                                               widest_v, starts_h, coeffs_h,
-                                               widest_h, vfirst, 1);
+                    if (png_raw) {
+                        const int bpp = (png_color == 2) ? 3 : 4;
+                        rc = timg_resize_polyphase_src(
+                            png_raw + 1, (long)iw * bpp + 1,
+                            png_color == 2 ? 1 : 0, 1, ih, iw,
+                            frame.data(), th, tw, starts_v, coeffs_v,
+                            widest_v, starts_h, coeffs_h, widest_h,
+                            vfirst, 1);
+                    } else {
+                        rc = timg_resize_polyphase(
+                            rgba, 1, ih, iw, frame.data(), th, tw,
+                            starts_v, coeffs_v, widest_v, starts_h,
+                            coeffs_h, widest_h, vfirst, 1);
+                    }
                 }
                 timg_buf_free(starts_v);
                 timg_buf_free(coeffs_v);
@@ -2456,6 +2497,7 @@ static bool render_still(const char *fname, StillKind kind,
         ok = true;
     } while (false);
     timg_buf_free(rgba);
+    timg_buf_free(png_raw);
     return ok;
 }
 

@@ -1112,6 +1112,54 @@ static void row_to_float(const uint8_t *src, float *dst, int n, int ch,
     }
 }
 
+// RGB source rows (the fused PNG color-type-2 path): expand a chunk to
+// [r,g,b,255] in a hot stack buffer, then run the IDENTICAL conversion
+// -- so every float equals the RGBA path's for an opaque image, and
+// the executors stay byte-identical whichever decode entry fed them.
+static void row_to_float_rgb(const uint8_t *src, float *dst, int n,
+                             int ch, int alpha_weighted) {
+    uint8_t chunk[256 * 4];
+    int done = 0;
+    while (done < n) {
+        const int c = (n - done < 256) ? (n - done) : 256;
+        const uint8_t *s = src + (long)done * 3;
+        int x = 0;
+#if defined(__SSSE3__)
+        const __m128i shuf = _mm_setr_epi8(
+            0, 1, 2, (char)0x80, 3, 4, 5, (char)0x80,
+            6, 7, 8, (char)0x80, 9, 10, 11, (char)0x80);
+        const __m128i alpha = _mm_set1_epi32((int)0xff000000u);
+        // the 16-byte load reads 4 bytes past the 12-byte group; safe
+        // while a whole pixel remains beyond the group in this row
+        for (; x + 6 <= c; x += 4)
+            _mm_storeu_si128(
+                (__m128i *)(chunk + (long)x * 4),
+                _mm_or_si128(
+                    _mm_shuffle_epi8(
+                        _mm_loadu_si128((const __m128i *)(s + (long)x * 3)),
+                        shuf),
+                    alpha));
+#endif
+        for (; x < c; ++x) {
+            chunk[x * 4 + 0] = s[x * 3 + 0];
+            chunk[x * 4 + 1] = s[x * 3 + 1];
+            chunk[x * 4 + 2] = s[x * 3 + 2];
+            chunk[x * 4 + 3] = 255;
+        }
+        row_to_float(chunk, dst + (long)done * ch, c, ch, alpha_weighted);
+        done += c;
+    }
+}
+
+static inline void row_to_float_src(const uint8_t *src, int src_rgb,
+                                    float *dst, int n, int ch,
+                                    int alpha_weighted) {
+    if (src_rgb)
+        row_to_float_rgb(src, dst, n, ch, alpha_weighted);
+    else
+        row_to_float(src, dst, n, ch, alpha_weighted);
+}
+
 // One vertical tap: acc[i] (=|+=) r[i] * c.  The restrict-qualified
 // single-tap form is what GCC needs to auto-vectorize (the former
 // nested rows[t][i] loop loaded the row pointer through a
@@ -1201,12 +1249,12 @@ static void row_repack(const float *src, uint8_t *dst, int n, int ch,
 // element the taps are applied in ascending t with the identical
 // mul/add sequence, so output bytes are unchanged.
 static long resize_polyphase_vfirst_gather(
-    const uint8_t *in, int batch, int in_h, int in_w, uint8_t *out,
-    int out_h, int out_w, const int32_t *starts_v, const float *coeffs_v,
-    int widest_v, const int32_t *starts_h, const float *coeffs_h,
-    int widest_h, int alpha_weighted) {
+    const uint8_t *in, long in_pitch, int src_rgb, int batch, int in_h,
+    int in_w, uint8_t *out, int out_h, int out_w, const int32_t *starts_v,
+    const float *coeffs_v, int widest_v, const int32_t *starts_h,
+    const float *coeffs_h, int widest_h, int alpha_weighted) {
     const int ch = alpha_weighted ? 8 : 4;
-    const long in_px = (long)in_h * in_w;
+    const int bpp = src_rgb ? 3 : 4;
     const long row_floats = (long)in_w * ch;
     const int kTilePx = 512;
 
@@ -1221,7 +1269,7 @@ static long resize_polyphase_vfirst_gather(
     }
 
     for (int b = 0; b < batch; ++b) {
-        const uint8_t *src = in + (long)b * in_px * 4;
+        const uint8_t *src = in + (long)b * in_h * in_pitch;
         uint8_t *dst = out + (long)b * (long)out_h * out_w * 4;
         for (int o = 0; o < out_h; ++o) {
             const float *cfo = coeffs_v + (long)o * widest_v;
@@ -1233,8 +1281,9 @@ static long resize_polyphase_vfirst_gather(
                 float *at = acc_row + (long)px0 * ch;
                 for (int t = 0; t < widest_v; ++t) {
                     const int y = clip_int(s0 + t, 0, in_h - 1);
-                    row_to_float(src + (long)y * in_w * 4 + (long)px0 * 4,
-                                 tmp, tw, ch, alpha_weighted);
+                    row_to_float_src(
+                        src + (long)y * in_pitch + (long)px0 * bpp,
+                        src_rgb, tmp, tw, ch, alpha_weighted);
                     axpy_row(at, tmp, cfo[t], tf, t == 0);
                 }
             }
@@ -1251,12 +1300,12 @@ static long resize_polyphase_vfirst_gather(
 }
 
 static long resize_polyphase_vfirst_scatter(
-    const uint8_t *in, int batch, int in_h, int in_w, uint8_t *out,
-    int out_h, int out_w, const int32_t *starts_v, const float *coeffs_v,
-    int widest_v, const int32_t *starts_h, const float *coeffs_h,
-    int widest_h, int alpha_weighted) {
+    const uint8_t *in, long in_pitch, int src_rgb, int batch, int in_h,
+    int in_w, uint8_t *out, int out_h, int out_w, const int32_t *starts_v,
+    const float *coeffs_v, int widest_v, const int32_t *starts_h,
+    const float *coeffs_h, int widest_h, int alpha_weighted) {
     const int ch = alpha_weighted ? 8 : 4;
-    const long in_px = (long)in_h * in_w;
+    const int bpp = src_rgb ? 3 : 4;
     const long row_floats = (long)in_w * ch;
 
     // Max simultaneously-active output rows AT BLOCK GRANULARITY: o is
@@ -1309,7 +1358,7 @@ static long resize_polyphase_vfirst_scatter(
 
     long rc = 0;
     for (int b = 0; b < batch; ++b) {
-        const uint8_t *src = in + (long)b * in_px * 4;
+        const uint8_t *src = in + (long)b * in_h * in_pitch;
         uint8_t *dst = out + (long)b * (long)out_h * out_w * 4;
         for (int o = 0; o < out_h; ++o) next_tap[o] = 0;
         int o_lo = 0, o_hi = 0;
@@ -1333,9 +1382,10 @@ static long resize_polyphase_vfirst_scatter(
                     (in_w - px0 < kTilePx) ? (in_w - px0) : kTilePx;
                 const long tf = (long)tw * ch;
                 for (int y = yb; y < ylim; ++y)
-                    row_to_float(src + (long)y * in_w * 4 + (long)px0 * 4,
-                                 tmp + (long)(y - yb) * kTilePx * ch, tw,
-                                 ch, alpha_weighted);
+                    row_to_float_src(
+                        src + (long)y * in_pitch + (long)px0 * bpp,
+                        src_rgb, tmp + (long)(y - yb) * kTilePx * ch, tw,
+                        ch, alpha_weighted);
                 for (int o = o_lo; o < o_hi; ++o) {
                     const float *cfo = coeffs_v + (long)o * widest_v;
                     float *at = acc + (long)(o % max_active) * row_floats +
@@ -1373,12 +1423,20 @@ static long resize_polyphase_vfirst_scatter(
     return rc;
 }
 
-long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
-                           uint8_t *out, int out_h, int out_w,
-                           const int32_t *starts_v, const float *coeffs_v,
-                           int widest_v, const int32_t *starts_h,
-                           const float *coeffs_h, int widest_h,
-                           int vertical_first, int alpha_weighted) {
+// Pitched/typed-source entry for the fused decode->resize path: `in`
+// rows live at `in_pitch` bytes apart and hold RGB (src_rgb=1) or
+// RGBA (src_rgb=0) pixels -- PNG raw scanlines feed this directly
+// (timg_png_decode_raw) without an RGBA plane in between.  Output
+// bytes are identical to decoding first: the RGB rows pass through an
+// in-register [r,g,b,255] expansion and then the same conversion.
+long timg_resize_polyphase_src(const uint8_t *in, long in_pitch,
+                               int src_rgb, int batch, int in_h, int in_w,
+                               uint8_t *out, int out_h, int out_w,
+                               const int32_t *starts_v,
+                               const float *coeffs_v, int widest_v,
+                               const int32_t *starts_h,
+                               const float *coeffs_h, int widest_h,
+                               int vertical_first, int alpha_weighted) {
     if (vertical_first && in_h > 0 && out_h > 0 && widest_v > 0) {
         // Measured on the 4K kitty-size leg (one-core Xeon): blocked
         // scatter 64 ms, tiled gather 87 ms (the gather's ~4x window
@@ -1387,9 +1445,9 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
         const char *ex = getenv("TIMG_TPU_RESIZE_EXEC");
         if (ex && strcmp(ex, "gather") == 0)
             return resize_polyphase_vfirst_gather(
-                in, batch, in_h, in_w, out, out_h, out_w, starts_v,
-                coeffs_v, widest_v, starts_h, coeffs_h, widest_h,
-                alpha_weighted);
+                in, in_pitch, src_rgb, batch, in_h, in_w, out, out_h,
+                out_w, starts_v, coeffs_v, widest_v, starts_h, coeffs_h,
+                widest_h, alpha_weighted);
         int monotonic = 1;
         for (int o = 1; o < out_h; ++o)
             if (starts_v[o] < starts_v[o - 1]) {
@@ -1398,14 +1456,13 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
             }
         if (monotonic) {
             const long rc = resize_polyphase_vfirst_scatter(
-                in, batch, in_h, in_w, out, out_h, out_w, starts_v,
-                coeffs_v, widest_v, starts_h, coeffs_h, widest_h,
-                alpha_weighted);
+                in, in_pitch, src_rgb, batch, in_h, in_w, out, out_h,
+                out_w, starts_v, coeffs_v, widest_v, starts_h, coeffs_h,
+                widest_h, alpha_weighted);
             if (rc != -2) return rc;  // -2: fall through to the ring
         }
     }
     const int ch = alpha_weighted ? 8 : 4;
-    const long in_px = (long)in_h * in_w;
     // Ring rows: raw input width when vertical-first, resampled output
     // width when horizontal-first.
     const long ring_floats =
@@ -1438,7 +1495,7 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
         rowsp = rows_heap.data();
     }
     for (int b = 0; b < batch; ++b) {
-        const uint8_t *src = in + (long)b * in_px * 4;
+        const uint8_t *src = in + (long)b * in_h * in_pitch;
         uint8_t *dst = out + (long)b * (long)out_h * out_w * 4;
         for (int s = 0; s < ring_n; ++s) ring_idx[s] = -1;
         for (int o = 0; o < out_h; ++o) {
@@ -1449,13 +1506,13 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
                 const int slot = idx % ring_n;
                 float *rslot = ring + (long)slot * ring_floats;
                 if (ring_idx[slot] != idx) {
-                    const uint8_t *in_row = src + (long)idx * in_w * 4;
+                    const uint8_t *in_row = src + (long)idx * in_pitch;
                     if (vertical_first) {
-                        row_to_float(in_row, rslot, in_w, ch,
-                                     alpha_weighted);
+                        row_to_float_src(in_row, src_rgb, rslot, in_w, ch,
+                                         alpha_weighted);
                     } else {
-                        row_to_float(in_row, stage_row, in_w, ch,
-                                     alpha_weighted);
+                        row_to_float_src(in_row, src_rgb, stage_row, in_w,
+                                         ch, alpha_weighted);
                         resample_horizontal(stage_row, rslot, 1, in_w,
                                             out_w, ch, starts_h, coeffs_h,
                                             widest_h);
@@ -1483,6 +1540,18 @@ long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
     free(comb_row);
     free(final_row);
     return 0;
+}
+
+long timg_resize_polyphase(const uint8_t *in, int batch, int in_h, int in_w,
+                           uint8_t *out, int out_h, int out_w,
+                           const int32_t *starts_v, const float *coeffs_v,
+                           int widest_v, const int32_t *starts_h,
+                           const float *coeffs_h, int widest_h,
+                           int vertical_first, int alpha_weighted) {
+    return timg_resize_polyphase_src(
+        in, (long)in_w * 4, /*src_rgb=*/0, batch, in_h, in_w, out, out_h,
+        out_w, starts_v, coeffs_v, widest_v, starts_h, coeffs_h, widest_h,
+        vertical_first, alpha_weighted);
 }
 
 }  // extern "C"

@@ -91,21 +91,26 @@ static inline uint8_t paeth(int a, int b, int c) {
     return (uint8_t)c;
 }
 
-long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
-                     int *out_w, int *out_h, int *out_flags) {
+// Parse + inflate + unfilter: produces the raw scanline arena (rows at
+// (w*bpp+1)-byte pitch, pixel bytes at +1 past the filter byte) and
+// the header/palette state.  Shared by the RGBA-expanding decode below
+// and the fused decode->resize path (timg_png_decode_raw), which feeds
+// these scanlines straight into the resize executor.
+static long png_decode_core(const uint8_t *buf, long len, uint8_t **out_raw,
+                            int *out_w, int *out_h, int *out_color,
+                            int *out_flags, uint8_t palette[256][3],
+                            uint8_t pal_alpha[256]) {
     static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a,
                                    '\n'};
-    *out_rgba = NULL;
+    *out_raw = NULL;
     *out_flags = 0;
     if (len < 8 + 25 || memcmp(buf, SIG, 8) != 0) return 1;
 
     long pos = 8;
     int w = 0, h = 0, depth = 0, color = 0, interlace = 0;
     int have_ihdr = 0, have_plte = 0, have_trns = 0;
-    uint8_t palette[256][3];
-    uint8_t pal_alpha[256];
-    memset(palette, 0, sizeof(palette));  // PIL zero-fills short palettes
-    memset(pal_alpha, 255, sizeof(pal_alpha));
+    memset(palette, 0, 256 * 3);  // PIL zero-fills short palettes
+    memset(pal_alpha, 255, 256);
     uint8_t *idat = NULL;
     size_t idat_len = 0, idat_cap = 0;
 
@@ -248,6 +253,28 @@ long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
         }
     }
 
+    (void)have_plte;
+    *out_raw = raw;
+    *out_w = w;
+    *out_h = h;
+    *out_color = color;
+    return 0;
+}
+
+long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
+                     int *out_w, int *out_h, int *out_flags) {
+    uint8_t palette[256][3];
+    uint8_t pal_alpha[256];
+    uint8_t *raw = NULL;
+    int w = 0, h = 0, color = 0;
+    *out_rgba = NULL;
+    long rc = png_decode_core(buf, len, &raw, &w, &h, &color, out_flags,
+                              palette, pal_alpha);
+    if (rc != 0) return rc;
+    static const int CH_IN[7] = {1, 0, 3, 1, 2, 0, 4};
+    const int ch_in = CH_IN[color];
+    const size_t stride = (size_t)w * ch_in;
+
     uint8_t *out = (uint8_t *)malloc((size_t)w * h * 4);
     if (!out) { free(raw); return 7; }
     advise_huge(out, (size_t)w * h * 4);
@@ -288,7 +315,6 @@ long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
                 break;
             }
             case 3:  // palette (requires PLTE per spec; zeros otherwise)
-                (void)have_plte;
                 for (int x = 0; x < w; ++x) {
                     const uint8_t i = src[x];
                     dst[x * 4] = palette[i][0];
@@ -313,6 +339,31 @@ long timg_png_decode(const uint8_t *buf, long len, uint8_t **out_rgba,
     *out_rgba = out;
     *out_w = w;
     *out_h = h;
+    return 0;
+}
+
+// Fusion entry: decode to the raw unfiltered scanline arena WITHOUT
+// materializing the RGBA plane (33 MB of page-zeroing + write + reread
+// on a 4K still, ~15 ms of the one-shot).  Rows live at
+// (w*bpp+1)-byte pitch with pixel bytes at +1; *out_color is the PNG
+// color type.  Gated to color types 2 (RGB) and 6 (RGBA) -- the types
+// whose scanlines the resize executor can consume directly
+// (timg_resize_polyphase_src); anything else returns >0 and the
+// caller uses timg_png_decode.  Free the arena with timg_buf_free.
+long timg_png_decode_raw(const uint8_t *buf, long len, uint8_t **out_raw,
+                         int *out_w, int *out_h, int *out_color,
+                         int *out_flags) {
+    uint8_t palette[256][3];
+    uint8_t pal_alpha[256];
+    *out_raw = NULL;
+    long rc = png_decode_core(buf, len, out_raw, out_w, out_h, out_color,
+                              out_flags, palette, pal_alpha);
+    if (rc != 0) return rc;
+    if (*out_color != 2 && *out_color != 6) {
+        free(*out_raw);
+        *out_raw = NULL;
+        return 11;  // raw consumers only handle direct RGB/RGBA rows
+    }
     return 0;
 }
 
