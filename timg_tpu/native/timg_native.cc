@@ -492,7 +492,41 @@ void timg_png_sub_filter(const uint8_t *rgba, int h, int w, int ch,
         uint8_t *o = out + (long)y * stride;
         *o++ = 1;
         for (int c = 0; c < ch; ++c) o[c] = row[c];
-        for (int x = 1; x < w; ++x) {
+        int x = 1;
+        // Sub filtering is x[i] - x[i-bpp] with no loop dependency:
+        // 4 px per vector op (byte subtraction wraps exactly).
+#if defined(__SSE2__)
+        if (ch == 4) {
+            for (; x + 4 <= w; x += 4) {
+                const __m128i cur = _mm_loadu_si128(
+                    (const __m128i *)(row + (long)x * 4));
+                const __m128i prv = _mm_loadu_si128(
+                    (const __m128i *)(row + (long)x * 4 - 4));
+                _mm_storeu_si128((__m128i *)(o + (long)x * 4),
+                                 _mm_sub_epi8(cur, prv));
+            }
+        }
+#endif
+#if defined(__SSSE3__)
+        if (ch == 3) {
+            // subtract in RGBA lanes, then pack 4 diffs to 12 bytes;
+            // the 16-byte store's 4 tail bytes stay inside this row
+            // (x+6<=w) and are rewritten by the next iteration.
+            const __m128i pack = _mm_setr_epi8(
+                0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14,
+                (char)0x80, (char)0x80, (char)0x80, (char)0x80);
+            for (; x + 6 <= w; x += 4) {
+                const __m128i cur = _mm_loadu_si128(
+                    (const __m128i *)(row + (long)x * 4));
+                const __m128i prv = _mm_loadu_si128(
+                    (const __m128i *)(row + (long)x * 4 - 4));
+                _mm_storeu_si128(
+                    (__m128i *)(o + (long)x * 3),
+                    _mm_shuffle_epi8(_mm_sub_epi8(cur, prv), pack));
+            }
+        }
+#endif
+        for (; x < w; ++x) {
             const uint8_t *cur = row + (long)x * 4;
             const uint8_t *prev = cur - 4;
             uint8_t *dst = o + (long)x * ch;
