@@ -1046,6 +1046,45 @@ static void resample_horizontal(const float *src, float *dst, int rows,
                 continue;
             }
 #endif
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+// GCC 12's AVX512 intrinsic headers trip -Wmaybe-uninitialized false
+// positives (builtin masked/cast forms with "undefined" operands).
+#pragma GCC diagnostic push
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+            if (interior && ch == 8 && widest >= 4) {
+                // One zmm = [even acc (8) | odd acc (8)]: a 64-byte
+                // load spans taps t,t+1 and the coeff vector carries
+                // [cf[t] x8 | cf[t+1] x8], so each fused iteration
+                // advances both parity accumulators with the same
+                // per-lane mul/add the 256-bit walk does -- identical
+                // f32 sequence, half the loop trips.
+                const float *p = in_row + (long)s0 * 8;
+                __m512 acc = _mm512_mul_ps(
+                    _mm512_loadu_ps(p),
+                    _mm512_mask_broadcastss_ps(
+                        _mm512_broadcastss_ps(_mm_load_ss(cf)),
+                        (__mmask16)0xFF00, _mm_load_ss(cf + 1)));
+                int t = 2;
+                for (; t + 1 < widest; t += 2)
+                    acc = _mm512_add_ps(
+                        acc, _mm512_mul_ps(
+                                 _mm512_loadu_ps(p + 8 * (long)t),
+                                 _mm512_mask_broadcastss_ps(
+                                     _mm512_broadcastss_ps(
+                                         _mm_load_ss(cf + t)),
+                                     (__mmask16)0xFF00,
+                                     _mm_load_ss(cf + t + 1))));
+                __m256 even = _mm512_castps512_ps256(acc);
+                const __m256 odd = _mm512_extractf32x8_ps(acc, 1);
+                if (t < widest)  // widest odd: final tap is even
+                    even = _mm256_add_ps(
+                        even, _mm256_mul_ps(_mm256_loadu_ps(p + 8 * (long)t),
+                                            _mm256_set1_ps(cf[t])));
+                _mm256_storeu_ps(px, _mm256_add_ps(even, odd));
+                continue;
+            }
+#pragma GCC diagnostic pop
+#endif
 #if defined(__AVX__)
             if (interior && ch == 8) {
                 const float *p = in_row + (long)s0 * 8;
