@@ -614,6 +614,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                              display, present, sequencer,
                              len(filelist), successful, duration, bg_color,
                              transport_base)
+
+    from timg_tpu.ops import backend as _backend
+    if _backend.device_wedged():
+        # The liveness probe left a daemon thread permanently blocked
+        # inside a PJRT dispatch; normal interpreter teardown then
+        # aborts in native code ("FATAL: exception not rethrown").
+        # All output is flushed -- leave without running finalizers.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(exit_code)
     return exit_code
 
 

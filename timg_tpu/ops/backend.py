@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
+
+_probe_lock = threading.Lock()
 
 
 def use_numpy() -> bool:
@@ -37,6 +40,24 @@ def use_numpy() -> bool:
         return True
 
 
+def dispatch_platform() -> str:
+    """The platform an uncommitted dispatch actually lands on.
+
+    Honors a ``jax_default_device`` override -- the wedge fallback in
+    device_alive() pins it to the CPU device mid-process, after which
+    keying kernel choices on ``jax.default_backend()`` (still the
+    device platform) would route Pallas kernels onto the CPU backend
+    and fail with "Only interpret mode is supported".  With no
+    override this is exactly ``jax.default_backend()``."""
+    import jax
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        p = getattr(dd, "platform", None)
+        if p:
+            return p
+    return jax.default_backend()
+
+
 def device_forced() -> bool:
     """TIMG_TPU_FORCE_DEVICE pins every routed dispatch to the device
     (parity/bench harnesses use it to exercise the device path on
@@ -45,6 +66,97 @@ def device_forced() -> bool:
 
 
 _DEVICE_MIN_BATCH = 64
+
+# None = not yet probed; True = responsive; False = wedged.
+_probe_result = None
+
+
+def device_wedged() -> bool:
+    """True only when a liveness probe RAN and timed out (the CLI uses
+    this to exit via os._exit: the probe's daemon thread stays blocked
+    in native code and would abort normal interpreter teardown)."""
+    return _probe_result is False
+
+
+def device_alive() -> bool:
+    """One cached liveness probe of the active non-CPU backend.
+
+    A wedged device link -- observed on the dev tunnel: every dispatch
+    blocks forever with ~0 CPU while jax.devices() still lists the
+    chip -- would otherwise hang every sustained pipeline with no
+    output.  The probe runs a tiny computation in a daemon thread and
+    waits TIMG_TPU_DEVICE_PROBE_TIMEOUT_S (default 30 s; 0 disables
+    the probe and always trusts the device).  On timeout the process
+    reroutes to the strict host mirrors once, with a stderr notice --
+    the reference's behavior class (keep rendering) over a silent
+    hang.  The CPU backend short-circuits: no dispatch, no cost.
+    """
+    global _probe_result
+    if _probe_result is not None:
+        return _probe_result
+    with _probe_lock:
+        if _probe_result is not None:  # lost the race: reuse the result
+            return _probe_result
+        return _device_alive_locked()
+
+
+def _device_alive_locked():
+    global _probe_result
+    try:
+        timeout = float(
+            os.environ.get("TIMG_TPU_DEVICE_PROBE_TIMEOUT_S", "30"))
+    except ValueError:
+        timeout = 30.0
+    if timeout <= 0:
+        _probe_result = True
+        return True
+
+    ok = threading.Event()
+
+    def _probe():
+        try:
+            if _probe_compute():
+                ok.set()
+        except Exception:  # pragma: no cover - import/device errors
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True,
+                         name="timg-device-probe")
+    t.start()
+    alive = ok.wait(timeout)
+    if not alive:
+        print("timg-tpu: device backend unresponsive after %.0f s; "
+              "falling back to host mirrors for this run "
+              "(TIMG_TPU_DEVICE_PROBE_TIMEOUT_S tunes or disables the "
+              "probe)" % timeout, file=sys.stderr)
+        # Route EVERYTHING away from the wedged device: the env knob
+        # flips use_numpy() for the mirror-routed ops, and the default
+        # device pins residual jax dispatches (the fused video jits are
+        # bit-identical on every backend) onto the CPU backend.
+        os.environ["TIMG_TPU_FORCE_NUMPY"] = "1"
+        try:
+            import jax
+            jax.config.update("jax_default_device",
+                              jax.devices("cpu")[0])
+        except Exception:  # pragma: no cover
+            pass
+    _probe_result = alive
+    return alive
+
+
+def _probe_compute() -> bool:
+    """The dispatch the liveness probe round-trips (test seam).
+
+    The observed wedge mode completes execution (block_until_ready
+    returns) while every device->host fetch blocks forever -- the probe
+    must round-trip an actual VALUE to prove the link works end to end.
+    """
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu":
+        return True
+    x = jnp.ones((8, 8))
+    return float((x @ x)[0, 0]) == 8.0
 
 
 def prefer_host(n_frames: int, sustained: bool = False) -> bool:
@@ -63,10 +175,12 @@ def prefer_host(n_frames: int, sustained: bool = False) -> bool:
     if device_forced():
         return False
     if sustained:
-        return False
+        return not device_alive()
     try:
         min_batch = int(os.environ.get("TIMG_TPU_DEVICE_MIN_BATCH",
                                        _DEVICE_MIN_BATCH))
     except ValueError:
         min_batch = _DEVICE_MIN_BATCH
-    return n_frames < min_batch
+    if n_frames < min_batch:
+        return True
+    return not device_alive()

@@ -296,7 +296,8 @@ def resize_video_words(frames: jax.Array, out_h: int, out_w: int,
     if (in_h, in_w) == (out_h, out_w) and not pad_to:
         return words
 
-    if jax.default_backend() == "tpu" and (in_h, in_w) != (out_h, out_w):
+    from timg_tpu.ops.backend import dispatch_platform
+    if dispatch_platform() == "tpu" and (in_h, in_w) != (out_h, out_w):
         from timg_tpu.ops import resize_pallas
         kw = {}
         if pad_to:

@@ -233,7 +233,8 @@ def fs_dither(frames_rgb, palette: np.ndarray) -> np.ndarray:
     frames_rgb = np.asarray(frames_rgb)
     b, h, w, _ = frames_rgb.shape
     pal_j, pal_sq = _palette_tables(palette)
-    if jax.default_backend() == "cpu":
+    from timg_tpu.ops.backend import dispatch_platform
+    if dispatch_platform() == "cpu":
         # CPU backend contracts FMAs (see resize.py); scan is also slow
         # there. Use a vectorized numpy mirror of the same wavefront.
         return _fs_dither_np(frames_rgb, palette)
@@ -287,7 +288,8 @@ def fs_dither_cube(frames_rgb) -> jax.Array:
     """FS dither against the fixed cube palette. Device array of indices."""
     frames_rgb = jnp.asarray(frames_rgb)
     _, h, w = frames_rgb.shape[:3]
-    if jax.default_backend() == "tpu":
+    from timg_tpu.ops.backend import dispatch_platform
+    if dispatch_platform() == "tpu":
         # fused all-Pallas pipeline (bit-identical with the scan;
         # tests assert it)
         from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused

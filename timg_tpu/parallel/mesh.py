@@ -95,7 +95,8 @@ def sharded_video_sixel_pipeline(mesh: Mesh, out_h: int, out_w: int,
 
     from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
 
-    interpret = jax.default_backend() != "tpu"
+    from timg_tpu.ops.backend import dispatch_platform
+    interpret = dispatch_platform() != "tpu"
 
     def per_shard(*args):
         if yuv:

@@ -19,6 +19,11 @@ from timg_tpu.utils import get_bool_env
 
 _MAX = 64
 
+def _dispatch_platform():
+    from timg_tpu.ops.backend import dispatch_platform
+    return dispatch_platform()
+
+
 
 class PlaneCache:
     def __init__(self) -> None:
@@ -179,7 +184,7 @@ def prime_sixel_video_device(ys, us, vs, th: int, tw: int,
          resample), build_resize)
     words_dev, samples_dev = resize_fn(ys, us, vs)
 
-    interpret = jax.default_backend() != "tpu"
+    interpret = _dispatch_platform() != "tpu"
     if mode == "libsixel":
         samples = np.asarray(samples_dev)
         rgb = np.stack([samples & 0xFF, (samples >> 8) & 0xFF,
@@ -395,7 +400,7 @@ def prime_sixel_planes(frames: list, options, state: dict,
         if host_mode:
             from timg_tpu.ops.sixel_np import fs_dither_cube_np
             indices = fs_dither_cube_np(batch).astype(np.uint8)
-        elif jax.default_backend() == "tpu":
+        elif _dispatch_platform() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_cube_fused
 
             def _cube_shard(words_):
@@ -434,7 +439,7 @@ def prime_sixel_planes(frames: list, options, state: dict,
             from timg_tpu.ops.sixel_np import fs_dither_tree_np
             indices = fs_dither_tree_np(
                 batch[..., :3], levels, leaves).astype(np.uint8)
-        elif jax.default_backend() == "tpu":
+        elif _dispatch_platform() == "tpu":
             from timg_tpu.ops.sixel_pallas3 import fs_dither_tree_fused
 
             def _tree_shard(words_, levels_, leaves_):
@@ -541,7 +546,7 @@ def _prime_libsixel(frames: list, batch: np.ndarray, host_mode: bool,
             dww = jnp.broadcast_to(
                 diffs_[None, :, None], (1, bb, 128)).astype(jnp.int32)
             return fs_dither_table_fused(words_, tw, palw, dww, h, w,
-                                         interpret=(jax.default_backend()
+                                         interpret=(_dispatch_platform()
                                                     != "tpu"),
                                          out_u8=True)
 
