@@ -58,15 +58,21 @@ def measure(cmd, env, warmup=1, runs=RUNS):
     print(f"[lat {time.time() - _T0:7.1f}s] measuring: "
           + " ".join(shlex.quote(c) for c in cmd[:4]), file=sys.stderr,
           flush=True)
-    for _ in range(warmup):
-        subprocess.run(cmd, env=env, capture_output=True, timeout=600)
-    times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        r = subprocess.run(cmd, env=env, capture_output=True, timeout=600)
-        times.append((time.perf_counter() - t0) * 1e3)
-        if r.returncode != 0:
-            return None, r.stderr.decode()[-300:]
+    try:
+        for _ in range(warmup):
+            subprocess.run(cmd, env=env, capture_output=True, timeout=600)
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            r = subprocess.run(cmd, env=env, capture_output=True,
+                               timeout=600)
+            times.append((time.perf_counter() - t0) * 1e3)
+            if r.returncode != 0:
+                return None, r.stderr.decode()[-300:]
+    except subprocess.TimeoutExpired:
+        # A wedged device tunnel manifests here; the caller records an
+        # error row and the harness moves on to the next row.
+        return None, "timeout: no completion within 600 s"
     return times, ""
 
 
@@ -313,6 +319,13 @@ class _serve_session:
 
 
 def device_tier(out, args, base_env, native):
+    # Disable the wedge liveness probe for every row of this tier: a
+    # degraded tunnel would otherwise silently reroute the sustained
+    # rows to host mirrors and record a host number under a device
+    # label.  With the probe off a wedge surfaces as measure()'s 600 s
+    # subprocess timeout -> an explicit *_error row (rows emit
+    # incrementally, so completed rows survive).
+    base_env = dict(base_env, TIMG_TPU_DEVICE_PROBE_TIMEOUT_S="0")
     # 5 runs, not 12: each TPU subprocess pays the full jax import +
     # device attach through the dev tunnel (~10 s), and the median
     # stabilizes well before 12 samples.
