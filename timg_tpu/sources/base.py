@@ -186,6 +186,10 @@ def create_source(
         # but fails without the gated diagnostic hint
         from timg_tpu.sources.ps_source import PSSource
         candidates.append(PSSource)
+        # Native decoders for the GM-only long tail (suffix-gated,
+        # jax-free; see sources/gm_formats.py)
+        from timg_tpu.sources.gm_formats import GMFormatsSource
+        candidates.append(GMFormatsSource)
         candidates.append(PILSource)
     if attempt_video_loading:
         try:
@@ -253,10 +257,12 @@ def create_source(
 
 # GraphicsMagick-only long tail (ref graphics-magick-source.cc relies
 # on GM's coder registry): named-diagnostic suffixes with no decoder in
-# this build. Formats PIL *can* open (pcx, sgi, sun, fits, ...) are
-# deliberately absent -- they reach the PIL source and only land here
-# when the file itself is broken, which must stay reference-silent.
+# this build. Formats PIL *can* open (pcx, sgi, sun, fits, ...) and the
+# natively decoded GM formats (dpx, cin, xwd, miff -- see
+# sources/gm_formats.py) are deliberately absent: they reach their
+# decoder and only land here when the file itself is broken, which must
+# stay reference-silent.
 _GM_ONLY_FORMATS = {
-    ".dpx", ".xcf", ".miff", ".mvg", ".cin", ".rla", ".viff", ".xwd",
+    ".xcf", ".mvg", ".rla", ".viff",
     ".pict", ".pct", ".mat", ".otb", ".palm", ".pwp", ".sct", ".wpg",
 }
