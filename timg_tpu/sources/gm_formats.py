@@ -12,6 +12,8 @@ these are interactive one-shot paths):
         longword-filled RGB layout plus 8-bit tight packing.
 * XWD   (X Window Dump): ZPixmap true color 16/24/32 bpp via the
         header's channel masks, 8 bpp pseudocolor via the colormap.
+* XCF   (GIMP): flattened visible-layer composite -- see
+        sources/xcf.py for the supported envelope.
 * MIFF  (GM/ImageMagick native): DirectClass and PseudoClass,
         depth 8/16, compression None or RLE, matte (stored as
         *opacity*: 0 = opaque) -- the subset GM itself writes by
@@ -24,7 +26,7 @@ Deviation (documented): DPX/Cineon printing-density transfer curves
 are not linearized -- code values map linearly, which is also what GM
 does unless explicitly asked to apply a LUT.
 
-The remaining exotic suffixes (.xcf, .rla, .pict, ...) keep the named
+The remaining exotic suffixes (.rla, .pict, ...) keep the named
 diagnostic in sources/base.py.
 """
 
@@ -445,11 +447,14 @@ def decode_miff(data: bytes) -> np.ndarray:
 # Source
 # --------------------------------------------------------------------------
 
+from timg_tpu.sources.xcf import decode_xcf  # noqa: E402
+
 _DECODERS = {
     ".dpx": ("dpx", decode_dpx),
     ".cin": ("cin", decode_cineon),
     ".xwd": ("xwd", decode_xwd),
     ".miff": ("miff", decode_miff),
+    ".xcf": ("xcf", decode_xcf),
 }
 
 
