@@ -413,3 +413,37 @@ def test_broken_dpx_stays_reference_silent(tmp_path):
         env=env, capture_output=True, timeout=120, cwd="/root/repo")
     assert r.returncode == 1
     assert "not supported" not in r.stderr.decode()
+
+
+# --------------------------------------------------------------------------
+# hostile headers must not drive output allocation
+# --------------------------------------------------------------------------
+
+def test_memory_bomb_headers_rejected():
+    """A tiny file whose header claims a huge image must raise before
+    allocating output planes (pixel reads are file-size-bounded via
+    np.frombuffer; output planes are header-sized)."""
+    from timg_tpu.sources.xcf import decode_xcf
+
+    hdr = bytearray(2048)
+    hdr[0:4] = b"SDPX"
+    struct.pack_into(">I", hdr, 4, 2048)
+    struct.pack_into(">H", hdr, 770, 1)
+    struct.pack_into(">I", hdr, 772, 60000)
+    struct.pack_into(">I", hdr, 776, 60000)
+    hdr[800] = 50
+    hdr[803] = 10
+    struct.pack_into(">H", hdr, 804, 1)
+    struct.pack_into(">I", hdr, 808, 2048)
+    with pytest.raises(ValueError, match="too large"):
+        decode_dpx(bytes(hdr))
+
+    miff = (b"id=ImageMagick\ncolumns=60000 rows=60000 depth=8\n"
+            b"class=DirectClass\ncompression=RLE\n:" + bytes(8))
+    with pytest.raises(ValueError, match="too large"):
+        decode_miff(miff)
+
+    xcf = (b"gimp xcf v002\0" + struct.pack(">III", 60000, 60000, 0)
+           + bytes(64))
+    with pytest.raises(ValueError, match="too large"):
+        decode_xcf(xcf)

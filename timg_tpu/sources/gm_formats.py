@@ -40,6 +40,19 @@ from timg_tpu.geometry import calc_scale_to_fit
 from timg_tpu.options import DisplayOptions
 from timg_tpu.sources.base import ImageSource, PreprocessedFrame
 
+# Decompression-bomb guard: a hostile header must not drive output
+# allocation (the pixel-data reads are bounded by the actual file size
+# via np.frombuffer, but output planes are header-sized). 64 MP covers
+# any plausible still for a terminal preview.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(width: int, height: int, what: str) -> None:
+    if not (0 < width < 65536 and 0 < height < 65536):
+        raise ValueError(f"bad {what} geometry")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"{what} image too large ({width}x{height})")
+
 
 def _scale_to_u8(v: np.ndarray, bits: int) -> np.ndarray:
     """Full-range code value -> 8 bit with round-half-up."""
@@ -89,8 +102,7 @@ def decode_dpx(data: bytes) -> np.ndarray:
     (n_elements,) = struct.unpack(bo + "H", data[770:772])
     (width,) = struct.unpack(bo + "I", data[772:776])
     (height,) = struct.unpack(bo + "I", data[776:780])
-    if not (0 < width < 65536 and 0 < height < 65536):
-        raise ValueError("bad DPX geometry")
+    _check_dims(width, height, "DPX")
     if n_elements < 1:
         raise ValueError("DPX with no image elements")
 
@@ -170,8 +182,7 @@ def decode_cineon(data: bytes) -> np.ndarray:
     bits = data[196 + 2]
     (width,) = struct.unpack(bo + "I", data[196 + 4:196 + 8])
     (height,) = struct.unpack(bo + "I", data[196 + 8:196 + 12])
-    if not (0 < width < 65536 and 0 < height < 65536):
-        raise ValueError("bad Cineon geometry")
+    _check_dims(width, height, "Cineon")
     interleave = data[680]
     packing = data[681]
     (eol_pad,) = struct.unpack(bo + "I", data[684:688])
@@ -238,8 +249,7 @@ def decode_xwd(data: bytes) -> np.ndarray:
      bits_per_pixel, bytes_per_line, _visual_class, red_mask,
      green_mask, blue_mask, _bits_per_rgb, _cmap_entries, ncolors,
      *_rest) = hdr
-    if not (0 < width < 65536 and 0 < height < 65536):
-        raise ValueError("bad XWD geometry")
+    _check_dims(width, height, "XWD")
     if pixmap_format != 2:
         raise ValueError("only ZPixmap XWD supported")
     pos = header_size
@@ -354,8 +364,7 @@ def decode_miff(data: bytes) -> np.ndarray:
         height = int(fields["rows"])
     except (KeyError, ValueError):
         raise ValueError("MIFF missing geometry")
-    if not (0 < width < 65536 and 0 < height < 65536):
-        raise ValueError("bad MIFF geometry")
+    _check_dims(width, height, "MIFF")
     depth = int(fields.get("depth", "8"))
     if depth not in (8, 16):
         raise ValueError(f"unsupported MIFF depth {depth}")

@@ -134,6 +134,8 @@ def _read_hierarchy(data: bytes, off: int, wide: bool,
     bpp = r.u32()
     if not (0 < w < 65536 and 0 < h < 65536 and 1 <= bpp <= 4):
         raise ValueError("bad XCF hierarchy")
+    from timg_tpu.sources.gm_formats import _check_dims
+    _check_dims(w, h, "XCF layer")
     level_off = r.offset()  # full-res level; lower levels are unused
     lr = _Reader(data, wide)
     lr.pos = level_off
@@ -199,6 +201,8 @@ def decode_xcf(data: bytes) -> np.ndarray:
         raise ValueError("bad XCF base type")
     if not (0 < width < 65536 and 0 < height < 65536):
         raise ValueError("bad XCF geometry")
+    from timg_tpu.sources.gm_formats import _check_dims
+    _check_dims(width, height, "XCF")
     if version >= 4:
         precision = r.u32()
         # 8-bit precisions: 100/150 (linear/gamma); GIMP's default.
