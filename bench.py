@@ -210,6 +210,21 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         assemble_dcs(wb, wl)
         assemble_planes(warm_host)
 
+        # Transport policy mirrors the CLI's auto choice: time one
+        # warm batch through each transport and pipeline the faster
+        # one.  (On noise-heavy content the padded DCS buffers exceed
+        # the raw plane and the lens->cap sync costs an extra round
+        # trip; on coherent content DCS wins.  Production makes the
+        # same per-window call -- render/plane_cache.py.)
+        t0 = time.perf_counter()
+        wb, wl = fetch_dcs(warm)
+        assemble_dcs(wb, wl)
+        t_dcs = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        assemble_planes(np.asarray(warm))
+        t_plane = time.perf_counter() - t0
+        use_dcs = t_dcs <= t_plane
+
         # Pipelined run: a dedicated uploader thread stages + dispatches
         # windows (H2D overlaps the consumer's D2H + assembly; jax
         # releases the GIL during transfers), bounded at depth 2 like
@@ -235,9 +250,14 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
             if out is None:
                 break
             t0 = time.perf_counter()
-            bands, lens_d = fetch_dcs(out)          # device emit + D2H
-            t1 = time.perf_counter()
-            assemble_dcs(bands, lens_d)             # host band splice
+            if use_dcs:
+                bands, lens_d = fetch_dcs(out)      # device emit + D2H
+                t1 = time.perf_counter()
+                assemble_dcs(bands, lens_d)         # host band splice
+            else:
+                host_planes = np.asarray(out)       # raw-plane D2H
+                t1 = time.perf_counter()
+                assemble_planes(host_planes)        # pooled C assembly
             t2 = time.perf_counter()
             spans["d2h"].append((t0, t1))
             spans["assemble"].append((t1, t2))
@@ -296,14 +316,21 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
     frame_mb = IN_H * IN_W * 1.5 / 1e6      # YUV 4:2:0 transport
     legs["h2d_mb_per_s"] = round(
         frame_mb / max(legs["h2d_ms_per_frame"], 1e-6) * 1e3, 1)
-    legs["transport"] = "yuv420 in / dcs out"
+    legs["transport"] = ("yuv420 in / dcs out" if use_dcs
+                         else "yuv420 in / plane out")
     legs["host_cpus"] = os.cpu_count()
     legs["overlap"] = overlap
+    # bottleneck reflects the transport the run actually used; the
+    # other transport's rows stay as the measured comparison.
+    d2h_used = legs["d2h_ms_per_frame" if use_dcs
+                    else "d2h_plane_ms_per_frame"]
+    asm_used = legs["assemble_ms_per_frame" if use_dcs
+                    else "assemble_plane_ms_per_frame"]
     bottleneck = max(
         ("h2d", legs["h2d_ms_per_frame"]),
         ("device", legs["device_ms_per_frame"]),
-        ("d2h", legs["d2h_ms_per_frame"]),
-        ("assemble", legs["assemble_ms_per_frame"]),
+        ("d2h", d2h_used),
+        ("assemble", asm_used),
         key=lambda kv: kv[1])[0]
     return fps, legs, bottleneck
 

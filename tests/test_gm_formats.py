@@ -447,3 +447,77 @@ def test_memory_bomb_headers_rejected():
            + bytes(64))
     with pytest.raises(ValueError, match="too large"):
         decode_xcf(xcf)
+
+
+# --------------------------------------------------------------------------
+# RLA (Wavefront)
+# --------------------------------------------------------------------------
+
+def write_rla(rgba, matte=True):
+    """Classic 8-bit integer RLA: 740-byte header, bottom-to-top
+    scanlines, per-channel signed-count RLE."""
+    h, w = rgba.shape[:2]
+    num_chan = 3
+    num_matte = 1 if matte else 0
+    hdr = bytearray(740)
+    struct.pack_into(">14h", hdr, 0, 0, w - 1, 0, h - 1,
+                     0, w - 1, 0, h - 1, 0, 0, num_chan, num_matte,
+                     0, -2)
+    struct.pack_into(">h", hdr, 492, 8)  # chan_bits
+
+    def rle(plane):
+        out = bytearray()
+        i = 0
+        n = len(plane)
+        while i < n:
+            run = 1
+            while i + run < n and plane[i + run] == plane[i] and run < 128:
+                run += 1
+            if run >= 2:
+                out += bytes([run - 1, plane[i]])
+                i += run
+            else:
+                lit = 1
+                while (i + lit < n and lit < 127
+                       and (i + lit + 1 >= n
+                            or plane[i + lit] != plane[i + lit + 1])):
+                    lit += 1
+                out += bytes([256 - lit]) + bytes(
+                    int(v) for v in plane[i:i + lit])
+                i += lit
+        return bytes(out)
+
+    body = bytearray()
+    offsets = []
+    base = 740 + 4 * h
+    for row in range(h):
+        offsets.append(base + len(body))
+        y = h - 1 - row  # bottom-to-top
+        for c in range(num_chan + num_matte):
+            enc = rle(rgba[y, :, c])
+            body += struct.pack(">H", len(enc)) + enc
+    table = struct.pack(">%di" % h, *offsets)
+    return bytes(hdr) + table + bytes(body)
+
+
+@pytest.mark.parametrize("matte", [False, True])
+def test_rla_roundtrip(matte):
+    from timg_tpu.sources.gm_formats import decode_rla
+
+    rng = np.random.default_rng(21)
+    # runs + noise mix exercises both RLE opcode classes
+    rgba = rng.integers(0, 256, (9, 33, 4), dtype=np.uint8)
+    rgba[:, 5:15] = 77
+    out = decode_rla(write_rla(rgba, matte=matte))
+    np.testing.assert_array_equal(out[..., :3], rgba[..., :3])
+    if matte:
+        np.testing.assert_array_equal(out[..., 3], rgba[..., 3])
+    else:
+        assert (out[..., 3] == 255).all()
+
+
+def test_rla_garbage_raises():
+    from timg_tpu.sources.gm_formats import decode_rla
+
+    with pytest.raises(ValueError):
+        decode_rla(bytes(800))

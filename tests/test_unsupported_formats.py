@@ -14,10 +14,10 @@ import sys
 import numpy as np
 import pytest
 
-# r5 note: .dpx/.cin/.xwd/.miff/.xcf left this list -- they decode natively
+# r5 note: .dpx/.cin/.xwd/.miff/.xcf/.rla left this list -- they decode natively
 # now (sources/gm_formats.py, tests/test_gm_formats.py); broken files
 # with those suffixes are reference-silent like any supported format.
-GM_ONLY = [".rla", ".pict", ".viff", ".sct", ".mvg"]
+GM_ONLY = [".pict", ".viff", ".sct", ".mvg", ".otb"]
 
 
 @pytest.mark.parametrize("ext", GM_ONLY)
@@ -56,10 +56,10 @@ def test_in_process_factory_diagnostic(tmp_path):
     from timg_tpu.options import DisplayOptions
     from timg_tpu.sources.base import create_source
 
-    path = tmp_path / "x.rla"
+    path = tmp_path / "x.pict"
     path.write_bytes(bytes(32))
     opts = DisplayOptions()
     opts.width, opts.height = 20, 20
     src, err = create_source(str(path), opts)
     assert src is None
-    assert "RLA is not supported" in err
+    assert "PICT is not supported" in err

@@ -258,11 +258,11 @@ def create_source(
 # GraphicsMagick-only long tail (ref graphics-magick-source.cc relies
 # on GM's coder registry): named-diagnostic suffixes with no decoder in
 # this build. Formats PIL *can* open (pcx, sgi, sun, fits, ...) and the
-# natively decoded GM formats (dpx, cin, xwd, miff, xcf -- see
+# natively decoded GM formats (dpx, cin, xwd, miff, xcf, rla -- see
 # sources/gm_formats.py) are deliberately absent: they reach their
 # decoder and only land here when the file itself is broken, which must
 # stay reference-silent.
 _GM_ONLY_FORMATS = {
-    ".mvg", ".rla", ".viff",
+    ".mvg", ".viff",
     ".pict", ".pct", ".mat", ".otb", ".palm", ".pwp", ".sct", ".wpg",
 }

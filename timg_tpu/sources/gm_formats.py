@@ -14,6 +14,7 @@ these are interactive one-shot paths):
         header's channel masks, 8 bpp pseudocolor via the colormap.
 * XCF   (GIMP): flattened visible-layer composite -- see
         sources/xcf.py for the supported envelope.
+* RLA   (Wavefront): 8-bit integer scanline RLE, color + matte.
 * MIFF  (GM/ImageMagick native): DirectClass and PseudoClass,
         depth 8/16, compression None or RLE, matte (stored as
         *opacity*: 0 = opaque) -- the subset GM itself writes by
@@ -26,7 +27,7 @@ Deviation (documented): DPX/Cineon printing-density transfer curves
 are not linearized -- code values map linearly, which is also what GM
 does unless explicitly asked to apply a LUT.
 
-The remaining exotic suffixes (.rla, .pict, ...) keep the named
+The remaining exotic suffixes (.pict, .viff, ...) keep the named
 diagnostic in sources/base.py.
 """
 
@@ -453,6 +454,94 @@ def decode_miff(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# RLA (Wavefront raster)
+# --------------------------------------------------------------------------
+
+def decode_rla(data: bytes) -> np.ndarray:
+    """Wavefront RLA: 740-byte big-endian header, absolute scanline
+    offset table, per-scanline per-channel signed-count RLE, stored
+    bottom-to-top.  Supports the classic 8-bit integer layout (1/3
+    color channels + optional matte)."""
+    if len(data) < 740:
+        raise ValueError("not an RLA file (truncated header)")
+    (wl, wr, wb, wt, al, ar, ab, at, _frame, storage_type, num_chan,
+     num_matte, num_aux, revision) = struct.unpack(">14h", data[:28])
+    if revision not in (-2, -3):
+        # Wavefront writes 0xFFFE (-2 signed); RLB variants -3.  Reject
+        # anything else early -- every other field would be garbage.
+        raise ValueError("not an RLA file (bad revision)")
+    width = ar - al + 1
+    height = at - ab + 1
+    _check_dims(width, height, "RLA")
+    (chan_bits,) = struct.unpack(">h", data[492:494])
+    if chan_bits != 8:
+        raise ValueError(f"unsupported RLA channel depth {chan_bits}")
+    if storage_type != 0:
+        raise ValueError("only integer RLA storage supported")
+    if num_chan not in (1, 3) or num_matte not in (0, 1):
+        raise ValueError("unsupported RLA channel layout")
+    n_streams = num_chan + num_matte + num_aux
+
+    table_at = 740
+    need = table_at + 4 * height
+    if len(data) < need:
+        raise ValueError("truncated RLA offset table")
+    offsets = struct.unpack(">%di" % height, data[table_at:need])
+
+    def rle_scanline(pos, n):
+        out = np.empty(n, np.uint8)
+        i = 0
+        while i < n:
+            if pos >= len(data):
+                raise ValueError("truncated RLA scanline")
+            c = data[pos]
+            pos += 1
+            if c < 128:  # run of c+1 copies
+                out[i:i + c + 1] = data[pos]
+                pos += 1
+                i += c + 1
+            else:  # 256-c literal bytes
+                lit = 256 - c
+                end = pos + lit
+                if end > len(data):
+                    raise ValueError("truncated RLA literal")
+                out[i:i + lit] = np.frombuffer(data, np.uint8, lit, pos)
+                pos = end
+                i += lit
+        if i != n:
+            raise ValueError("RLA scanline overrun")
+        return out, pos
+
+    planes = np.empty((height, width, num_chan + num_matte), np.uint8)
+    for row in range(height):
+        pos = offsets[row]
+        if not (0 < pos < len(data)):
+            raise ValueError("bad RLA scanline offset")
+        y = height - 1 - row  # bottom-to-top storage
+        for c in range(n_streams):
+            if len(data) < pos + 2:
+                raise ValueError("truncated RLA stream header")
+            (enc_len,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+            plane, endpos = rle_scanline(pos, width)
+            if endpos - pos != enc_len:
+                raise ValueError("RLA stream length mismatch")
+            pos = endpos
+            if c < num_chan + num_matte:
+                planes[y, :, c] = plane
+    if num_chan == 1:
+        rgb = np.repeat(planes[..., :1], 3, axis=-1)
+        a = planes[..., 1] if num_matte else None
+    else:
+        rgb = planes[..., :3]
+        a = planes[..., 3] if num_matte else None
+    out = np.empty((height, width, 4), np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255 if a is None else a
+    return out
+
+
+# --------------------------------------------------------------------------
 # Source
 # --------------------------------------------------------------------------
 
@@ -464,6 +553,7 @@ _DECODERS = {
     ".xwd": ("xwd", decode_xwd),
     ".miff": ("miff", decode_miff),
     ".xcf": ("xcf", decode_xcf),
+    ".rla": ("rla", decode_rla),
 }
 
 
