@@ -209,3 +209,51 @@ def test_cli_dcs_transport_byte_identity(tmp_path, monkeypatch):
         monkeypatch.delenv("TIMG_TPU_SIXEL_TRANSPORT")
         assert dcs == plane, dither
         assert dcs.count(b"\033Pq") == 5
+
+
+def test_auto_dcs_session_verdict(monkeypatch):
+    """auto mode races one warm DCS emit+fetch against the raw-plane
+    fetch on the first qualifying window and sticks with the winner
+    (measured on the dev tunnel: a DCS body 1.07x the plane size cost
+    ~10x the fetch time; on a PCIe host DCS wins by deleting the host
+    assembly leg).  Forced mode ignores the verdict."""
+    import jax.numpy as jnp
+
+    from timg_tpu.ops import sixel_runs
+
+    # checkerboard: column runs are all length 1 (runs transport
+    # loses), only 2 colors per band and short RLE (DCS body buckets
+    # well under the plane size) -- the auto path's DCS zone
+    # (large enough that the DCS body beats bucket_cap's 512-byte
+    # band floor against the plane size)
+    b, h, w = 2, 60, 400
+    base = (np.add.outer(np.arange(h), np.arange(w)) % 2).astype(
+        np.uint8)
+    planes = np.stack([base ^ (i % 2) for i in range(b)])
+    dev = jnp.asarray(planes)
+
+    monkeypatch.setenv("TIMG_TPU_SIXEL_TRANSPORT", "auto")
+
+    # pinned verdict False: auto never ships DCS (runs/plane only)
+    monkeypatch.setattr(sixel_runs, "_DCS_FASTER", False)
+    for e in sixel_runs.fetch_planes_or_runs(dev, b, h, w):
+        assert not isinstance(e, sixel_dcs.SixelDcs)
+
+    # pinned verdict True: auto may ship DCS on qualifying content
+    # (this content qualifies: dense, few colors per band, runs lose)
+    monkeypatch.setattr(sixel_runs, "_DCS_FASTER", True)
+    kinds = {type(e).__name__
+             for e in sixel_runs.fetch_planes_or_runs(dev, b, h, w)}
+    assert kinds == {"SixelDcs"}
+
+    # un-judged session: the first qualifying auto window records a
+    # verdict (either way -- it is a timing race on this host)
+    monkeypatch.setattr(sixel_runs, "_DCS_FASTER", None)
+    sixel_runs.fetch_planes_or_runs(dev, b, h, w)
+    assert sixel_runs._DCS_FASTER is not None
+
+    # forced dcs ignores a False verdict
+    monkeypatch.setenv("TIMG_TPU_SIXEL_TRANSPORT", "dcs")
+    monkeypatch.setattr(sixel_runs, "_DCS_FASTER", False)
+    for e in sixel_runs.fetch_planes_or_runs(dev, b, h, w):
+        assert isinstance(e, sixel_dcs.SixelDcs)

@@ -154,6 +154,16 @@ def _bucket(n: int, cap: int) -> int:
 STATS = {"frames_runs": 0, "frames_plane": 0, "frames_dcs": 0,
          "bytes_shipped": 0, "bytes_plane_equiv": 0}
 
+# Session-sticky DCS verdict: None = not yet A/B-timed; True/False
+# after the first qualifying window races the DCS fetch against the
+# raw-plane fetch.  Byte-size alone misjudges thin links (measured on
+# the dev tunnel: a DCS body 1.07x the plane size cost ~10x the plane
+# fetch time -- the lens->cap sync adds a full round trip and the
+# emission kernels run long on dense content), while on a fast PCIe
+# host DCS wins by deleting the host assembly leg.  One timed A/B per
+# session settles it for the link actually in use.
+_DCS_FASTER = None
+
 
 def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
     """Transport decision for device-resident dither planes.
@@ -197,7 +207,11 @@ def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
             return [SixelRuns(records[i, :counts[i]], band_counts[i],
                               h, w)
                     for i in range(n_frames)]
-    if mode in ("auto", "dcs"):
+    global _DCS_FASTER
+    if mode in ("auto", "dcs") and (_DCS_FASTER is not False
+                                    or mode == "dcs"):
+        import time as time_mod
+
         from timg_tpu.ops import sixel_dcs
 
         lens, ccounts = sixel_dcs.batch_band_lens(planes_dev, n_frames,
@@ -213,11 +227,28 @@ def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
                                                    h, w, cap)
             bands = np.asarray(bands)
             lens_d = np.asarray(lens_d)
-            STATS["frames_dcs"] += n_frames
-            STATS["bytes_shipped"] += bands.nbytes + lens_d.nbytes
-            STATS["bytes_plane_equiv"] += h * w * n_frames
-            return [sixel_dcs.SixelDcs(bands[i], lens_d[i], h, w)
-                    for i in range(n_frames)]
+            if mode == "auto" and _DCS_FASTER is None:
+                # First qualifying window: race a WARM DCS emit+fetch
+                # (the call above already paid the compile) against the
+                # raw-plane fetch, and stick with the session verdict.
+                # Costs one duplicate fetch of each kind, once.
+                t0 = time_mod.perf_counter()
+                b2, l2 = sixel_dcs.batch_encode(planes_dev, n_frames,
+                                                h, w, cap)
+                np.asarray(b2), np.asarray(l2)
+                t_dcs = time_mod.perf_counter() - t0
+                t0 = time_mod.perf_counter()
+                np.asarray(planes_dev)
+                t_plane = time_mod.perf_counter() - t0
+                _DCS_FASTER = t_dcs <= t_plane
+                if not _DCS_FASTER:
+                    use_dcs = False
+            if use_dcs:
+                STATS["frames_dcs"] += n_frames
+                STATS["bytes_shipped"] += bands.nbytes + lens_d.nbytes
+                STATS["bytes_plane_equiv"] += h * w * n_frames
+                return [sixel_dcs.SixelDcs(bands[i], lens_d[i], h, w)
+                        for i in range(n_frames)]
     full = np.asarray(planes_dev)
     STATS["frames_plane"] += n_frames
     STATS["bytes_shipped"] += h * w * n_frames
