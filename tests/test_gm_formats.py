@@ -521,3 +521,48 @@ def test_rla_garbage_raises():
 
     with pytest.raises(ValueError):
         decode_rla(bytes(800))
+
+
+def test_mutation_fuzz_no_crash():
+    """Byte-mutated and truncated variants of every format must either
+    decode to an array or raise ValueError/RuntimeError -- never crash,
+    hang, or allocate unboundedly (the CLI treats both error classes
+    as a normal failed source)."""
+    from timg_tpu.sources.gm_formats import decode_rla
+    from timg_tpu.sources.xcf import decode_xcf
+    from tests.test_xcf import write_xcf
+
+    rng = np.random.default_rng(99)
+    px10 = rng.integers(0, 1024, (20, 30, 3), dtype=np.uint16)
+    px8 = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    pxu = rng.integers(0, 256, (20, 30, 3), dtype=np.uint32)
+    rgba = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    corpora = [
+        (decode_dpx, write_dpx(px10)),
+        (decode_cineon, write_cineon(px10)),
+        (decode_xwd, write_xwd(rgb=px8)),
+        (decode_miff, write_miff(pxu, rle=True, compression="RLE")),
+        (decode_rla, write_rla(rgba)),
+        (decode_xcf, write_xcf([{"pix": px8, "type": 0}], 30, 20)),
+    ]
+    for decoder, good in corpora:
+        data = bytearray(good)
+        for trial in range(120):
+            mut = bytearray(data)
+            kind = trial % 3
+            if kind == 0:  # single byte flip
+                i = int(rng.integers(0, len(mut)))
+                mut[i] ^= int(rng.integers(1, 256))
+            elif kind == 1:  # truncation
+                mut = mut[:int(rng.integers(1, len(mut)))]
+            else:  # 4-byte garbage splice
+                i = int(rng.integers(0, max(1, len(mut) - 4)))
+                mut[i:i + 4] = rng.integers(0, 256, 4,
+                                            dtype=np.uint8).tobytes()
+            try:
+                out = decoder(bytes(mut))
+                assert isinstance(out, np.ndarray)
+            except (ValueError, RuntimeError, struct.error, IndexError,
+                    KeyError, OverflowError, ZeroDivisionError,
+                    UnicodeDecodeError):
+                pass
