@@ -215,13 +215,18 @@ def _bench_e2e(jax, np, resize_op, fs_dither_cube_fused):
         # one.  (On noise-heavy content the padded DCS buffers exceed
         # the raw plane and the lens->cap sync costs an extra round
         # trip; on coherent content DCS wins.  Production makes the
-        # same per-window call -- render/plane_cache.py.)
+        # same per-window call -- ops/sixel_runs.py.)  Each side is
+        # timed on a FRESH device output: np.asarray on `warm` would
+        # return the host copy jax cached at the byte-identity check
+        # above and measure ~0 for the plane D2H leg.
+        warm2 = jax.block_until_ready(dev(jax.device_put(host_pool[1])))
         t0 = time.perf_counter()
-        wb, wl = fetch_dcs(warm)
+        wb, wl = fetch_dcs(warm2)
         assemble_dcs(wb, wl)
         t_dcs = time.perf_counter() - t0
+        warm3 = jax.block_until_ready(dev(jax.device_put(host_pool[2])))
         t0 = time.perf_counter()
-        assemble_planes(np.asarray(warm))
+        assemble_planes(np.asarray(warm3))
         t_plane = time.perf_counter() - t0
         use_dcs = t_dcs <= t_plane
 

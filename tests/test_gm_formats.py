@@ -463,7 +463,7 @@ def write_rla(rgba, matte=True):
     struct.pack_into(">14h", hdr, 0, 0, w - 1, 0, h - 1,
                      0, w - 1, 0, h - 1, 0, 0, num_chan, num_matte,
                      0, -2)
-    struct.pack_into(">h", hdr, 492, 8)  # chan_bits
+    struct.pack_into(">h", hdr, 658, 8)  # chan_bits (after the 658-byte text fields)
 
     def rle(plane):
         out = bytearray()
@@ -566,3 +566,23 @@ def test_mutation_fuzz_no_crash():
                     KeyError, OverflowError, ZeroDivisionError,
                     UnicodeDecodeError):
                 pass
+
+
+def test_dpx_abgr_descriptor_52():
+    """Descriptor 52 stores components in A,B,G,R order (SMPTE 268M);
+    the decoder must reverse them."""
+    rng = np.random.default_rng(30)
+    rgba = rng.integers(0, 1024, (4, 6, 4), dtype=np.uint16)
+    abgr = rgba[..., ::-1].copy()
+    out = decode_dpx(write_dpx(abgr, bits=10, packing=1, descriptor=52))
+    np.testing.assert_array_equal(out, _scale(rgba, 10))
+
+
+def test_miff_rle_overrun_rejected():
+    """An RLE run extending past the pixel count is malformed, not a
+    silently clipped decode (same contract as the RLA/XCF decoders)."""
+    head = (b"id=ImageMagick\nclass=DirectClass  matte=False\n"
+            b"columns=4  rows=1  depth=8\ncompression=RLE\n:")
+    # one packet: pixel (1,2,3) repeated 256 times > 4 pixels
+    with pytest.raises(ValueError, match="overrun"):
+        decode_miff(head + bytes([1, 2, 3, 255]))

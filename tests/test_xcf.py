@@ -97,35 +97,50 @@ def write_xcf(layers, width, height, base_type=0, version=2,
         b.prop(6, struct.pack(">I", lay.get("opacity", 255)))
         b.prop(8, struct.pack(">I", 1 if lay.get("visible", True) else 0))
         b.prop(15, struct.pack(">ii", lay.get("ox", 0), lay.get("oy", 0)))
+        if "mask" in lay:
+            b.prop(11, struct.pack(">I",
+                                   1 if lay.get("apply_mask", True) else 0))
         b.prop(0, b"")
         hier_slot = b.off_slot()
-        b.off_slot()  # layer mask (none)
+        mask_slot = b.off_slot()  # layer mask (0 when absent)
 
-        b.patch(hier_slot, len(b.b))
-        b.u32(lw)
-        b.u32(lh)
-        b.u32(bpp)
-        level_slot = b.off_slot()
-        b.off_slot()  # level list terminator
+        def write_hierarchy(slot, plane):
+            ph, pw, pbpp = plane.shape
+            b.patch(slot, len(b.b))
+            b.u32(pw)
+            b.u32(ph)
+            b.u32(pbpp)
+            level_slot = b.off_slot()
+            b.off_slot()  # level list terminator
 
-        b.patch(level_slot, len(b.b))
-        b.u32(lw)
-        b.u32(lh)
-        tiles_x = (lw + _TILE - 1) // _TILE
-        tiles_y = (lh + _TILE - 1) // _TILE
-        tile_slots = [b.off_slot() for _ in range(tiles_x * tiles_y)]
-        b.off_slot()  # tile list terminator
+            b.patch(level_slot, len(b.b))
+            b.u32(pw)
+            b.u32(ph)
+            tiles_x = (pw + _TILE - 1) // _TILE
+            tiles_y = (ph + _TILE - 1) // _TILE
+            tile_slots = [b.off_slot() for _ in range(tiles_x * tiles_y)]
+            b.off_slot()  # tile list terminator
+            for ti, tslot in enumerate(tile_slots):
+                ty, tx = divmod(ti, tiles_x)
+                tile = plane[ty * _TILE:(ty + 1) * _TILE,
+                             tx * _TILE:(tx + 1) * _TILE]
+                b.patch(tslot, len(b.b))
+                if compression == 0:
+                    b.b += tile.tobytes()
+                else:
+                    for c in range(pbpp):
+                        b.b += _rle_encode(tile[..., c])
 
-        for ti, tslot in enumerate(tile_slots):
-            ty, tx = divmod(ti, tiles_x)
-            tile = pix[ty * _TILE:(ty + 1) * _TILE,
-                       tx * _TILE:(tx + 1) * _TILE]
-            b.patch(tslot, len(b.b))
-            if compression == 0:
-                b.b += tile.tobytes()
-            else:
-                for c in range(bpp):
-                    b.b += _rle_encode(tile[..., c])
+        write_hierarchy(hier_slot, pix)
+        if "mask" in lay:
+            mask = np.asarray(lay["mask"], np.uint8)
+            b.patch(mask_slot, len(b.b))
+            b.u32(mask.shape[1])
+            b.u32(mask.shape[0])
+            b.string("mask")
+            b.prop(0, b"")
+            mh_slot = b.off_slot()
+            write_hierarchy(mh_slot, mask[..., None])
     return bytes(b.b)
 
 
@@ -245,3 +260,38 @@ def test_factory_routes_xcf(tmp_path):
     assert src is not None, err
     assert src.decoder_name == "xcf"
     assert (src.orig_width, src.orig_height) == (40, 30)
+
+
+def test_layer_mask_applied():
+    """A layer mask multiplies into the layer's coverage; GIMP and
+    GM's xcf coder both apply it (PROP_APPLY_MASK default on)."""
+    base = np.full((8, 8, 3), 100, np.uint8)
+    top = np.full((8, 8, 3), 200, np.uint8)
+    mask = np.zeros((8, 8), np.uint8)
+    mask[:, 4:] = 255  # right half visible
+    data = write_xcf(
+        [{"pix": top, "type": 0, "mask": mask},
+         {"pix": base, "type": 0}], 8, 8)
+    out = decode_xcf(data)
+    assert out[0, 2, 0] == 100   # masked-out: base shows
+    assert out[0, 6, 0] == 200   # mask-visible: top shows
+
+
+def test_layer_mask_not_applied_when_flag_off():
+    base = np.full((8, 8, 3), 100, np.uint8)
+    top = np.full((8, 8, 3), 200, np.uint8)
+    mask = np.zeros((8, 8), np.uint8)
+    data = write_xcf(
+        [{"pix": top, "type": 0, "mask": mask, "apply_mask": False},
+         {"pix": base, "type": 0}], 8, 8)
+    assert (decode_xcf(data)[..., 0] == 200).all()
+
+
+def test_partial_mask_coverage_blends():
+    base = np.full((4, 4, 3), 0, np.uint8)
+    top = np.full((4, 4, 3), 200, np.uint8)
+    mask = np.full((4, 4), 128, np.uint8)
+    out = decode_xcf(write_xcf(
+        [{"pix": top, "type": 0, "mask": mask},
+         {"pix": base, "type": 0}], 4, 4))
+    assert abs(int(out[0, 0, 0]) - round(200 * 128 / 255)) <= 1

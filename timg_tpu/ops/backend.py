@@ -111,10 +111,13 @@ def _device_alive_locked():
         _probe_result = True
         return True
 
+    setup = threading.Event()
     ok = threading.Event()
 
     def _probe():
         try:
+            _probe_setup()
+            setup.set()
             if _probe_compute():
                 ok.set()
         except Exception:  # pragma: no cover - import/device errors
@@ -123,7 +126,12 @@ def _device_alive_locked():
     t = threading.Thread(target=_probe, daemon=True,
                          name="timg-device-probe")
     t.start()
-    alive = ok.wait(timeout)
+    # Two-phase budget: jax import + device attach legitimately cost
+    # ~1.5 s + ~10 s through the dev tunnel on a HEALTHY link, and the
+    # first dispatch pays a compile round trip -- lumping them into one
+    # window misclassifies a slow-but-live link as wedged.  Setup gets
+    # its own full window; the dispatch round trip gets another.
+    alive = setup.wait(timeout) and ok.wait(timeout)
     if not alive:
         print("timg-tpu: device backend unresponsive after %.0f s; "
               "falling back to host mirrors for this run "
@@ -142,6 +150,13 @@ def _device_alive_locked():
             pass
     _probe_result = alive
     return alive
+
+
+def _probe_setup() -> None:
+    """Import + attach phase of the liveness probe (test seam): pays
+    the jax import and backend discovery, no dispatch."""
+    import jax
+    jax.default_backend()
 
 
 def _probe_compute() -> bool:

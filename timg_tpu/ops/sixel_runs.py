@@ -229,17 +229,36 @@ def fetch_planes_or_runs(planes_dev, n_frames: int, h: int, w: int):
             lens_d = np.asarray(lens_d)
             if mode == "auto" and _DCS_FASTER is None:
                 # First qualifying window: race a WARM DCS emit+fetch
-                # (the call above already paid the compile) against the
-                # raw-plane fetch, and stick with the session verdict.
-                # Costs one duplicate fetch of each kind, once.
+                # + band splice (the call above already paid the
+                # compile) against the raw-plane fetch + C assembly --
+                # BOTH legs of each transport, since DCS's whole win is
+                # deleting the host assembly (a fetch-only race would
+                # systematically pick plane on fast links).  Assembly
+                # is timed on frame 0 with a dummy palette (palette
+                # values only affect the header registrations) and
+                # scaled to the window.  Sticks for the session; costs
+                # one duplicate fetch of each kind, once.
+                from timg_tpu.ops.sixel_dcs import splice_host
+                from timg_tpu.render.sixel_render import (
+                    encode_sixel_stream)
+
+                pal_dummy = np.zeros((256, 3), np.uint8)
                 t0 = time_mod.perf_counter()
                 b2, l2 = sixel_dcs.batch_encode(planes_dev, n_frames,
                                                 h, w, cap)
-                np.asarray(b2), np.asarray(l2)
-                t_dcs = time_mod.perf_counter() - t0
+                b2h, l2h = np.asarray(b2), np.asarray(l2)
+                t_fetch = time_mod.perf_counter() - t0
                 t0 = time_mod.perf_counter()
-                np.asarray(planes_dev)
-                t_plane = time_mod.perf_counter() - t0
+                splice_host(b2h[0], l2h[0], h, w, pal_dummy)
+                t_dcs = (t_fetch
+                         + (time_mod.perf_counter() - t0) * n_frames)
+                t0 = time_mod.perf_counter()
+                planes_h = np.asarray(planes_dev)
+                t_fetch = time_mod.perf_counter() - t0
+                t0 = time_mod.perf_counter()
+                encode_sixel_stream(planes_h[0, :h, :w], pal_dummy)
+                t_plane = (t_fetch
+                           + (time_mod.perf_counter() - t0) * n_frames)
                 _DCS_FASTER = t_dcs <= t_plane
                 if not _DCS_FASTER:
                     use_dcs = False

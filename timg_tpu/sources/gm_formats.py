@@ -90,6 +90,23 @@ def _to_rgba(channels: np.ndarray, bits: int, has_alpha: bool,
 _DPX_DESCRIPTORS = {6: 1, 50: 3, 51: 4, 52: 4}  # descriptor -> n components
 
 
+def _unpack_filled10(data: bytes, offset: int, width: int, height: int,
+                     ncomp: int, eol_pad: int, bo: str,
+                     left: bool) -> np.ndarray:
+    """Three 10-bit components per 32-bit word (DPX filled method A/B,
+    Cineon longword packing 5/6).  ``left``: padding in the LSBs,
+    components at bits 22/12/2; else padding in the MSBs (20/10/0)."""
+    words_per_line = (width * ncomp + 2) // 3
+    stride_w = words_per_line + (eol_pad + 3) // 4
+    words = np.frombuffer(
+        data, dtype=np.dtype(bo + "u4"), count=stride_w * height,
+        offset=offset).reshape(height, stride_w)[:, :words_per_line]
+    shifts = (22, 12, 2) if left else (20, 10, 0)
+    comps = np.stack([(words >> s) & 0x3FF for s in shifts],
+                     axis=-1).reshape(height, -1)[:, :width * ncomp]
+    return comps.reshape(height, width, ncomp)
+
+
 def decode_dpx(data: bytes) -> np.ndarray:
     if len(data) < 820:
         raise ValueError("not a DPX file (truncated header)")
@@ -124,20 +141,9 @@ def decode_dpx(data: bytes) -> np.ndarray:
     ncomp = _DPX_DESCRIPTORS[descriptor]
 
     if bits == 10 and packing in (1, 2):
-        # three 10-bit components per 32-bit word.  Method A: padding
-        # in bits 0-1 (components at 22/12/2); method B: padding in
-        # bits 30-31 (components at 20/10/0).
-        words_per_line = (width * ncomp + 2) // 3
-        stride_w = words_per_line + (eol_pad + 3) // 4
-        words = np.frombuffer(
-            data, dtype=np.dtype(bo + "u4"), count=stride_w * height,
-            offset=offset).reshape(height, stride_w)[:, :words_per_line]
-        shifts = (22, 12, 2) if packing == 1 else (20, 10, 0)
-        comps = np.stack([(words >> s) & 0x3FF for s in shifts],
-                         axis=-1).reshape(height, -1)[:, :width * ncomp]
-        return _to_rgba(comps.reshape(height, width, ncomp), 10,
-                        ncomp == 4)
-    if bits == 12 and packing in (1, 2):
+        comps = _unpack_filled10(data, offset, width, height, ncomp,
+                                 eol_pad, bo, left=(packing == 1))
+    elif bits == 12 and packing in (1, 2):
         # one 12-bit component per 16-bit word.  Method A: left
         # justified (data bits 4-15); method B: right justified.
         stride = width * ncomp + (eol_pad + 1) // 2
@@ -145,22 +151,25 @@ def decode_dpx(data: bytes) -> np.ndarray:
                           count=stride * height,
                           offset=offset).reshape(height, stride)
         v = v[:, :width * ncomp]
-        v = (v >> 4) if packing == 1 else (v & 0xFFF)
-        return _to_rgba(v.reshape(height, width, ncomp), 12, ncomp == 4)
-    if bits == 8 and packing in (0, 1, 2):
+        comps = ((v >> 4) if packing == 1
+                 else (v & 0xFFF)).reshape(height, width, ncomp)
+    elif bits == 8 and packing in (0, 1, 2):
         stride = width * ncomp + eol_pad
         v = np.frombuffer(data, dtype=np.uint8, count=stride * height,
                           offset=offset).reshape(height, stride)
-        return _to_rgba(v[:, :width * ncomp].reshape(height, width, ncomp),
-                        8, ncomp == 4)
-    if bits == 16 and packing in (0, 1, 2):
+        comps = v[:, :width * ncomp].reshape(height, width, ncomp)
+    elif bits == 16 and packing in (0, 1, 2):
         stride = width * ncomp + (eol_pad + 1) // 2
         v = np.frombuffer(data, dtype=np.dtype(bo + "u2"),
                           count=stride * height,
                           offset=offset).reshape(height, stride)
-        return _to_rgba(v[:, :width * ncomp].reshape(height, width, ncomp),
-                        16, ncomp == 4)
-    raise ValueError(f"unsupported DPX bit depth {bits} packing {packing}")
+        comps = v[:, :width * ncomp].reshape(height, width, ncomp)
+    else:
+        raise ValueError(
+            f"unsupported DPX bit depth {bits} packing {packing}")
+    if descriptor == 52:  # ABGR: components stored A,B,G,R
+        comps = comps[..., ::-1]
+    return _to_rgba(comps, bits, ncomp == 4)
 
 
 # --------------------------------------------------------------------------
@@ -193,17 +202,11 @@ def decode_cineon(data: bytes) -> np.ndarray:
 
     if bits == 10 and packing in (5, 6):
         # Kodak's universal layout: three 10-bit values per 32-bit
-        # word; 5 = longword left-justified (22/12/2), 6 = right (
-        # 20/10/0).
-        words_per_line = (width * ncomp + 2) // 3
-        stride_w = words_per_line + (eol_pad + 3) // 4
-        words = np.frombuffer(
-            data, dtype=np.dtype(bo + "u4"), count=stride_w * height,
-            offset=offset).reshape(height, stride_w)[:, :words_per_line]
-        shifts = (22, 12, 2) if packing == 5 else (20, 10, 0)
-        comps = np.stack([(words >> s) & 0x3FF for s in shifts],
-                         axis=-1).reshape(height, -1)[:, :width * ncomp]
-        return _to_rgba(comps.reshape(height, width, ncomp), 10, False)
+        # word; 5 = longword left-justified, 6 = right -- the same
+        # filled-word layouts as DPX packing methods A/B.
+        comps = _unpack_filled10(data, offset, width, height, ncomp,
+                                 eol_pad, bo, left=(packing == 5))
+        return _to_rgba(comps, 10, False)
     if bits == 8 and packing == 0:
         stride = width * ncomp + eol_pad
         v = np.frombuffer(data, dtype=np.uint8, count=stride * height,
@@ -418,6 +421,8 @@ def decode_miff(data: bytes) -> np.ndarray:
                 v = (data[p] if idx_bytes == 1
                      else (data[p] << 8) | data[p + 1])
                 run = data[p + idx_bytes] + 1
+                if i + run > npx:
+                    raise ValueError("MIFF RLE overrun")
                 idx[i:i + run] = v
                 i += run
                 p += step
@@ -446,6 +451,8 @@ def decode_miff(data: bytes) -> np.ndarray:
                 px = [((data[p + 2 * c] << 8) | data[p + 2 * c + 1])
                       for c in range(ncomp)]
             run = data[p + ncomp * bps] + 1
+            if i + run > npx:
+                raise ValueError("MIFF RLE overrun")
             flat[i:i + run] = px
             i += run
             p += step
@@ -473,7 +480,11 @@ def decode_rla(data: bytes) -> np.ndarray:
     width = ar - al + 1
     height = at - ab + 1
     _check_dims(width, height, "RLA")
-    (chan_bits,) = struct.unpack(">h", data[492:494])
+    # header layout: 16 B windows + 12 B shorts + 16 gamma + 4x24
+    # chromaticities + 4 job + 128 name + 128 desc + 64 program +
+    # 32 machine + 32 user + 20 date + 24 aspect + 8 ratio + 32 chan
+    # + 2 field + 12 time + 32 filter = 658 -> chan_bits
+    (chan_bits,) = struct.unpack(">h", data[658:660])
     if chan_bits != 8:
         raise ValueError(f"unsupported RLA channel depth {chan_bits}")
     if storage_type != 0:

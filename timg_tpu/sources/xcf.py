@@ -7,8 +7,9 @@ layer stack and flattens).  Pure numpy, jax-free.
 Supported: XCF v0-v11+ (32- and 64-bit offset variants), RGB / Gray /
 Indexed base types at 8-bit precision, compression None or RLE
 (GIMP's defaults), per-layer alpha, opacity (integer and float
-property variants), visibility, offsets, and bottom-to-top "Normal"
-compositing.  Other layer modes composite as Normal (documented
+property variants), visibility, offsets, layer masks (grayscale
+coverage multiplied into alpha, honoring PROP_APPLY_MASK), and
+bottom-to-top "Normal" compositing.  Other layer modes composite as Normal (documented
 deviation -- GM renders them; a terminal preview favors showing the
 content over failing).  Higher bit-depth precisions raise the gated
 conversion diagnostic.
@@ -32,6 +33,7 @@ _PROP_END = 0
 _PROP_COLORMAP = 1
 _PROP_OPACITY = 6
 _PROP_VISIBLE = 8
+_PROP_APPLY_MASK = 11
 _PROP_COMPRESSION = 17
 _PROP_OFFSETS = 15
 _PROP_FLOAT_OPACITY = 33
@@ -180,6 +182,27 @@ def _read_hierarchy(data: bytes, off: int, wide: bool,
     return out
 
 
+def _read_mask(data: bytes, off: int, wide: bool, compression: int,
+               lw: int, lh: int) -> np.ndarray:
+    """Layer mask: a channel structure (w, h, name, props, hierarchy)
+    whose hierarchy is one grayscale plane.  Returns [lh, lw] float32
+    coverage in [0, 1]."""
+    cr = _Reader(data, wide)
+    cr.pos = off
+    mw = cr.u32()
+    mh = cr.u32()
+    if (mw, mh) != (lw, lh):
+        raise ValueError("XCF mask geometry mismatch")
+    cr.string()  # name
+    for _ptype, _start, _plen in cr.props():
+        pass  # channel opacity/visibility do not affect mask coverage
+    mh_off = cr.offset()
+    plane = _read_hierarchy(data, mh_off, wide, compression)
+    if plane.shape[2] != 1:
+        raise ValueError("XCF mask bpp mismatch")
+    return plane[..., 0].astype(np.float32) / 255.0
+
+
 def decode_xcf(data: bytes) -> np.ndarray:
     if len(data) < 30 or data[:9] != b"gimp xcf ":
         raise ValueError("not an XCF file")
@@ -247,6 +270,7 @@ def decode_xcf(data: bytes) -> np.ndarray:
         lr.string()  # name
         opacity = 255
         visible = True
+        apply_mask = True
         ox = oy = 0
         for ptype, start, plen in lr.props():
             if ptype == _PROP_OPACITY and plen >= 4:
@@ -257,14 +281,21 @@ def decode_xcf(data: bytes) -> np.ndarray:
             elif ptype == _PROP_VISIBLE and plen >= 4:
                 (v,) = struct.unpack_from(">I", data, start)
                 visible = bool(v)
+            elif ptype == _PROP_APPLY_MASK and plen >= 4:
+                (v,) = struct.unpack_from(">I", data, start)
+                apply_mask = bool(v)
             elif ptype == _PROP_OFFSETS and plen >= 8:
                 ox, oy = struct.unpack_from(">ii", data, start)
         hier_off = lr.offset()
+        mask_off = lr.offset()
         if not visible or opacity == 0:
             continue
         pix = _read_hierarchy(data, hier_off, wide, compression)
         if pix.shape[2] != _LAYER_CHANNELS[ltype]:
             raise ValueError("XCF layer bpp mismatch")
+        mask = None
+        if mask_off and apply_mask:
+            mask = _read_mask(data, mask_off, wide, compression, lw, lh)
 
         # expand to RGBA f32
         if ltype in (4, 5) and colormap is None:
@@ -282,6 +313,8 @@ def decode_xcf(data: bytes) -> np.ndarray:
         else:
             a = np.ones(pix.shape[:2], np.float32)
         a = a * (opacity / 255.0)
+        if mask is not None:
+            a = a * mask
 
         # clip layer extent to the canvas
         x0, y0 = max(ox, 0), max(oy, 0)
